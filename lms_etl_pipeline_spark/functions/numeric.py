@@ -1,0 +1,40 @@
+"""Deterministic numeric aggregation helpers.
+
+Distributed double summation is order-dependent: two runs (or two engines)
+can differ in the last ulp, which breaks exact differential testing and makes
+results non-reproducible across cluster layouts. The engine's convention for
+money-like measures is:
+
+    cast operand -> DECIMAL (exact) -> SUM (exact, order-independent)
+    -> cast the *final* scalar back to DOUBLE (one deterministic rounding)
+
+This is free at scale (Spark's decimal sum is codegen'd, and the cast
+happens once per group, not per row) and makes every aggregate bit-stable
+regardless of partitioning — the property the DuckDB oracle check relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Wide enough for TPC-H money at sf100k; scale 4 preserves the fixtures'
+# 2-decimal prices and 2-decimal discounts exactly.
+DEC = "DECIMAL(18,4)"
+
+
+def dec(col: Column | str) -> Column:
+    """Exact-decimal view of a double measure."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM: exact decimal internally, double out."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG: exact decimal sum / count, single double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)

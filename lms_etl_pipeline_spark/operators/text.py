@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Tokenization, shingling, n-grams, TF-IDF, fingerprinting, language ID, and
+quality scoring — all as native column expressions / relational plans (no
+Python in the hot path). Determinism is a design goal: every score is a pure
+integer/single-IEEE-op function of the data so results are reproducible
+across partitionings and engines (the DuckDB oracle relies on this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny embedded stopword list used for language-agnostic quality scoring
+#: and the English-likelihood heuristic. Deliberately small and versioned
+#: with the code: scoring must not depend on runtime downloads.
+STOPWORDS_EN: tuple[str, ...] = ("the", "a", "an", "and", "of", "to", "in", "is", "on")
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokens with empties removed (codegen'd array expression)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, sep), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (1-based ``element_at``).
+
+    Documents shorter than ``n`` tokens yield an empty array (guarded:
+    ``sequence`` would otherwise produce a descending range).
+    """
+    build = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, build).otherwise(F.array().cast("array<string>"))
+
+
+def explode_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) pairs — the shuffle-friendly long form for TF/DF counts."""
+    return df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact TF-IDF: tf(term, doc) * (ln((N+1)/(df+1)) + 1).
+
+    A purely relational plan: explode -> two hash aggregations -> broadcast
+    join of the (small) document-frequency side. Scales linearly in corpus
+    size; the term dictionary is the only state and it is itself distributed.
+    Deterministic: counts are integers, the final score is two IEEE ops.
+    """
+    terms = explode_terms(df, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+        .drop("n_docs")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical-form document fingerprint (md5 of sorted distinct tokens).
+
+    The classic "fingerprint clustering" key: whitespace/word-order/dup
+    insensitive, collision-safe at corpus scale (128-bit).
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords — the workhorse of fast
+    language-ID / quality heuristics (one array expression, no shuffle)."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.size(toks)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality-score features used for corpus filtering:
+
+    - n_tokens, n_distinct: length + lexical diversity
+    - ttr: type-token ratio (distinct/total)
+    - mean_token_len: average word length
+    - stop_ratio: stopword fraction
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct", n_dis)
+        .withColumn("ttr", n_dis.cast("double") / n_tok)
+        .withColumn("mean_token_len", total_chars.cast("double") / n_tok)
+        .withColumn("stop_ratio", stopword_ratio(text_col))
+    )

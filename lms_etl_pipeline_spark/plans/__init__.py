@@ -1,0 +1,15 @@
+"""Named analytical plans: the ``queries()`` / ``oracle_sql()`` catalog.
+
+Importing this package registers every query module into the catalog.
+"""
+
+from lms_etl_pipeline_spark.plans.catalog import all_oracles, all_queries, query
+
+# Import for registration side effects.
+from lms_etl_pipeline_spark.plans import relational  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import scalar  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import windows  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import llm  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import etl  # noqa: E402,F401
+
+__all__ = ["query", "all_queries", "all_oracles"]

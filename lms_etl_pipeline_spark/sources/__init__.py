@@ -1,0 +1,5 @@
+"""Source/sink connectors."""
+
+from lms_etl_pipeline_spark.sources.tables import TABLE_NAMES, load_tables, register_views
+
+__all__ = ["TABLE_NAMES", "load_tables", "register_views"]
