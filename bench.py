@@ -1,0 +1,81 @@
+"""Headline benchmark: wall-clock the engine's flagship queries at sf0.1.
+
+Runs each headline query end-to-end (plan build + execution + result fetch
+via a count-style action) on ``local[$SPARK_GRAFT_CPUS]`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) and prints ONE
+JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+The headline set is chosen to cover every expensive plan shape the engine
+claims: scan-heavy agg, fact-fact shuffle join + broadcast dims, outer join
+agg, window functions, event windowing, TF-IDF (explode + double agg +
+shuffle join), MinHash-LSH near-dup, and exact cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "flagship_regional_revenue",
+    "join_left_outer_counts",
+    "window_topk_per_group",
+    "events_session_window",
+    "tf_idf_top_terms",
+    "near_dup_pairs_lsh",
+    "knn_cosine_exact",
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entrymod
+    from lms_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footer caches once so per-query numbers measure
+    # the plan, not session startup.
+    qs["flagship_regional_revenue"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        # without driver-side row materialization costs skewing the number.
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,6 +34,20 @@ def dec_sum(col: Column | str, alias: str) -> Column:
     return F.sum(dec(col)).cast("double").alias(alias)
 
 
+def dec_sum_of(expr: Column, alias: str) -> Column:
+    """Order-independent SUM of an exact-decimal *expression* (e.g. a
+    revenue product at scale 8+), rounded to scale 4 before the double cast.
+
+    The rounding matters for cross-engine determinism: converting a scale-8
+    decimal whose scaled integer exceeds 2**53 to double double-rounds
+    (int->double then /10^scale), and engines disagree in the last ulp.
+    At scale 4 the scaled integer stays below 2**53 for any realistic money
+    sum, so the decimal->double conversion is a single exact-int divide —
+    bit-identical everywhere.  SQL twin: CAST(ROUND(SUM(expr), 4) AS DOUBLE).
+    """
+    return F.round(F.sum(expr), 4).cast("double").alias(alias)
+
+
 def dec_avg(col: Column | str, alias: str) -> Column:
     """Order-independent AVG: exact decimal sum / count, single double division."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, MinHash-LSH, and SimHash.
+
+Design notes (100 TB posture):
+
+- **Exact** dedup keys on a 128-bit content hash — a single hash-groupBy
+  shuffle on a uniformly distributed key; no skew, no comparisons.
+- **MinHash-LSH** near-dup: per-doc signature of ``k`` min-hashes over the
+  shingle set, banded into ``b`` groups.  Candidate pairs come from an
+  equi-join on (band, band_hash) — the classic Broder scheme — so the cost
+  is |candidate pairs|, never N².  The hash family is md5 with a per-slot
+  salt: deterministic, engine-portable (the DuckDB oracle computes the
+  *identical* signatures), and uniform.  md5 costs more than xxhash64 but
+  keeps the whole pipeline differentially testable; swap ``_mh`` for
+  ``xxhash64`` when raw throughput matters more than oracle parity.
+- **SimHash** uses ``xxhash64`` (native, cheap) — approximate by design,
+  checked rows-only.
+
+Execution-shape notes (these dominated the first benchmark):
+
+- The shingle array is materialized once behind a ``repartition`` exchange
+  before the k hash slots read it.  Two reasons: (a) higher-order array
+  expressions run interpreted (outside whole-stage codegen), so Catalyst
+  re-inlines and re-evaluates the shingle subtree once per slot if the
+  projections collapse; (b) a small parquet file arrives as ONE input split,
+  serializing the CPU-heavy hashing on a single core.  The exchange costs a
+  shuffle of (id, shingles) but buys slot-count × core-count speedup — and
+  at cluster scale Spark reuses the same exchange for both sides of the LSH
+  self-join (ReusedExchange) instead of recomputing the corpus scan.
+- Exact Jaccard verification recomputes shingles *after* joining the (few)
+  candidate pairs, never for the whole corpus a second time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators.text import shingles, tokens
+
+
+def _mh(slot: int, items: Column) -> Column:
+    """Min over the item set of a salted md5 — one minhash signature slot."""
+    return F.array_min(
+        F.transform(items, lambda t: F.md5(F.concat(F.lit(f"{slot}:"), t)))
+    )
+
+
+def minhash_signature(items: Column, k: int = 8) -> list[Column]:
+    """k independent minhash slots over a string-array column."""
+    return [_mh(i, items).alias(f"h{i}") for i in range(k)]
+
+
+def with_minhash(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, partitions: int | None = None
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signatures over word-level shingle sets.
+
+    Docs with no 3-gram shingles (under 3 tokens) are dropped before
+    hashing — they cannot be near-duplicates and would yield NULL slots.
+
+    Plan shape (this is where the CPU goes, so it is deliberate):
+
+    1. tokenize in its own projection — ``shingles`` must read a
+       *materialized column attribute*, because an inlined tokens() subtree
+       is re-evaluated by ``element_at`` once per shingle position in
+       interpreted higher-order eval (measured ~10x slowdown);
+    2. repartition BEFORE the heavy shingle/hash work — a small parquet
+       file is one input split, which would serialize everything on one
+       core; the exchange also gets reused (ReusedExchange) by both sides
+       of the LSH self-join downstream;
+    3. shingle + distinct in a third projection, slots in a fourth —
+       CollapseProject keeps multi-referenced expensive arrays
+       un-duplicated, and every filter keys on cheap precursors
+       (token count), never on an expensive expression Catalyst would
+       push down and clone.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    part = toked.repartition(partitions, F.col(id_col))
+    shing = part.select(
+        F.col(id_col), F.array_distinct(shingles(F.col("_toks"), n=3)).alias("_sh")
+    )
+    return shing.select(F.col(id_col), *minhash_signature(F.col("_sh"), k))
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4) -> DataFrame:
+    """Fold a k-slot signature into ``bands`` band-hashes, long form.
+
+    Two docs land in the same (band, band_hash) bucket iff all slots of that
+    band agree — the LSH amplification that makes candidate generation an
+    equi-join.  One ``posexplode`` pass: the signature row is read once,
+    never once per band.
+    """
+    rows = k // bands
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
+
+    Plan: signatures -> band posexplode -> self equi-join on (band,
+    band_hash) -> distinct candidate pairs (a < b) -> join the *candidates*
+    back to the corpus -> exact Jaccard on those pairs only.  Every join is
+    an equi-join on a uniformly distributed hash key; the corpus-sized scan
+    happens once (signature side, reused exchange) plus two candidate-pruned
+    probes for verification.
+    """
+    sigs = with_minhash(df, id_col, text_col, k)
+    bands_df = lsh_bands(sigs, id_col, k, bands)
+    left = bands_df.select(F.col(id_col).alias("a"), "band", "band_hash")
+    right = bands_df.select(F.col(id_col).alias("b"), "band", "band_hash")
+    cands = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # Exact verification: tokenize per doc (cheap, one regex split) before
+    # the join, but build shingle sets AFTER joining the (few) candidate
+    # pairs — the quadratic-ish shingle work is |candidates|-sized.
+    a_docs = df.select(F.col(id_col).alias("a"), tokens(text_col).alias("_ta"))
+    b_docs = df.select(F.col(id_col).alias("b"), tokens(text_col).alias("_tb"))
+    sh_a = F.array_distinct(shingles(F.col("_ta"), n=3))
+    sh_b = F.array_distinct(shingles(F.col("_tb"), n=3))
+    paired = (
+        cands.join(a_docs, "a")
+        .join(b_docs, "b")
+        .select("a", "b", sh_a.alias("_sha"), sh_b.alias("_shb"))
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return (
+        paired.select("a", "b", F.try_divide(inter, union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash over word tokens using native xxhash64, as a bit
+    string (``"0110..."``, MSB first).
+
+    Per token: hash to 64 bits; per bit position: +1 if set else -1 summed
+    over tokens; final bit = (vote > 0).  One nested array expression — no
+    UDF, no shuffle; near-dup candidates are rows whose bit strings differ
+    in few positions (prefix-bucket first, then Hamming-verify).
+    """
+    toks = tokens(text_col) if isinstance(text_col, str) else tokens(text_col)
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(63), F.lit(0), F.lit(-1)),
+        lambda i: F.when(
+            F.aggregate(
+                hashed,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)

@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 STOPWORDS_EN: tuple[str, ...] = ("the", "a", "an", "and", "of", "to", "in", "is", "on")
 
 
-def tokens(text: Column | str, sep: str = " ") -> Column:
-    """Whitespace tokens with empties removed (codegen'd array expression)."""
+def tokens(text: Column | str, sep: str = r"\s+") -> Column:
+    """Whitespace tokens with empties removed (codegen'd array expression).
+
+    Splits on the ``\\s+`` regex so tabs/newlines separate tokens too.
+    """
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, sep), lambda t: t != F.lit(""))
 
@@ -53,10 +56,11 @@ def explode_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact TF-IDF: tf(term, doc) * (ln((N+1)/(df+1)) + 1).
 
-    A purely relational plan: explode -> two hash aggregations -> broadcast
-    join of the (small) document-frequency side. Scales linearly in corpus
-    size; the term dictionary is the only state and it is itself distributed.
-    Deterministic: counts are integers, the final score is two IEEE ops.
+    A purely relational plan: explode -> two hash aggregations -> shuffle
+    join on ``term`` (the document-frequency side is corpus-vocabulary-sized,
+    so it stays distributed — only the 1-row corpus count is broadcast).
+    Scales linearly in corpus size. Deterministic: counts are integers, the
+    final score is two IEEE ops.
     """
     terms = explode_terms(df, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -84,10 +88,13 @@ def fingerprint(text: Column | str) -> Column:
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Fraction of tokens that are stopwords — the workhorse of fast
-    language-ID / quality heuristics (one array expression, no shuffle)."""
+    language-ID / quality heuristics (one array expression, no shuffle).
+
+    NULL (not an ANSI DIVIDE_BY_ZERO abort) on empty/whitespace-only docs.
+    """
     toks = tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return hits / F.size(toks)
+    return F.try_divide(hits, F.size(toks))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -98,14 +105,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - mean_token_len: average word length
     - stop_ratio: stopword fraction
     """
+    # Build the token array once; every feature derives from the same column
+    # (ANSI-safe: try_divide -> NULL on empty docs instead of a job abort).
     toks = tokens(text_col)
-    n_tok = F.size(toks)
-    n_dis = F.size(F.array_distinct(toks))
-    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("n_distinct", n_dis)
-        .withColumn("ttr", n_dis.cast("double") / n_tok)
-        .withColumn("mean_token_len", total_chars.cast("double") / n_tok)
-        .withColumn("stop_ratio", stopword_ratio(text_col))
+        df.withColumn("_toks", toks)
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn("n_distinct", F.size(F.array_distinct("_toks")))
+        .withColumn("ttr", F.try_divide(F.col("n_distinct").cast("double"), F.col("n_tokens")))
+        .withColumn(
+            "mean_token_len",
+            F.try_divide(
+                F.aggregate("_toks", F.lit(0), lambda acc, t: acc + F.length(t)).cast("double"),
+                F.col("n_tokens"),
+            ),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.try_divide(
+                F.size(F.filter(F.col("_toks"), lambda t: t.isin(*STOPWORDS_EN))),
+                F.col("n_tokens"),
+            ),
+        )
+        .drop("_toks")
     )

@@ -9,6 +9,7 @@ from lms_etl_pipeline_spark.plans.catalog import all_oracles, all_queries, query
 from lms_etl_pipeline_spark.plans import relational  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import scalar  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import windows  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import streaming  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import llm  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import etl  # noqa: E402,F401
 

@@ -1,0 +1,221 @@
+"""ETL-parity queries: the reference pipeline's transforms (flatten, rename,
+pack, align, strict datetime parse) exercised over the fixtures, each with a
+DuckDB oracle.
+
+The reference pipeline (SURVEY.md §2.13) is ONE lazy plan per stage here:
+``etl_users_pipeline_shape`` composes flatten -> rename -> pack -> align in
+a single DataFrame chain the way the production entry point would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lms_etl_pipeline_spark import etl
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+_PROPS_SCHEMA = "k BIGINT"
+
+
+@query(
+    "etl_flatten_json_props",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS "props.k"
+    FROM events
+    """,
+)
+def etl_flatten_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON doc -> typed struct -> flattened dotted columns (reference O3:
+    ``pd.json_normalize``).  ``from_json`` with an explicit schema (never
+    inferSchema in the hot path) then a recursive plan-time flatten."""
+    e = load_table(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id", "event_type", F.from_json("props", _PROPS_SCHEMA).alias("props")
+    )
+    return etl.flatten_struct(nested)
+
+
+@query(
+    "etl_rename_bulk",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           c_name AS customer_name,
+           c_mktsegment AS market_segment,
+           c_nationkey AS nation_id,
+           c_acctbal AS account_balance
+    FROM customer
+    """,
+)
+def etl_rename_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk rename (reference O4, the 36-entry camelCase->snake map) as a
+    single plan-time ``withColumnsRenamed`` — zero execution cost."""
+    c = load_table(spark, sf_dir, "customer")
+    return etl.rename_columns(
+        c,
+        {
+            "c_custkey": "customer_id",
+            "c_name": "customer_name",
+            "c_mktsegment": "market_segment",
+            "c_nationkey": "nation_id",
+            "c_acctbal": "account_balance",
+        },
+    )
+
+
+@query(
+    "etl_pack_custom_fields",
+    oracle="""
+    SELECT event_id,
+           '{' ||
+           CASE WHEN event_type = 'error' THEN ''
+                ELSE '"et":"' || event_type || '",' END ||
+           '"k":' || CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS VARCHAR) ||
+           '}' AS custom_fields
+    FROM events
+    """,
+)
+def etl_pack_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct packing with null-field drop (reference O5+O6: per-row
+    ``dropna().to_dict()``) — ``to_json`` omits NULL fields by default,
+    giving the same semantics as one codegen'd expression.  'error' events
+    get a NULL ``et`` to exercise the drop path."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.select(
+        "event_id",
+        F.nullif("event_type", F.lit("error")).alias("customFields.et"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("customFields.k"),
+    )
+    return etl.pack_custom_fields(staged, prefix="customFields.")
+
+
+@query(
+    "etl_align_to_schema",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           TRY_CAST(event_type AS DOUBLE) AS event_type_as_num,
+           COALESCE(NULLIF(event_type, 'error'), ' ') AS event_type_filled,
+           CAST(user_id AS INTEGER) AS user_id,
+           CAST(NULL AS VARCHAR) AS missing_col
+    FROM events
+    """,
+)
+def etl_align_to_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-target alignment (reference S6+T1–T6): try_cast coercion,
+    NULL-on-bad-value, missing target columns filled with typed NULL,
+    reference T3 ' '-fill reproduced via strict_strings."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type").alias("event_type_as_num"),
+        F.nullif("event_type", F.lit("error")).alias("event_type_filled"),
+        "user_id",
+    )
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type_as_num", T.DoubleType()),
+            T.StructField("event_type_filled", T.StringType()),
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("missing_col", T.StringType()),
+        ]
+    )
+    return etl.align_to_schema(e, target, strict_strings=True)
+
+
+@query(
+    "etl_parse_datetime_strict",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_STRPTIME(us_style, '%m-%d-%Y %H:%M:%S') AS parsed_us,
+           TRY_STRPTIME(iso_style, '%m-%d-%Y %H:%M:%S') AS parsed_iso_as_us
+    FROM (
+      SELECT o_orderkey,
+             STRFTIME(o_orderdate, '%m-%d-%Y %H:%M:%S') AS us_style,
+             STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_style
+      FROM orders
+    )
+    """,
+)
+def etl_parse_datetime_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-strict datetime parse (reference T7): US-format strings parse,
+    ISO strings coerce to NULL — documenting the reference's format-vs-
+    docstring mismatch (s3_to_rds_lambda.py:116-130) as explicit behavior."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MM-dd-yyyy HH:mm:ss").alias("parsed_us"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("parsed_iso_as_us"),
+    )
+    return etl.parse_datetime_columns(o, ["parsed_us", "parsed_iso_as_us"])
+
+
+@query(
+    "etl_users_pipeline_shape",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS record_id,
+           TIME_BUCKET(INTERVAL '1 day', ts) AS event_day,
+           '{' || '"uid":' || CAST(user_id AS VARCHAR) ||
+                  ',"k":' || CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS VARCHAR)
+               || '}' AS custom_fields
+    FROM events
+    WHERE event_type != 'error'
+    """,
+)
+def etl_users_pipeline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end in ONE lazy plan (SURVEY §2.13):
+    source-pushed filter (O1) -> flatten (O3) -> rename (O4) -> pack
+    (O5+O6) -> align (T1-T6) — Catalyst collapses the whole chain into a
+    single stage over the scan."""
+    e = load_table(spark, sf_dir, "events")
+    staged = (
+        e.filter(F.col("event_type") != "error")  # O1: pushed to the scan
+        .select(
+            "event_id",
+            F.from_json("props", _PROPS_SCHEMA).alias("props"),
+            "user_id",
+            "ts",
+        )
+    )
+    flat = etl.flatten_struct(staged)  # O3
+    renamed = etl.rename_columns(flat, {"event_id": "record_id", "props.k": "k"})  # O4
+    packed = renamed.select(
+        "record_id",
+        F.date_trunc("day", "ts").alias("event_day"),
+        F.col("user_id").alias("customFields.uid"),
+        F.col("k").alias("customFields.k"),
+    )
+    packed = etl.pack_custom_fields(packed, prefix="customFields.")  # O5+O6
+    target = T.StructType(
+        [
+            T.StructField("record_id", T.LongType()),
+            T.StructField("event_day", T.TimestampType()),
+            T.StructField("custom_fields", T.StringType()),
+        ]
+    )
+    return etl.align_to_schema(packed, target)  # T1-T6
+
+
+@query(
+    "csv_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan (reference S4/S5): write with header, read back with
+    an explicit schema (no inferSchema) — proving the interchange hop is
+    lossless for typed data.  Scratch space lives inside the repo."""
+    from lms_etl_pipeline_spark.sources.csv_io import read_csv, write_csv
+
+    n = load_table(spark, sf_dir, "nation")
+    path = "/root/repo/.scratch/nation_csv"
+    write_csv(n, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_csv(spark, path, schema)

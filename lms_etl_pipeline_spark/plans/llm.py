@@ -1,0 +1,513 @@
+"""LLM-training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash),
+similarity search (exact cosine top-k + hyperplane-LSH), text analysis
+(token stats, quality scoring, language-ID, TF-IDF, n-grams), and multimodal
+column handling over the ``documents`` / ``embeddings`` fixtures.
+
+Oracle strategy: everything deterministic is differentially tested against
+DuckDB — including MinHash (the salted-md5 hash family is engine-portable,
+so the oracle computes *identical* signatures).  Only the intrinsically
+approximate paths (SimHash/xxhash64, hyperplane-LSH recall, decode stubs)
+are rows-only.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators import dedup as dd
+from lms_etl_pipeline_spark.operators import text as tx
+from lms_etl_pipeline_spark.operators import vectors as vec
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+EMB_DIM = 64
+
+# DuckDB fragment: whitespace tokens with empties removed (mirrors tx.tokens).
+_TOKS = r"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), t -> t != '')"
+# DuckDB fragment: distinct word-3-gram shingle set (mirrors tx.shingles, n=3).
+_SHINGLES = (
+    "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN({t}) - 1, 1)), "
+    "i -> ARRAY_TO_STRING(LIST_SLICE({t}, i, i + 2), ' ')))"
+).format(t=_TOKS)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           LEN(toks) AS n_tokens,
+           LEN(LIST_DISTINCT(toks)) AS n_distinct,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+           CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
+               AS mean_token_len,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN
+               ('the','a','an','and','of','to','in','is','on'))) AS DOUBLE) / LEN(toks)
+               AS stop_ratio
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, diversity, stopword ratio) —
+    one narrow projection, no shuffle, linear at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.quality_features(d, "text").select(
+        "doc_id", "n_tokens", "n_distinct", "ttr", "mean_token_len", "stop_ratio"
+    )
+
+
+@query(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang,
+           LEN(toks) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr
+    FROM t
+    WHERE LEN(toks) BETWEEN 20 AND 1000
+      AND CAST(LEN(LIST_FILTER(toks, x -> x IN
+            ('the','a','an','and','of','to','in','is','on'))) AS DOUBLE) / LEN(toks) <= 0.5
+      AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) > 0.05
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtering: keep documents passing the quality gates — the
+    bread-and-butter pretraining-data cleaning step."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_features(d, "text")
+    return q.filter(
+        F.col("n_tokens").between(20, 1000)
+        & (F.col("stop_ratio") <= 0.5)
+        & (F.col("ttr") > 0.05)
+    ).select("doc_id", "lang", "n_tokens", "ttr")
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(toks, x -> x IN ('the','a','an','and','of','to','is'))) AS en_hits,
+             LEN(LIST_FILTER(toks, x -> x IN ('el','la','de','que','y','los'))) AS es_hits
+      FROM t)
+    SELECT doc_id, en_hits, es_hits,
+           CASE WHEN en_hits > es_hits THEN 'en'
+                WHEN es_hits > en_hits THEN 'es'
+                WHEN en_hits > 0 THEN 'en'
+                ELSE 'und' END AS pred_lang
+    FROM hits
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (embedded wordlists, no downloads).
+    A real system swaps the lists for per-language n-gram profiles; the
+    dataflow — one narrow projection — is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    en = F.size(F.filter(toks, lambda t: t.isin("the", "a", "an", "and", "of", "to", "is")))
+    es = F.size(F.filter(toks, lambda t: t.isin("el", "la", "de", "que", "y", "los")))
+    return d.select("doc_id", en.alias("en_hits"), es.alias("es_hits")).withColumn(
+        "pred_lang",
+        F.when(F.col("en_hits") > F.col("es_hits"), "en")
+        .when(F.col("es_hits") > F.col("en_hits"), "es")
+        .when(F.col("en_hits") > 0, "en")
+        .otherwise("und"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+               AS n_bpe_distinct,
+           LENGTH(text) AS n_chars_exact
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / punctuation)
+    via one regexp_extract_all — the cheap token-budget estimator."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all("text", F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+@query(
+    "tf_idf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * (LN((nd.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS tf_idf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tf_idf FROM scored WHERE rk <= 3
+    """,
+)
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  Ranking keys on the integer (tf,
+    df) pair so ordering never depends on float rounding; the float score is
+    rounded for cross-engine hashing."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = tx.tf_idf(d, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("tf_idf", 6).alias("tf_idf"))
+    )
+
+
+@query(
+    "stopword_removal_bigrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER({_TOKS}, x -> x NOT IN
+               ('the','a','an','and','of','to','in','is','on')) AS toks
+      FROM documents
+    ), grams AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks), 1)),
+                    i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 1), ' '))) AS bigram
+      FROM t WHERE LEN(toks) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY 1
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def stopword_removal_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StopWordsRemover + NGram(2) + count, as pure column expressions:
+    the top-20 content bigrams of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    # Tokenize into a materialized column first: shingles() must read an
+    # attribute, not an inlined subtree (element_at re-evaluates subtrees
+    # per position in interpreted higher-order eval).
+    toked = d.select(
+        F.filter(tx.tokens("text"), lambda t: ~t.isin(*tx.STOPWORDS_EN)).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    return (
+        toked.select(F.explode(tx.shingles(F.col("_toks"), n=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, MD5(text) AS text_md5
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full content; keep the lowest id as
+    canonical.  One shuffle on a uniform 128-bit key — flat at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.md5(F.first("text")).alias("text_md5"),
+    ).drop("text")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_TOKS})), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup: md5 of the sorted distinct token set — catches
+    word-order / duplication variants that exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def _minhash_slots_sql(k: int) -> str:
+    slots = ",\n             ".join(
+        f"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5('{i}:' || s))) AS h{i}" for i in range(k)
+    )
+    return slots
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    SELECT doc_id,
+             {_minhash_slots_sql(8)}
+    FROM sh_t
+    WHERE LEN(sh) > 0
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-slot MinHash signatures over 3-gram shingle sets.  The salted-md5
+    hash family is engine-portable, so these exact signatures are
+    differentially verified against DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.with_minhash(d, "doc_id", "text", k=8)
+
+
+@query(
+    "near_dup_pairs_lsh",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, sh,
+             {_minhash_slots_sql(8)}
+      FROM sh_t WHERE LEN(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, MD5(h0 || '|' || h1) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(h2 || '|' || h3) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(h4 || '|' || h5) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(h6 || '|' || h7) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT c.a, c.b,
+           CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+             / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+             AS jaccard
+    FROM cands c
+    JOIN sh_t sa ON sa.doc_id = c.a
+    JOIN sh_t sb ON sb.doc_id = c.b
+    WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+             / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+             >= 0.5
+    """,
+)
+def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (4 bands x 2 rows) verified by exact
+    shingle Jaccard >= 0.5.  Candidate generation is an equi-join on the
+    band hash — cost is |candidates|, never N²."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.near_dup_pairs(d, "doc_id", "text", k=8, bands=4, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc + bucket by the top-16-bit prefix — the cheap
+    near-dup prefilter (xxhash64 is engine-specific => rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dd.simhash64("text")
+    return d.select(
+        "doc_id",
+        sh.alias("simhash"),
+        F.substring(sh, 1, 16).alias("bucket16"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _knn_oracle(k: int = 5, n_queries: int = 5) -> str:
+    d_qe = vec.dot_sql("e.embedding", "q.embedding", EMB_DIM)
+    d_qq = vec.dot_sql("q.embedding", "q.embedding", EMB_DIM)
+    d_ee = vec.dot_sql("e.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {n_queries}),
+    pairs AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             ({d_qe}) / (SQRT({d_qq}) * SQRT({d_ee})) AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT q_id, n_id, rk, cosine FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("knn_cosine_exact", oracle=_knn_oracle())
+def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 5 query vectors.
+
+    Scale: the query set broadcasts; the corpus streams through once
+    (linear scan).  Bit-identical to the oracle because the dot product is
+    a left-assoc double fold on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.try_divide(
+                vec.dot(F.col("q_emb"), F.col("n_emb")),
+                vec.norm(F.col("q_emb")) * vec.norm(F.col("n_emb")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id", "rk", "cosine")
+    )
+
+
+# Fixed literal hyperplanes (versioned constants — reproducible bucketing).
+_RNG = random.Random(7)
+HYPERPLANES: list[list[float]] = [
+    [_RNG.uniform(-1.0, 1.0) for _ in range(EMB_DIM)] for _ in range(8)
+]
+
+
+@query("knn_cosine_lsh", oracle=None)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via random-hyperplane LSH: bucket on the
+    8-bit sign signature, then exact cosine *within* the bucket.
+
+    The 100 TB path: candidate generation is an equi-join on ``bucket``
+    (256 uniform keys) instead of a corpus cross join.  Approximate recall
+    => rows-only check; the exact twin above is the correctness anchor."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", vec.hyperplane_bucket(F.col("embedding"), HYPERPLANES).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    n = bucketed.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "bucket"
+    )
+    pairs = (
+        q.join(n, "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.try_divide(
+                vec.dot(F.col("q_emb"), F.col("n_emb")),
+                vec.norm(F.col("q_emb")) * vec.norm(F.col("n_emb")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "rk", "cosine")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(SQRT({vec.dot_sql('embeddings.embedding', 'embeddings.embedding', EMB_DIM)})
+                AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics.  Norms go through DECIMAL before
+    the (order-free) sum so the group aggregate is bit-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = vec.norm(F.col("embedding")).cast("DECIMAL(18,9)")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum(nrm).cast("double") / F.count("*")).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_join_features",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, e.label,
+           OCTET_LENGTH(ENCODE(d.text)) AS payload_bytes,
+           MD5(d.text) AS payload_md5,
+           ROUND(SQRT({vec.dot_sql('e.embedding', 'e.embedding', EMB_DIM)}), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multimodal row per document: text payload treated as opaque
+    binary (length + content hash) + typed metadata + its embedding — the
+    canonical multimodal-table shape (binary column, array<float> column,
+    scalar metadata) joined on the shared id."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "label",
+            F.octet_length(payload).alias("payload_bytes"),
+            F.md5(payload).alias("payload_md5"),
+            F.round(vec.norm(F.col("embedding")), 6).alias("emb_norm"),
+        )
+    )

@@ -1,0 +1,567 @@
+"""Relational core: filters, projections, joins, aggregations, sorts, set ops.
+
+Every query here is a lazy DataFrame plan over the parquet fixtures plus an
+equivalent DuckDB oracle (SURVEY.md §2.12).  Determinism conventions:
+
+- money sums go through exact DECIMAL and come back as one double cast
+  (``functions.numeric.dec_sum``) so results are bit-stable under any
+  partitioning — and bit-identical to the oracle's
+  ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)``;
+- every LIMIT/top-k has a total tie-break order (floats alone don't key rows);
+- every computed column is aliased identically in plan and oracle (the
+  driver's comparator hashes columns by name).
+
+Scale notes are inline per query: which side broadcasts, where the shuffle
+lands, and why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.functions.numeric import dec, dec_avg, dec_sum, dec_sum_of
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+# Exact-decimal per-row revenue: extendedprice * (1 - discount).  Decimal
+# multiply is exact (scale 4+4=8 digits), so partial/final agg order can't
+# change the result.
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial+final hash aggregation.
+
+    Scale: the filter and the 7-column projection push into the parquet scan;
+    the shuffle moves only ~|groups| * partial-state rows (4 groups here), so
+    the plan is scan-bound at any SF — exactly what you want at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum_of(_revenue(), "sum_disc_price"),
+            # narrow casts keep the 3-factor decimal product inside 38 digits
+            # (exact, no engine-specific rounding): (12,2)x(6,4)x(6,4)
+            dec_sum_of(
+                F.col("l_extendedprice").cast("DECIMAL(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("DECIMAL(6,4)"))
+                * (F.lit(1) + F.col("l_tax").cast("DECIMAL(6,4)")),
+                "sum_charge",
+            ),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: Spark expands COUNT(DISTINCT) into a two-phase
+    partial-distinct plan automatically; no row explosion at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one shuffle."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM({rev}), 4) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(rev=_REVENUE_SQL),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 grouping combinations, still one pass."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dec_sum_of(_revenue(), "revenue"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB path for distinct counts (constant
+    memory vs the exact expansion).  Approximate by design => no SQL oracle;
+    driver records the rows-only check."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"))
+    )
+
+
+@query(
+    "distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = groupBy on all projected columns (hash, partial+final)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+           CASE WHEN l_quantity >= 30 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS qty_band,
+           TRY_CAST(l_returnflag AS INTEGER) AS rf_int,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_project_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter + expression projection + try_cast null-on-error.
+
+    Scale: all four predicates and the 6-column read schema push into the
+    parquet scan (PushedFilters in explain); revenue stays exact decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        _revenue().alias("revenue"),
+        F.when(F.col("l_quantity") >= 30, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.col("l_returnflag").try_cast("int").alias("rf_int"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_or_na,
+           (c_acctbal IS NULL) AS bal_missing,
+           IFNULL(TRY_CAST(NULLIF(c_name, c_name) AS DOUBLE), -1.0) AS always_fallback
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface: coalesce / nullif / isnull / ifnull."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("N/A")).alias("seg_or_na"),
+        F.isnull("c_acctbal").alias("bal_missing"),
+        F.ifnull(F.nullif("c_name", "c_name").try_cast("double"), F.lit(-1.0)).alias(
+            "always_fallback"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_regional_revenue",
+    oracle=f"""
+    SELECT r.r_name,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 4) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r.r_name
+    """,
+)
+def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7 milestone 0): fact-fact shuffle join + broadcast
+    dimension chain + hash agg.
+
+    Scale: lineitem⋈orders shuffles on orderkey (the one unavoidable big
+    shuffle); customer/nation/region are broadcast so the dimension chain
+    adds zero shuffles.  The date filter prunes orders before the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dec_sum_of(_revenue(), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; the selective fact-side filter is applied pre-join."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (NULL-safe COUNT/SUM)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT k.key_nation AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT DISTINCT c_nationkey AS key_nation FROM customer
+          UNION SELECT DISTINCT s_nationkey FROM supplier) k
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+           ON k.key_nation = c.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+           ON k.key_nation = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    joined = c.join(s, c.c_nationkey == s.s_nationkey, "full")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one big order.  Semi joins
+    never duplicate the left side — no fan-out at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_nonequi_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    WHERE p.p_brand = 'Brand#11'
+    """,
+)
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual (theta) predicate evaluated inside the join.
+
+    Scale: the equi component keeps this a hash join (the residual is a
+    post-probe filter), so it does NOT degrade to a nested-loop cross.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    return li.join(
+        F.broadcast(p),
+        (li.l_partkey == p.p_partkey)
+        & li.l_quantity.between(p.p_size - 2, p.p_size + 2),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_partkey",
+        "p_size",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+@query(
+    "join_broadcast_dim_agg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance,
+           COUNT(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join on a dimension: zero shuffle for the join
+    itself (only the final agg shuffles, on 25 keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dec_sum("c_acctbal", "total_balance"), F.count("*").alias("n_cust"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans this as TakeOrderedAndProject — each task
+    keeps a k-row heap, the driver merges k*tasks rows; no full sort at
+    scale.  o_orderkey tie-break makes the k-th row deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal < 0
+    ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange at scale)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .orderBy(F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    )
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName — no shuffle, pure concatenation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — planned as an aggregate + semi join."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — anti-join under the hood."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)

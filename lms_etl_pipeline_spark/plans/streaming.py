@@ -1,0 +1,148 @@
+"""Event-time windowing over the ``events`` table (SURVEY.md §2.12
+"streaming" row), expressed batch-first so the DuckDB oracle can check it.
+
+The exact same ``window()`` / ``session_window()`` expressions run unchanged
+on a ``readStream`` DataFrame with ``withWatermark`` — the streaming entry
+points in ``lms_etl_pipeline_spark.streaming`` reuse these builders.  That is
+the Spark idiom: one declarative windowed plan, micro-batch or batch
+execution chosen by the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+# Exact-decimal view of the event measure: deterministic distributed sums.
+def _dec_value() -> Column:
+    return F.col("value").cast("DECIMAL(18,6)")
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS w_start,
+           TIME_BUCKET(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum(_dec_value()).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT e.*,
+             TIME_BUCKET(INTERVAL '30 minutes', e.ts) - (o.i * INTERVAL 30 MINUTE) AS w_start
+      FROM events e CROSS JOIN (VALUES (0), (1)) AS o(i)
+    )
+    SELECT w_start,
+           w_start + INTERVAL 1 HOUR AS w_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window with a 30-minute hop: each event lands in 2
+    windows (Spark expands this without data duplication at the source —
+    the explode happens post-scan, pre-shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(_dec_value()).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (10-minute inactivity gap) per user.  Spark merges
+    events whose windows overlap; session end = last event + gap.  The
+    oracle replicates with the gaps-and-islands idiom."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count pivot (one pass, no PIVOT shuffle explosion)."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)

@@ -1,0 +1,171 @@
+"""Window functions: ranking, analytic (lag/lead), and frame-based
+aggregates (SURVEY.md §2.12 "windows").
+
+Determinism convention: every window ORDER BY ends with a unique key
+(orderkey/custkey) so rank/lag results are total-order stable; running sums
+go through exact DECIMAL so the prefix arithmetic is order-independent.
+
+Scale note: a window = one shuffle on partitionBy keys + per-partition sort.
+Partition keys here (custkey, mktsegment) have bounded per-key cardinality,
+so no single task receives unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+
+@query(
+    "window_row_number_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_row_number_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per customer by order value."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group = ranking window + filter.  At scale Spark rewrites
+    the rank filter into a per-partition top-k (WindowGroupLimit) so no full
+    sort of each group is materialized."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history (unique-key tiebreak)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_totalprice").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias("price_delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth_order
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer — rowsBetween frame.  The
+    DECIMAL accumulator makes each prefix sum exact, so Spark and the oracle
+    agree bit-for-bit."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("DECIMAL(18,4)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
+        F.count("*").over(w).alias("nth_order"),
+    )
+
+
+@query(
+    "window_range_between",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           COUNT(*) OVER (ORDER BY c_acctbal
+                          RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS peers_within_100
+    FROM customer
+    """,
+)
+def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: peers whose balance is within ±100 — a
+    value-based (not row-based) frame."""
+    w = Window.orderBy(F.col("c_acctbal")).rangeBetween(-100, 100)
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.count("*").over(w).alias("peers_within_100")
+    )
+
+
+@query(
+    "window_ntile_percentile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS bal_quartile,
+           CUME_DIST() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS bal_cume
+    FROM customer
+    """,
+)
+def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + cume_dist distribution functions over a total order.
+
+    Note: a single unpartitioned window is a one-task sort — fine for a
+    demo query; at 100 TB you'd partition (or pre-bucket by range) first.
+    """
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )

@@ -35,6 +35,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # Silence the 0-partition edge and keep plans stable across runs.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # The events fixture carries TIMESTAMP(NANOS) parquet columns, which
+    # Spark rejects by default; read them as raw nanos longs and convert
+    # (sources.tables normalizes to microsecond timestamps).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

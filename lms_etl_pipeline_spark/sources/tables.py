@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES: tuple[str, ...] = (
     "region",
@@ -38,19 +39,41 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Lazy: no data moves until an action runs."""
+    """Scan one fixture table. Lazy: no data moves until an action runs.
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read nanos as longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps — the same truncation DuckDB applies, and a column-local
+    codegen'd conversion (no shuffle, no Python).
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer div (not /) keeps full precision above 2^53 ns
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Scan every fixture table present under ``sf_dir``."""
+    """Scan every fixture table present under ``sf_dir``.
+
+    Presence is probed by attempting the (lazy, schema-only) parquet read —
+    not ``os.path.exists`` — so any Hadoop-visible filesystem (s3a://, hdfs://)
+    works, per the 100 TB posture.
+    """
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = table_path(sf_dir, name)
-        if os.path.exists(path):
+        try:
             out[name] = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 - missing table is a supported layout
+            continue
     return out
 
 

@@ -1,0 +1,58 @@
+"""Contract tests: the driver-facing registry in ``__spark_entry__``.
+
+The expensive value-level differential check lives in
+``tools/check_oracle.py`` (run at sf0.01); here we verify the cheap
+invariants that catch 90% of contract bugs without executing plans:
+
+- every oracle key has a query, every query builds a valid lazy plan;
+- Spark plan columns == DuckDB oracle columns (the driver's comparator
+  hashes by sorted column name — a mismatch is an automatic red row);
+- ``entry()`` runs and returns rows at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_registry_nonempty_and_oracle_keys_subset():
+    assert len(QUERIES) >= 50
+    assert set(ORACLES) <= set(QUERIES)
+    # the overwhelming majority must be oracle-checkable
+    assert len(ORACLES) >= 0.8 * len(QUERIES)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_builds_and_columns_match_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_SMOKE)  # lazy: plan analysis only
+    assert df.columns, name
+    if name in ORACLES:
+        cur = duck.execute(f"SELECT * FROM ({ORACLES[name]}) LIMIT 0")
+        duck_cols = [d[0] for d in cur.description]
+        assert sorted(df.columns) == sorted(duck_cols), name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "revenue" in df.columns

@@ -1,0 +1,110 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet fixtures, then compares row count, column
+names, and order-insensitive values (exact, NaN-safe).  Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+
+Exit code 0 iff every checked query matches.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
+    problems: list[str] = []
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_cols)
+    if s_cols != d_cols:
+        return [f"schema mismatch: spark={s_cols} duck={d_cols}"]
+    s_rows = spark_df.collect()
+    if len(s_rows) != len(duck_rows):
+        problems.append(f"rowcount mismatch: spark={len(s_rows)} duck={len(duck_rows)}")
+    s_idx = {c: i for i, c in enumerate(spark_df.columns)}
+    d_idx = {c: i for i, c in enumerate(duck_cols)}
+    s_vals = sorted(
+        tuple(repr(_norm_cell(r[s_idx[c]])) for c in s_cols) for r in s_rows
+    )
+    d_vals = sorted(
+        tuple(repr(_norm_cell(r[d_idx[c]])) for c in d_cols) for r in duck_rows
+    )
+    if s_vals != d_vals:
+        # find first differing row for diagnostics
+        for a, b in zip(s_vals, d_vals):
+            if a != b:
+                problems.append(f"value mismatch, first diff:\n  spark={a}\n  duck ={b}")
+                break
+        else:
+            problems.append("value mismatch (length differs)")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from lms_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                cnt = sdf.count()
+                print(f"  ~ {name}: rows-only ({cnt} rows)")
+                n_rows_only += 1
+                continue
+            cur = con.execute(oracles[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+            problems = compare(name, sdf, duck_rows, duck_cols)
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        if problems:
+            n_fail += 1
+            print(f"  ✗ {name}")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            n_pass += 1
+            print(f"  ✓ {name}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
