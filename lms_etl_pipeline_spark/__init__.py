@@ -9,12 +9,14 @@ multimodal columns).
 
 Layout:
     session     SparkSession factory tuned for large-scale execution
-    sources     connectors: parquet/csv/json readers, REST source, JDBC upsert sink
+    sources     connectors: parquet table catalog, CSV read/write, REST source
+    sinks       JDBC upsert (staging+MERGE / ON CONFLICT batches), error channel
     etl         reference-parity transformations (flatten, rename, schema align)
-    operators   relational + LLM-pipeline operators (dedup, similarity, text)
+    operators   LLM-pipeline operators (dedup, vectors, text, multimodal)
     functions   reusable column-expression helpers
     plans       named analytical queries (the ``queries()`` catalog)
     streaming   Structured Streaming ingest (file source -> foreachBatch upsert)
+    pipeline    the reference's extract/load handlers end-to-end
 """
 
 from lms_etl_pipeline_spark.session import get_spark

@@ -451,6 +451,99 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_cosine_ivf", oracle=None)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via an IVF (inverted-file) index:
+    partition the corpus into cells around fixed coarse centroids, probe
+    only the 2 cells nearest each query.
+
+    Centroids here are the first 16 corpus vectors (deterministic; a real
+    build runs k-means once and versions the centroids).  Cell assignment
+    is one broadcast-join pass — ``argmax_j cos(v, c_j)`` as a codegen'd
+    expression over a 16-element struct array.  The probe join is an
+    equi-join on ``cell``: at 100 TB the corpus scan is replaced by
+    reading ~nprobe/nlist of the data — the classic IVF trade.
+    Approximate recall => rows-only check; ``knn_cosine_exact`` anchors
+    correctness."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 16).collect()
+    ]
+
+    def best_cells(v: F.Column, k: int) -> F.Column:
+        # scored: array<struct<cos, cell>> over the 16 literal centroids
+        scored = F.array(
+            *[
+                F.struct(
+                    vec.cosine(v, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, k)
+        return F.transform(top, lambda s: s["cell"])
+
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.explode(best_cells(F.col("embedding"), 1)).alias("cell"),
+    )
+    qset = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(best_cells(F.col("embedding"), 2)).alias("cell"),
+    )
+    pairs = (
+        F.broadcast(qset)
+        .join(corpus, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"))
+        # a (q, n) pair can appear via both probed cells
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "rk", "cosine")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(({vec.dot_sql('a.embedding', 'b.embedding', EMB_DIM)})
+                 / (SQRT({vec.dot_sql('a.embedding', 'a.embedding', EMB_DIM)})
+                    * SQRT({vec.dot_sql('b.embedding', 'b.embedding', EMB_DIM)})), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ({vec.dot_sql('a.embedding', 'b.embedding', EMB_DIM)})
+          / (SQRT({vec.dot_sql('a.embedding', 'a.embedding', EMB_DIM)})
+             * SQRT({vec.dot_sql('b.embedding', 'b.embedding', EMB_DIM)})) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact mode (oracle anchor).
+
+    All-pairs on a bounded id range so the oracle stays O(n²)-small; the
+    production path is the same cosine filter after hyperplane-LSH
+    bucketing (``knn_cosine_lsh``) or IVF cells (``knn_cosine_ivf``) —
+    candidate generation by equi-join, never a corpus cross join."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", vec.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 @query(
     "embedding_norm_stats",
     oracle=f"""

@@ -1,0 +1,54 @@
+"""Unit tests for the multimodal mapInPandas operators (decode stubs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from lms_etl_pipeline_spark.operators import multimodal as mm
+
+
+@pytest.fixture()
+def payloads(spark):
+    df = spark.createDataFrame([(1, "abcd" * 100), (2, ""), (3, "z")], "doc_id BIGINT, text STRING")
+    return mm.with_payload(df)
+
+
+def test_image_features_fake_decode(spark, payloads):
+    rows = {r.id: r for r in mm.decode_image_features(payloads).collect()}
+    assert rows[1].payload_bytes == 400
+    assert rows[1].pseudo_width == 400 % 509 and rows[1].pseudo_height == 400 % 293
+    assert rows[1].payload_md5 == hashlib.md5(b"abcd" * 100).hexdigest()
+    assert abs(rows[1].mean_byte - (sum(b"abcd") / 4)) < 1e-9
+    assert rows[2].payload_bytes == 0 and rows[2].mean_byte is None
+
+
+def test_image_real_decode_is_explicit_stub(payloads):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.decode_image_features(payloads, decode="real")
+    with pytest.raises(ValueError):
+        mm.decode_image_features(payloads, decode="whatever")
+
+
+def test_frame_sample_fanout_and_cap(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 2500), (2, "y" * 10), (3, "")], "doc_id BIGINT, text STRING"
+    )
+    out = mm.sample_frames(mm.with_payload(df), frame_size=256, max_frames=8).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    # 2500 bytes => ceil = 10 frames, capped at 8
+    assert len(by_id[1]) == 8
+    assert [r.frame_bytes for r in sorted(by_id[1], key=lambda r: r.frame_idx)][:2] == [256, 256]
+    assert len(by_id[2]) == 1 and by_id[2][0].frame_bytes == 10
+    assert 3 not in by_id  # empty payload -> zero frames
+
+
+def test_audio_features(spark, payloads):
+    rows = {r.id: r for r in mm.decode_audio_features(payloads).collect()}
+    assert rows[1].pseudo_duration_s == 400 / 32000.0
+    b = b"abcd"
+    expected_rms = (sum(x * x for x in b) / 4) ** 0.5
+    assert abs(rows[1].rms_byte - expected_rms) < 1e-9

@@ -1,0 +1,124 @@
+"""Streaming-slice tests: file source + AvailableNow + foreachBatch upsert.
+
+Verifies the reference-parity contract (SURVEY.md §2.11): incremental file
+discovery (each run processes only files that arrived since the checkpoint)
+feeding an idempotent keyed sink — at-least-once delivery, effectively-once
+state.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from functools import partial
+
+from lms_etl_pipeline_spark import streaming
+from lms_etl_pipeline_spark.sinks import jdbc_upsert
+
+SCHEMA = "id BIGINT, name STRING, score DOUBLE"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_available_now_incremental_upsert(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    db = str(tmp_path / "s.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE people (id INTEGER PRIMARY KEY, name TEXT, score REAL)")
+    con.commit()
+    con.close()
+    factory = partial(sqlite3.connect, db, timeout=30)
+
+    def sink(batch_df, batch_id):
+        jdbc_upsert.upsert_via_foreach_partition(
+            batch_df.coalesce(1), factory, "people", ["id"]
+        )
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(SCHEMA)
+
+    # run 1: two files land, both processed
+    _write_batch(spark, landing, [(1, "ann", 10.0)])
+    _write_batch(spark, landing, [(2, "bob", 20.0)])
+    stream = streaming.file_stream(spark, landing, schema)
+    assert stream.isStreaming
+    streaming.run_available_now(stream, sink, ckpt)
+
+    def state():
+        c = sqlite3.connect(db)
+        try:
+            return sorted(c.execute("SELECT id, name, score FROM people").fetchall())
+        finally:
+            c.close()
+
+    assert state() == [(1, "ann", 10.0), (2, "bob", 20.0)]
+
+    # run 2: one NEW file (an update for id=2) — only it is processed;
+    # id=1 is untouched (checkpoint-driven incremental discovery)
+    _write_batch(spark, landing, [(2, "bob", 99.0)])
+    streaming.run_available_now(
+        streaming.file_stream(spark, landing, schema), sink, ckpt
+    )
+    assert state() == [(1, "ann", 10.0), (2, "bob", 99.0)]
+
+    # run 3: nothing new — no change, no error
+    streaming.run_available_now(
+        streaming.file_stream(spark, landing, schema), sink, ckpt
+    )
+    assert state() == [(1, "ann", 10.0), (2, "bob", 99.0)]
+
+
+def test_windowed_counts_streaming_plan(spark, tmp_path):
+    """The windowed builders accept a streaming frame (watermark + window
+    survive analysis) and produce correct results through foreachBatch."""
+    landing = str(tmp_path / "events")
+    spark.createDataFrame(
+        [("2024-01-01 00:05:00", 1), ("2024-01-01 00:20:00", 1), ("2024-01-01 01:10:00", 2)],
+        "ts_s STRING, user_id INT",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("ts TIMESTAMP, user_id INT")
+    stream = streaming.file_stream(spark, landing, schema)
+    windowed = streaming.windowed_counts(stream, window_len="1 hour")
+    assert windowed.isStreaming
+
+    got: list = []
+
+    def collect_sink(batch_df, batch_id):
+        got.extend((str(r.w_start), r.n_events) for r in batch_df.collect())
+
+    streaming.run_available_now(windowed, collect_sink, str(tmp_path / "ck2"))
+    assert sorted(got) == [("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1)]
+
+
+def test_sessionized_counts_streaming_plan(spark, tmp_path):
+    landing = str(tmp_path / "sess")
+    rows = [
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:05:00", 1),  # same session (gap < 10 min)
+        ("2024-01-01 01:00:00", 1),  # new session
+    ]
+    spark.createDataFrame(rows, "ts_s STRING, user_id INT").selectExpr(
+        "CAST(ts_s AS TIMESTAMP) AS ts", "user_id"
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("ts TIMESTAMP, user_id INT")
+    sessions = streaming.sessionized_counts(streaming.file_stream(spark, landing, schema))
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend((r.user_id, r.n_events) for r in batch_df.collect())
+
+    # session windows don't support update mode (state merges can split
+    # emitted rows); complete mode snapshots the full session state
+    streaming.run_available_now(sessions, sink, str(tmp_path / "ck3"), output_mode="complete")
+    assert sorted(got) == [(1, 1), (1, 2)]
