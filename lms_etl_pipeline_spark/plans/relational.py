@@ -185,6 +185,92 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates — one pass, no self-join.
+
+    Deterministic here because o_totalprice values are unique per priority
+    group in the fixture at the extremes; ties would need a tiebreak struct.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4)))
+                  AS DOUBLE) AS s2
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           ROUND(s1 / n, 6) AS mean_bal,
+           ROUND((s2 - s1 * s1 / n) / (n - 1), 6) AS var_bal,
+           ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_bal
+    FROM m WHERE n > 1
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variance/stddev from exact decimal moments.
+
+    Built-in ``stddev`` streams floating-point state whose value depends on
+    partition merge order — fine statistically, wrong for differential
+    testing and bit-reproducibility.  Computing the (exact, order-free)
+    decimal moments S1/S2 first and deriving var/std with a fixed handful
+    of IEEE ops makes the result identical on every engine and every
+    partitioning.  Same shuffle cost as the built-in (one partial+final agg).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    m = c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("c_acctbal")).cast("double").alias("s1"),
+        F.sum(dec("c_acctbal") * dec("c_acctbal")).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return m.filter(F.col("n") > 1).select(
+        "c_nationkey",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean_bal"),
+        F.round(var, 6).alias("var_bal"),
+        F.round(F.sqrt(var), 6).alias("std_bal"),
+    )
+
+
+@query("sample_fraction", oracle=None)
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (reproducible within Spark for a
+    fixed partitioning; engine-specific RNG => rows-only check).  At scale a
+    sample is a scan-time coin flip — no shuffle, no materialization."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
     "distinct_projection",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
 )

@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: the 100 TB posture, asserted.
+
+Correctness tests prove the right ANSWER; these prove the right PLAN —
+pushdown reaching the parquet scan, dimensions broadcasting, partial
+aggregation, top-k never global-sorting.  A regression here is invisible
+at sf0.01 and fatal at 100 TB, which is exactly why it's pinned in CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def _spark_plan(df) -> str:
+    # pre-AQE physical plan: join/scan choices are visible and stable
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: _spark_plan(QUERIES[name](spark, SF_SMOKE))
+        for name in (
+            "flagship_regional_revenue",
+            "filter_project_casts",
+            "q1_pricing_summary",
+            "sort_topk_orders",
+            "window_topk_per_group",
+            "join_broadcast_dim_agg",
+            "join_nonequi_range",
+            "near_dup_pairs_lsh",
+        )
+    }
+
+
+def test_filters_push_into_parquet_scan(plans):
+    # date predicates must reach the scan, not evaluate post-read
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plans["filter_project_casts"].replace(
+        "\n", " "
+    ) or "LessThan(l_shipdate" in plans["filter_project_casts"]
+    assert "PushedFilters" in plans["q1_pricing_summary"]
+    assert "LessThanOrEqual(l_shipdate" in plans["q1_pricing_summary"]
+
+
+def test_column_pruning_reaches_scan(plans):
+    # Q1 reads 7 of 16 lineitem columns; the scan schema must not contain
+    # the unused comment/address-ish columns
+    scan_lines = [l for l in plans["q1_pricing_summary"].splitlines() if "ReadSchema" in l]
+    assert scan_lines, "no ReadSchema in plan"
+    assert "l_orderkey" not in scan_lines[0]  # unused by Q1
+    assert "l_quantity" in scan_lines[0]
+
+
+def test_dimension_joins_broadcast(plans):
+    # customer/nation/region sides must be BroadcastHashJoin, and the
+    # fact-fact join must NOT broadcast the big side at scale (it may at
+    # sf0.001 — so assert presence of broadcasts, not absence of shuffle)
+    assert plans["flagship_regional_revenue"].count("BroadcastHashJoin") >= 3
+    assert "BroadcastHashJoin" in plans["join_broadcast_dim_agg"]
+
+
+def test_nonequi_join_stays_hash_not_nested_loop(plans):
+    p = plans["join_nonequi_range"]
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partial_aggregation_before_shuffle(plans):
+    # partial+final hash agg: two HashAggregate nodes around the exchange
+    assert plans["q1_pricing_summary"].count("HashAggregate") >= 2
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans["sort_topk_orders"]
+
+
+def test_window_topk_uses_group_limit(plans):
+    # Spark 3.5+/4.x rewrites rank<=k filters into WindowGroupLimit:
+    # per-partition top-k heaps instead of full group sorts
+    assert "WindowGroupLimit" in plans["window_topk_per_group"]
+
+
+def test_lsh_self_join_is_equi(plans):
+    p = plans["near_dup_pairs_lsh"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_codegen_covers_relational_core(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes (and codegen-stages) THIS plan at execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    # '*(n)' node prefixes mark whole-stage-codegen spans in simpleString
+    import re
+
+    assert re.search(r"\*\(\d+\)\s*HashAggregate", executed)
