@@ -32,6 +32,9 @@ HEADLINE = (
     "tf_idf_top_terms",
     "near_dup_pairs_lsh",
     "knn_cosine_exact",
+    "minhash_signatures",
+    "multimodal_image_decode",
+    "dedup_embedding_cosine",
 )
 
 

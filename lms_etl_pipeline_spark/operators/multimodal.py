@@ -40,7 +40,13 @@ FRAME_SAMPLE_SCHEMA = "id BIGINT, frame_idx INT, frame_bytes BIGINT, frame_md5 S
 
 def with_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapter: treat a text column as an opaque binary payload column —
-    the fixture stand-in for real image/audio bytes."""
+    the fixture stand-in for real image/audio bytes.
+
+    No forced repartition: mapInPandas parallelism follows the source's
+    splits, which is right at scale (a 100 TB table arrives well-split) —
+    and measured locally, shuffling a small input to 32 Python workers
+    costs more in worker spin-up than the parallelism buys.
+    """
     return df.select(
         F.col(id_col).alias("id"), F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
