@@ -112,6 +112,34 @@ def sample_frames(df: DataFrame, frame_size: int = 256, max_frames: int = 8) -> 
     return df.mapInPandas(frames, FRAME_SAMPLE_SCHEMA)
 
 
+def resize_images(df: DataFrame, target_bytes: int = 1024, decode: str = "fake") -> DataFrame:
+    """Resize stub: real path names its dependency; fake path 'resizes' by
+    deterministic stride subsampling of the byte stream to ``target_bytes``
+    — preserving the mapInPandas shape of a real resize (binary in,
+    smaller binary out, per-batch vectorized)."""
+    if decode == "real":  # pragma: no cover
+        raise NotImplementedError(
+            "real image resize requires PIL (Image.resize); install it and "
+            "replace the stride subsampler"
+        )
+    schema = "id BIGINT, payload BINARY, orig_bytes BIGINT, resized_bytes BIGINT"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"id": [], "payload": [], "orig_bytes": [], "resized_bytes": []}
+            for vid, payload in zip(pdf["id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(n // target_bytes, 1)
+                small = payload[::stride][:target_bytes]
+                out["id"].append(vid)
+                out["payload"].append(small)
+                out["orig_bytes"].append(n)
+                out["resized_bytes"].append(len(small))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, schema)
+
+
 def decode_audio_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Audio stub: same contract as images (real path names its dependency)."""
     if decode == "real":  # pragma: no cover

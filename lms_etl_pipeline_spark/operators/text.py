@@ -86,6 +86,48 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+def kgram_hashes(toks: Column, k: int = 3) -> Column:
+    """Engine-portable 60-bit integer hash per k-gram: md5 prefix as int.
+
+    ``toks`` must be a materialized column attribute (see dedup module
+    docstring on interpreted higher-order re-evaluation).  The md5-prefix
+    scheme costs more than xxhash64 but lets the DuckDB oracle compute
+    identical values (``TRY_CAST('0x'||SUBSTRING(MD5(g),1,15) AS BIGINT)``).
+    """
+    return F.transform(
+        shingles(toks, n=k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
+def winnowing_fingerprints(toks: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every k-gram, slide a w-hash window, keep each window's
+    minimum, return the distinct minima.
+
+    Guarantees: any shared run of >= w+k-1 tokens between two documents
+    yields at least one shared fingerprint — the rolling-hash dedup
+    primitive that catches *partial* overlap (plagiarism, boilerplate,
+    quoted chunks) where whole-document hashing can't.  One narrow array
+    expression per row; candidate pairing is then an equi-join on the
+    exploded (fingerprint) key — same LSH-shaped scale path as MinHash.
+
+    Documents with fewer than w k-gram hashes contribute min(all hashes)
+    (the standard short-document fallback); empty docs yield [].
+    """
+    hs = kgram_hashes(toks, k)
+    n = F.size(hs)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return (
+        F.when(n >= w, F.array_distinct(windows))
+        .when(n > 0, F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Fraction of tokens that are stopwords — the workhorse of fast
     language-ID / quality heuristics (one array expression, no shuffle).

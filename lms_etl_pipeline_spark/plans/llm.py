@@ -334,6 +334,46 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_pairs(d, "doc_id", "text", k=8, bands=4, threshold=0.5)
 
 
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               CASE WHEN LEN(toks) >= 3
+                    THEN LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                         i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))
+                    ELSE [] END,
+               gr -> TRY_CAST(CONCAT('0x', SUBSTRING(MD5(gr), 1, 15)) AS BIGINT)) AS hs
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN LEN(hs) >= 4 THEN
+                    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(hs) - 2),
+                                  i -> LIST_MIN(LIST_SLICE(hs, i, i + 3))))
+                  WHEN LEN(hs) > 0 THEN [LIST_MIN(hs)]
+                  ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, UNNEST(fps) AS fingerprint FROM fp
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window minima) fingerprints, exploded to the
+    (doc_id, fingerprint) long form — join two docs on ``fingerprint`` and
+    any shared token run of >= 6 tokens surfaces as a candidate pair.
+    Tokens materialize as a column before the array math (perf: see
+    operators.dedup docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(tx.winnowing_fingerprints(F.col("_toks"), k=3, w=4)).alias("fingerprint"),
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + bucket by the top-16-bit prefix — the cheap

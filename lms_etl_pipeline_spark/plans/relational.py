@@ -552,6 +552,82 @@ def join_broadcast_dim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_last_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts, c.click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (attribution's core primitive).
+
+    Implementation is the union-sort-window idiom (operators.temporal):
+    ONE shuffle on user_id + per-key sort — same cost as a sort-merge
+    join, no range-candidate explosion.  The right side is deduped on
+    (key, ts) first so ties are deterministic on both engines.
+    """
+    from lms_etl_pipeline_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["click_id"]
+    )
+
+
+@query(
+    "join_interval_events",
+    oracle="""
+    SELECT err.event_id, err.user_id,
+           COUNT(act.event_id) AS nearby_actions
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') err
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type IN ('click', 'view')) act
+      ON act.user_id = err.user_id
+     AND act.ts BETWEEN err.ts - INTERVAL 5 MINUTE AND err.ts + INTERVAL 5 MINUTE
+    GROUP BY err.event_id, err.user_id
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join on event time: activity within ±5 minutes of
+    each error, per user.  The equi key keeps this a hash join with the
+    time band as a residual predicate — never a nested loop (pinned in
+    tests/test_plan_shapes.py)."""
+    from lms_etl_pipeline_spark.operators.temporal import interval_join_condition
+
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"), F.col("ts").alias("err_ts")
+    )
+    act = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("act_id"), F.col("user_id").alias("act_user"), F.col("ts").alias("act_ts")
+    )
+    cond = interval_join_condition(
+        F.col("err_user"), F.col("act_user"), F.col("err_ts"), F.col("act_ts"), "5 minutes"
+    )
+    return (
+        err.join(act, cond, "left")
+        .groupBy(F.col("err_id").alias("event_id"), F.col("err_user").alias("user_id"))
+        .agg(F.count("act_id").alias("nearby_actions"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k
 # ---------------------------------------------------------------------------

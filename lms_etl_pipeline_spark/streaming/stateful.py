@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.12 "streaming": the escape hatch when built-in windows can't
+express the semantics).
+
+``streaming_first_seen``: exactly-once-per-key emission — a streaming dedup
+that lets the FIRST record of every key through and drops all later ones,
+with per-key state that outlives micro-batches and a timeout to bound state
+size.  This is the canonical custom-stateful example: it is NOT expressible
+with ``dropDuplicates`` alone once you need state TTL, and not with window
+aggregation at all (no window: state is forever-until-timeout).
+
+Scale posture: state is partitioned by key across executors (one shuffle),
+each key holds O(1) bytes, and ``GroupStateTimeout`` evicts idle keys — the
+three properties that keep an unbounded stream's state flat.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FIRST_SEEN_SCHEMA = "key STRING, first_ts TIMESTAMP, n_dropped BIGINT"
+_STATE_SCHEMA = "seen BOOLEAN, n_dropped BIGINT"
+
+
+def _make_first_seen_fn(state_ttl_ms: int | None):
+    def first_seen_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Emit one row the first time ``key`` appears; count drops after."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen, n_dropped = state.get if state.exists else (False, 0)
+        out_rows = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            if not seen:
+                first = pdf.sort_values("ts").iloc[0]
+                out_rows.append((key[0], first["ts"], 0))
+                seen = True
+                n_dropped += len(pdf) - 1
+            else:
+                n_dropped += len(pdf)
+        state.update((seen, n_dropped))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["key", "first_ts", "n_dropped"])
+
+    return first_seen_fn
+
+
+def streaming_first_seen(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-seen-wins streaming dedup over ``key_col``.
+
+    Input: any streaming frame with ``key_col`` and a ``ts`` column.
+    Output stream: one row per new key, in the micro-batch where it first
+    appeared.  Per-key state: (seen flag, drop count).
+
+    ``state_ttl_ms`` evicts idle keys (processing-time timeout) — set it on
+    CONTINUOUS streams to bound state.  Leave ``None`` for drain-style
+    ``Trigger.AvailableNow`` runs: registered timeouts make the
+    no-more-data termination check spin (empty timeout-firing batches keep
+    the query alive — observed as a runaway execution thread), and a
+    drained query's state is checkpointed anyway.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout if state_ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    renamed = stream_df.selectExpr(f"{key_col} AS key", f"{ts_col} AS ts")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _make_first_seen_fn(state_ttl_ms),
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -52,3 +52,17 @@ def test_audio_features(spark, payloads):
     b = b"abcd"
     expected_rms = (sum(x * x for x in b) / 4) ** 0.5
     assert abs(rows[1].rms_byte - expected_rms) < 1e-9
+
+
+def test_resize_stride_subsample(spark):
+    df = spark.createDataFrame([(1, "ab" * 2048), (2, "xy")], "doc_id BIGINT, text STRING")
+    rows = {r.id: r for r in mm.resize_images(mm.with_payload(df), target_bytes=1024).collect()}
+    assert rows[1].orig_bytes == 4096
+    assert rows[1].resized_bytes == 1024
+    assert bytes(rows[1].payload) == (b"ab" * 2048)[::4][:1024]
+    assert rows[2].resized_bytes == 2  # already smaller than target
+
+def test_resize_real_is_explicit_stub(spark):
+    df = mm.with_payload(spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING"))
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.resize_images(df, decode="real")

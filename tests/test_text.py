@@ -57,3 +57,34 @@ def test_stopword_ratio(spark):
     out = df.select(tx.stopword_ratio("t").alias("r")).collect()
     assert out[0].r == 0.5
     assert out[1].r is None
+
+
+def test_winnowing_shared_run_yields_shared_fingerprint(spark):
+    # docs sharing a >= w+k-1 = 6-token run must share >= 1 fingerprint
+    a = "one two three four five six seven alpha beta gamma"
+    b = "zzz qqq one two three four five six seven rrr"
+    c = "totally disjoint vocabulary with nothing in common at all here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id BIGINT, t STRING")
+    toked = df.select("id", tx.tokens("t").alias("_toks"))
+    fps = {
+        r.id: set(r.fps)
+        for r in toked.select(
+            "id", tx.winnowing_fingerprints(F.col("_toks"), k=3, w=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2]       # shared run detected
+    assert not (fps[1] & fps[3]) # disjoint docs don't collide
+
+
+def test_winnowing_short_and_empty_docs(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b"), (3, "")], "id BIGINT, t STRING")
+    toked = df.select("id", tx.tokens("t").alias("_toks"))
+    out = {
+        r.id: r.fps
+        for r in toked.select(
+            "id", tx.winnowing_fingerprints(F.col("_toks"), k=3, w=4).alias("fps")
+        ).collect()
+    }
+    assert len(out[1]) == 1  # 2 kgram hashes < w -> min fallback
+    assert out[2] == []      # < k tokens -> no kgrams
+    assert out[3] == []
