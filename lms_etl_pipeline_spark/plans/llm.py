@@ -609,6 +609,39 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "applyinpandas_group_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS bal_rank
+    FROM customer
+    """,
+)
+def applyinpandas_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-segment pandas computation (here a
+    deterministic in-group rank) — the escape hatch for group-local logic
+    Spark expressions can't state (model scoring per group, per-entity
+    curve fitting).  Integer outputs with a total tiebreak keep it
+    oracle-checkable.
+
+    Scale: one shuffle on the group key; each group must fit one executor's
+    memory — use only for bounded groups (segments, entities), never for
+    whole-table 'groups'."""
+    import pandas as pd
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        pdf["bal_rank"] = range(1, len(pdf) + 1)
+        return pdf
+
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        rank_group,
+        "c_mktsegment STRING, c_custkey BIGINT, c_acctbal DOUBLE, bal_rank BIGINT",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

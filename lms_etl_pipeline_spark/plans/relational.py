@@ -679,6 +679,57 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_measures",
+    oracle="""
+    SELECT o_orderkey, measure, value FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(o_custkey AS DOUBLE) AS cust_key_num
+      FROM orders WHERE o_orderkey % 50 = 0
+    ) UNPIVOT (value FOR measure IN (total_price, cust_key_num))
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures to (key, measure, value) long form —
+    plan-time row expansion, no shuffle."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("o_custkey").cast("double").alias("cust_key_num"),
+        )
+    )
+    return o.unpivot("o_orderkey", ["total_price", "cust_key_num"], "measure", "value")
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders more than twice their customer's
+    average.  Catalyst decorrelates this into an aggregate + join — no
+    per-row re-execution (the rewrite the reference's eager model can't do).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sq o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders_sq o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
     "set_union_all",
     oracle="""
     SELECT * FROM (

@@ -28,6 +28,8 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (sources.rest_datasource).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # 10 MB default is conservative; dimension tables (region/nation/supplier
     # scale) stay broadcast-able well past sf100.
     "spark.sql.autoBroadcastJoinThreshold": "64m",

@@ -1,0 +1,42 @@
+"""Bucketed table layout: shuffle-free co-located joins & aggregations.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle.  Bucketing
+pre-partitions the data ON DISK by ``hash(join_key) % n_buckets`` at write
+time, so every subsequent join or aggregation on that key reads
+already-co-located buckets — Catalyst drops the Exchange entirely (pinned
+by tests/test_bucketing.py).  The trade: one upfront shuffle at write time,
+amortized over every downstream read — the right call for tables joined
+repeatedly on a stable key (orders⋈lineitem on orderkey).
+
+Bucketed output must go through the session catalog (``saveAsTable``) —
+plain ``parquet(path)`` files carry no bucketing metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog-managed parquet table bucketed (and
+    optionally sorted) by ``bucket_cols``.
+
+    ``sort_cols`` additionally sorts within each bucket file — which lets a
+    downstream sort-merge join skip its sort too (read -> merge directly).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table (bucket metadata flows into the plan)."""
+    return spark.table(table)

@@ -1,0 +1,130 @@
+"""Partitioned REST scan as a PySpark Python Data Source (Spark 4 API).
+
+``sources.rest.RestSource`` is the Lambda-parity driver-side fetch; THIS is
+the scale path promised in SURVEY.md §2.1 S2: a ``spark.read.format(...)``
+source whose partitions are API pages fetched *in parallel on executors*,
+with equality-filter pushdown translated to the API's OData-style
+``_filter`` param — predicates ship to the server, rows that don't match
+never cross the network.
+
+Usage::
+
+    spark.dataSource.register(RestApiDataSource)
+    df = (spark.read.format("rest_api")
+          .schema("id BIGINT, firstName STRING, departmentId STRING")
+          .option("base_url", "https://lms.example")
+          .option("endpoint", "/learn/api/public/v1/users")
+          .option("page_size", "500")
+          .load()
+          .filter(F.col("departmentId") == "D1"))   # pushed to the API
+
+Partition = one page (limit/offset).  The driver makes ONE metadata call to
+learn ``totalItems``; executors fetch their page independently — no driver
+bottleneck, linear scan parallelism up to the API's page count.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+
+DEFAULT_PAGE_SIZE = 500
+
+
+class _Page(InputPartition):
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+def _fetch(base_url: str, endpoint: str, params: dict, headers: dict, timeout: float) -> dict:
+    url = f"{base_url}{endpoint}"
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    req = urllib.request.Request(url, headers=headers, method="GET")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"rest_api source HTTP {resp.status} for {url}")
+        return json.loads(resp.read().decode())
+
+
+class RestApiReader(DataSourceReader):
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.base_url = options["base_url"]
+        self.endpoint = options["endpoint"]
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.rows_key = options.get("rows_key", "users")
+        self.total_key = options.get("total_key", "totalItems")
+        self.timeout = float(options.get("timeout", "30"))
+        self.headers = {"Content-Type": "application/json"}
+        if options.get("api_key"):
+            self.headers["x-api-key"] = options["api_key"]
+        if options.get("token"):
+            self.headers["Authorization"] = f"Bearer {options['token']}"
+        self._pushed: dict[str, str] = {}
+
+    # -- pushdown -----------------------------------------------------------
+    def pushFilters(self, filters: Sequence) -> Iterator:
+        """Translate equality predicates to the API's ``_filter`` param;
+        everything else stays in Spark (yielded back as unsupported)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self._pushed[f.attribute[0]] = str(f.value)
+            else:
+                yield f
+
+    def _params(self, extra: dict) -> dict:
+        p = dict(extra)
+        if self._pushed:
+            p["_filter"] = " and ".join(f"{k} eq '{v}'" for k, v in self._pushed.items())
+        return p
+
+    # -- planning -----------------------------------------------------------
+    def partitions(self) -> list[_Page]:
+        """ONE driver-side metadata call; one partition per API page."""
+        meta = _fetch(
+            self.base_url,
+            self.endpoint,
+            self._params({"limit": 1, "offset": 0}),
+            self.headers,
+            self.timeout,
+        )
+        total = int(meta.get(self.total_key, 0))
+        n_pages = max(math.ceil(total / self.page_size), 1)
+        return [_Page(i * self.page_size, self.page_size) for i in range(n_pages)]
+
+    # -- execution (runs on executors) --------------------------------------
+    def read(self, partition: _Page) -> Iterator[tuple]:
+        doc = _fetch(
+            self.base_url,
+            self.endpoint,
+            self._params({"limit": partition.limit, "offset": partition.offset}),
+            self.headers,
+            self.timeout,
+        )
+        fields = [f.name for f in self.schema.fields]
+        for row in doc.get(self.rows_key, []):
+            yield tuple(row.get(f) for f in fields)
+
+
+class RestApiDataSource(DataSource):
+    """``format("rest_api")`` — partitioned, filter-pushing REST scans."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_api"
+
+    def schema(self):
+        raise ValueError(
+            "rest_api requires an explicit .schema(...) — inference over an "
+            "API response is nondeterministic by design"
+        )
+
+    def reader(self, schema) -> RestApiReader:
+        return RestApiReader(schema, self.options)

@@ -1,0 +1,100 @@
+"""Python Data Source REST reader: partitioned pagination + filter pushdown
+against a local paginated HTTP server."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.sources.rest_datasource import RestApiDataSource
+
+N_USERS = 25
+USERS = [
+    {"id": i, "firstName": f"user{i}", "departmentId": f"D{i % 3}"} for i in range(N_USERS)
+]
+
+
+class _PagedApi(BaseHTTPRequestHandler):
+    requests: list[dict] = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+        _PagedApi.requests.append(q)
+        rows = USERS
+        flt = q.get("_filter", "")
+        if flt.startswith("departmentId eq "):
+            want = flt.split("'")[1]
+            rows = [u for u in rows if u["departmentId"] == want]
+        total = len(rows)
+        off, lim = int(q.get("offset", 0)), int(q.get("limit", 100))
+        page = rows[off : off + lim]
+        body = json.dumps(
+            {"totalItems": total, "offset": off, "limit": lim,
+             "returnedItems": len(page), "users": page}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def api():
+    httpd = HTTPServer(("127.0.0.1", 0), _PagedApi)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(RestApiDataSource)
+    return spark
+
+
+def _read(spark, base_url, page_size=10):
+    return (
+        spark.read.format("rest_api")
+        .schema("id BIGINT, firstName STRING, departmentId STRING")
+        .option("base_url", base_url)
+        .option("endpoint", "/users")
+        .option("page_size", str(page_size))
+        .load()
+    )
+
+
+def test_partitioned_pagination(registered, api):
+    _PagedApi.requests.clear()
+    df = _read(registered, api, page_size=10)
+    rows = df.collect()
+    assert len(rows) == N_USERS
+    assert {r.id for r in rows} == set(range(N_USERS))
+    # 1 metadata call (limit=1) + 3 page fetches (25 rows / 10 per page)
+    offsets = sorted(int(q["offset"]) for q in _PagedApi.requests if q.get("limit") != "1")
+    assert offsets == [0, 10, 20]
+
+
+def test_equality_filter_pushes_to_api(registered, api):
+    _PagedApi.requests.clear()
+    df = _read(registered, api).filter(F.col("departmentId") == "D1")
+    rows = df.collect()
+    assert {r.departmentId for r in rows} == {"D1"}
+    assert len(rows) == len([u for u in USERS if u["departmentId"] == "D1"])
+    # every request carried the pushed predicate
+    assert all(q.get("_filter") == "departmentId eq 'D1'" for q in _PagedApi.requests)
+
+
+def test_schema_is_mandatory(registered, api):
+    with pytest.raises(Exception, match="schema"):
+        registered.read.format("rest_api").option("base_url", api).option(
+            "endpoint", "/users"
+        ).load().collect()
