@@ -56,15 +56,17 @@ def explode_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact TF-IDF: tf(term, doc) * (ln((N+1)/(df+1)) + 1).
 
-    A purely relational plan: explode -> two hash aggregations -> shuffle
-    join on ``term`` (the document-frequency side is corpus-vocabulary-sized,
-    so it stays distributed — only the 1-row corpus count is broadcast).
+    A purely relational plan: ONE explode -> tf aggregation -> df derived
+    FROM the tf aggregate (``df = count of (doc,term) rows per term`` —
+    each doc contributes its distinct terms exactly once there, so no
+    second corpus scan and no count_distinct expansion).  The term-keyed
+    shuffle join stays distributed; only the 1-row corpus count broadcasts.
     Scales linearly in corpus size. Deterministic: counts are integers, the
     final score is two IEEE ops.
     """
     terms = explode_terms(df, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     return (
         tf.join(dfreq, "term")

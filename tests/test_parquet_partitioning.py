@@ -1,0 +1,53 @@
+"""Partitioned parquet: directory pruning must reach the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.sources import parquet_io
+from lms_etl_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    parquet_io.write_partitioned(e, path, ["event_type"])
+
+    back = parquet_io.read_partitioned(spark, path)
+    filtered = back.filter(F.col("event_type") == "click")
+    plan = filtered._jdf.queryExecution().sparkPlan().toString()
+    # pruning is a PartitionFilters entry, i.e. directories skipped at
+    # planning time — not a row filter after the read
+    assert "PartitionFilters: [isnotnull(event_type" in plan.replace("#", " #").replace(
+        "event_type ", "event_type"
+    ) or "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the data still round-trips
+    want = e.filter(F.col("event_type") == "click").count()
+    assert filtered.count() == want
+
+
+def test_max_records_per_file(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(100)], "v INT, p INT").coalesce(1)
+    path = str(tmp_path / "capped")
+    parquet_io.write_partitioned(df, path, ["p"], max_records_per_file=10)
+    files = glob.glob(f"{path}/p=*/part-*.parquet")
+    assert len(files) >= 10  # 100 rows / 10 per file across 2 partitions
+
+
+def test_cli_list_and_run(capsys):
+    from lms_etl_pipeline_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "[oracle]" in out
+
+    assert main(["run", "flagship_regional_revenue", "--sf-dir", SF_SMOKE]) == 0
+    out = capsys.readouterr().out
+    assert "EUROPE" in out
+
+    assert main(["run", "nope"]) == 2
