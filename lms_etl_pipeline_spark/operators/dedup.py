@@ -38,16 +38,44 @@ from pyspark.sql import functions as F
 from lms_etl_pipeline_spark.operators.text import shingles, tokens
 
 
-def _mh(slot: int, items: Column) -> Column:
-    """Min over the item set of a salted md5 — one minhash signature slot."""
-    return F.array_min(
-        F.transform(items, lambda t: F.md5(F.concat(F.lit(f"{slot}:"), t)))
+#: universal-hash family: slot_i(h) = (A[i]*h + B[i]) mod P, all inputs
+#: < 2^31 so A*h stays inside 63 bits on every engine (no overflow, no
+#: engine-specific wraparound).  Constants are versioned with the code —
+#: reproducible signatures across runs AND engines (the DuckDB oracle
+#: computes the identical arithmetic).  One md5 per shingle instead of k:
+#: ~k x less hashing than the salted-md5-per-slot scheme it replaces.
+MH_P = 2147483647  # 2^31 - 1 (prime)
+MH_A = (1640531527, 2027808487, 1812433253, 1181783497, 1779033703, 1013904223, 1294968747, 997807123)
+MH_B = (1013904223, 1779033703, 997807123, 1294968747, 1640531527, 1812433253, 2027808487, 1181783497)
+
+
+def base_hash(item: Column) -> Column:
+    """Engine-portable integer hash of a string, reduced below MH_P."""
+    return (
+        F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("bigint") % F.lit(MH_P)
     )
 
 
-def minhash_signature(items: Column, k: int = 8) -> list[Column]:
-    """k independent minhash slots over a string-array column."""
-    return [_mh(i, items).alias(f"h{i}") for i in range(k)]
+def minhash_signature(hashed: Column, k: int = 8) -> list[Column]:
+    """k minhash slots over a BIGINT-array column of base hashes.
+
+    ``hashed`` must be a *materialized column attribute* (built with
+    ``transform(items, base_hash)`` in its own projection) — inlining the
+    md5 subtree here would re-evaluate it once per slot in interpreted
+    higher-order eval.
+    """
+    if k > len(MH_A):
+        raise ValueError(f"k={k} exceeds the versioned hash family ({len(MH_A)})")
+
+    def affine(i: int):
+        # closure, not a 2-arg lambda: transform() treats two parameters
+        # as the (element, index) signature
+        a, b = MH_A[i], MH_B[i]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P)
+
+    return [
+        F.array_min(F.transform(hashed, affine(i))).alias(f"h{i}") for i in range(k)
+    ]
 
 
 def with_minhash(
@@ -83,7 +111,8 @@ def with_minhash(
     shing = part.select(
         F.col(id_col), F.array_distinct(shingles(F.col("_toks"), n=3)).alias("_sh")
     )
-    return shing.select(F.col(id_col), *minhash_signature(F.col("_sh"), k))
+    hashed = shing.select(F.col(id_col), F.transform("_sh", base_hash).alias("_hs"))
+    return hashed.select(F.col(id_col), *minhash_signature(F.col("_hs"), k))
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4) -> DataFrame:
@@ -97,7 +126,11 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int = 8, bands: int = 4) -> DataF
     rows = k // bands
     band_arr = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+                )
+            )
             for b in range(bands)
         ]
     )

@@ -269,21 +269,29 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twins of operators.dedup.minhash_signature: one md5-derived base
+# hash per shingle (reduced below MH_P), then k affine transforms mod MH_P.
+_BASE_HASHES = (
+    "LIST_TRANSFORM(sh, s -> TRY_CAST(CONCAT('0x', SUBSTRING(MD5(s), 1, 15)) AS BIGINT)"
+    f" % {dd.MH_P})"
+)
+
+
 def _minhash_slots_sql(k: int) -> str:
-    slots = ",\n             ".join(
-        f"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5('{i}:' || s))) AS h{i}" for i in range(k)
+    return ",\n             ".join(
+        f"LIST_MIN(LIST_TRANSFORM(hs, h -> ({dd.MH_A[i]} * h + {dd.MH_B[i]}) % {dd.MH_P})) AS h{i}"
+        for i in range(k)
     )
-    return slots
 
 
 @query(
     "minhash_signatures",
     oracle=f"""
-    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    hs_t AS (SELECT doc_id, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) > 0)
     SELECT doc_id,
              {_minhash_slots_sql(8)}
-    FROM sh_t
-    WHERE LEN(sh) > 0
+    FROM hs_t
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,16 +306,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_pairs_lsh",
     oracle=f"""
     WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) > 0),
     sigs AS (
-      SELECT doc_id, sh,
+      SELECT doc_id,
              {_minhash_slots_sql(8)}
-      FROM sh_t WHERE LEN(sh) > 0
+      FROM hs_t
     ),
     bands AS (
-      SELECT doc_id, 0 AS band, MD5(h0 || '|' || h1) AS band_hash FROM sigs
-      UNION ALL SELECT doc_id, 1, MD5(h2 || '|' || h3) FROM sigs
-      UNION ALL SELECT doc_id, 2, MD5(h4 || '|' || h5) FROM sigs
-      UNION ALL SELECT doc_id, 3, MD5(h6 || '|' || h7) FROM sigs
+      SELECT doc_id, 0 AS band,
+             MD5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM sigs
     ),
     cands AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
