@@ -102,22 +102,15 @@ def kgram_hashes(toks: Column, k: int = 3) -> Column:
     )
 
 
-def winnowing_fingerprints(toks: Column, k: int = 3, w: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    scheme): hash every k-gram, slide a w-hash window, keep each window's
-    minimum, return the distinct minima.
+def winnow_hashes(hs: Column, w: int = 4) -> Column:
+    """Distinct window-of-``w`` minima over a MATERIALIZED bigint-array
+    column of k-gram hashes.  ``hs`` must be a column attribute: an inlined
+    hash subtree would be re-evaluated once per window position by
+    ``slice`` in interpreted higher-order eval (measured 10x+ slowdown).
 
-    Guarantees: any shared run of >= w+k-1 tokens between two documents
-    yields at least one shared fingerprint — the rolling-hash dedup
-    primitive that catches *partial* overlap (plagiarism, boilerplate,
-    quoted chunks) where whole-document hashing can't.  One narrow array
-    expression per row; candidate pairing is then an equi-join on the
-    exploded (fingerprint) key — same LSH-shaped scale path as MinHash.
-
-    Documents with fewer than w k-gram hashes contribute min(all hashes)
-    (the standard short-document fallback); empty docs yield [].
+    Documents with fewer than w hashes contribute min(all hashes) (the
+    standard short-document fallback); empty docs yield [].
     """
-    hs = kgram_hashes(toks, k)
     n = F.size(hs)
     windows = F.transform(
         F.sequence(F.lit(1), n - (w - 1)),
@@ -128,6 +121,25 @@ def winnowing_fingerprints(toks: Column, k: int = 3, w: int = 4) -> Column:
         .when(n > 0, F.array(F.array_min(hs)))
         .otherwise(F.array().cast("array<bigint>"))
     )
+
+
+def winnowing_fingerprints(toks: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every k-gram, slide a w-hash window, keep each window's
+    minimum, return the distinct minima.
+
+    Guarantees: any shared run of >= w+k-1 tokens between two documents
+    yields at least one shared fingerprint — the rolling-hash dedup
+    primitive that catches *partial* overlap (plagiarism, boilerplate,
+    quoted chunks) where whole-document hashing can't.  Candidate pairing
+    is then an equi-join on the exploded fingerprint key — same LSH-shaped
+    scale path as MinHash.
+
+    Convenience single-expression form for small frames/tests; hot paths
+    should materialize ``kgram_hashes`` as a column first and call
+    ``winnow_hashes`` (see ``plans.llm.dedup_winnowing``).
+    """
+    return winnow_hashes(kgram_hashes(toks, k), w)
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:

@@ -19,6 +19,9 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -52,6 +55,33 @@ def hyperplane_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
         bit = F.when(dot(vec, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
+
+
+def cosines_to_centroids(vec: Column, centroids: list[list[float]]):
+    """Arrow-vectorized cosine of each row vector against a fixed centroid
+    matrix; returns an array<double> column of len(centroids) scores.
+
+    The exact-kNN path keeps the native left-assoc ``dot`` (bit-identical
+    to the SQL oracle); THIS is for the approximate paths (IVF cell
+    assignment) where there is no oracle constraint and the nested
+    interpreted array expressions are ~10x slower than one numpy matmul
+    per Arrow batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cnorm = np.linalg.norm(cmat, axis=1)  # (k,)
+
+    @pandas_udf("array<double>")
+    def score(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (n, dim)
+        vnorm = np.linalg.norm(m, axis=1)  # (n,)
+        denom = np.outer(vnorm, cnorm)
+        denom[denom == 0.0] = np.nan
+        cos = (m @ cmat.T) / denom  # (n, k)
+        return pd.Series(list(cos))
+
+    return score(vec)
 
 
 def dot_sql(left: str, right: str, dim: int) -> str:

@@ -378,9 +378,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.dedup docstring)."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
-    return toked.select(
+    part = toked.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashed = part.select("doc_id", tx.kgram_hashes(F.col("_toks"), k=3).alias("_hs"))
+    return hashed.select(
         "doc_id",
-        F.explode(tx.winnowing_fingerprints(F.col("_toks"), k=3, w=4)).alias("fingerprint"),
+        F.explode(tx.winnow_hashes(F.col("_hs"), w=4)).alias("fingerprint"),
     )
 
 
@@ -578,37 +580,38 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < 16).collect()
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
 
-    def best_cells(v: F.Column, k: int) -> F.Column:
-        # scored: array<struct<cos, cell>> over the 16 literal centroids
-        scored = F.array(
-            *[
-                F.struct(
-                    vec.cosine(v, F.array(*[F.lit(x) for x in cv])).alias("cos"),
-                    F.lit(cid).alias("cell"),
+    def best_cells(df: DataFrame, nprobe: int) -> DataFrame:
+        # one Arrow-batched numpy matmul per batch scores all 16 cells;
+        # argsort top-nprobe cells via array_sort over (score, cell) structs
+        scored = df.withColumn("_scores", vec.cosines_to_centroids(F.col("embedding"), cents))
+        ranked = F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.col("_scores"),
+                        lambda s, i: F.struct(s.alias("cos"), i.alias("cell")),
+                    )
                 )
-                for cid, cv in cents
-            ]
+            ),
+            1,
+            nprobe,
         )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, k)
-        return F.transform(top, lambda s: s["cell"])
+        return scored.withColumn("cell", F.explode(F.transform(ranked, lambda s: s["cell"]))).drop(
+            "_scores"
+        )
 
-    corpus = e.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-        F.explode(best_cells(F.col("embedding"), 1)).alias("cell"),
-    )
-    qset = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(best_cells(F.col("embedding"), 2)).alias("cell"),
-    )
+    corpus = best_cells(
+        e.select(F.col("vec_id").alias("n_id"), F.col("embedding")), 1
+    ).withColumnRenamed("embedding", "n_emb")
+    qset = best_cells(
+        e.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("embedding")), 2
+    ).withColumnRenamed("embedding", "q_emb")
     pairs = (
-        F.broadcast(qset)
-        .join(corpus, "cell")
+        corpus.join(F.broadcast(qset), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"))
         # a (q, n) pair can appear via both probed cells
