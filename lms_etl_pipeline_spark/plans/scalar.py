@@ -214,6 +214,59 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_width_bucket",
+    oracle="""
+    -- width_bucket(v, 0, 600000, 12) semantics spelled out (no native fn in DuckDB):
+    -- v < min -> 0, v >= max -> n+1, else 1 + floor(v / (span/n))
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE 1 + CAST(FLOOR(o_totalprice / 50000) AS BIGINT) END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the single-pass profiling
+    primitive (12 buckets over the price domain)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text,
+           MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS norm_md5
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for corpus cleaning: lowercase, strip
+    non-alphanumerics, collapse whitespace — the standard pre-dedup
+    normalizer, as three codegen'd regexp passes."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_md5"))
+
+
+@query(
     "case_when_bucketing",
     oracle="""
     SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'

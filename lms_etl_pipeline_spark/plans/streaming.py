@@ -126,6 +126,44 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'click')    AS first_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_click) AS n_clicked,
+           COUNT(CASE WHEN first_purchase >= first_click
+                       AND first_purchase <= first_click + INTERVAL 1 HOUR
+                      THEN 1 END) AS n_converted_1h
+    FROM firsts
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first purchase follows their first
+    click within 1 hour.  One groupBy pass builds per-user milestones
+    (conditional MIN), then a single global rollup — no self-join, no
+    window; linear at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    converted = (
+        (F.col("first_purchase") >= F.col("first_click"))
+        & (F.col("first_purchase") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.count(F.when(converted, 1)).alias("n_converted_1h"),
+    )
+
+
+@query(
     "events_type_pivot",
     oracle="""
     SELECT user_id,
