@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 #: with the code: scoring must not depend on runtime downloads.
 STOPWORDS_EN: tuple[str, ...] = ("the", "a", "an", "and", "of", "to", "in", "is", "on")
 
+#: Embedded sentiment lexicon (versioned constants — no runtime downloads).
+#: A real system swaps in VADER/AFINN-style lists; the dataflow is identical.
+SENTIMENT_POS: tuple[str, ...] = ("good", "great", "excellent", "love", "best", "happy", "nice", "well")
+SENTIMENT_NEG: tuple[str, ...] = ("bad", "terrible", "awful", "hate", "worst", "sad", "poor", "wrong")
+
+
+def sentiment_score(toks: Column) -> Column:
+    """Lexicon sentiment in [-1, 1]: (pos hits - neg hits) / tokens.
+
+    ``toks`` should be a materialized token-array column; NULL on empty
+    docs (try_divide, never an ANSI abort).
+    """
+    pos = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_POS)))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_NEG)))
+    return F.try_divide(pos - neg, F.size(toks))
+
 
 def tokens(text: Column | str, sep: str = r"\s+") -> Column:
     """Whitespace tokens with empties removed (codegen'd array expression).

@@ -223,6 +223,38 @@ def stopword_removal_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POS_SQL = "('good','great','excellent','love','best','happy','nice','well')"
+_NEG_SQL = "('bad','terrible','awful','hate','worst','sad','poor','wrong')"
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           LEN(LIST_FILTER(toks, x -> x IN {_POS_SQL})) AS pos_hits,
+           LEN(LIST_FILTER(toks, x -> x IN {_NEG_SQL})) AS neg_hits,
+           CAST(LEN(LIST_FILTER(toks, x -> x IN {_POS_SQL}))
+                - LEN(LIST_FILTER(toks, x -> x IN {_NEG_SQL})) AS DOUBLE)
+             / NULLIF(LEN(toks), 0) AS sentiment
+    FROM t
+    """,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring (SURVEY §2.12 text row): embedded pos/neg
+    wordlists, one narrow projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
+    pos = F.size(F.filter(F.col("_toks"), lambda t: t.isin(*tx.SENTIMENT_POS)))
+    neg = F.size(F.filter(F.col("_toks"), lambda t: t.isin(*tx.SENTIMENT_NEG)))
+    return toked.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        tx.sentiment_score(F.col("_toks")).alias("sentiment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

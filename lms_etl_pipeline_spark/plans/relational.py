@@ -17,7 +17,7 @@ lands, and why the plan survives 1000 executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.functions.numeric import dec, dec_avg, dec_sum, dec_sum_of
@@ -751,6 +751,124 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") < 0)
         .orderBy(F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc())
         .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT event_id, NULLIF(event_type, 'error') AS et FROM events WHERE event_id % 20 = 0),
+         r AS (SELECT DISTINCT NULLIF(event_type, 'error') AS et FROM events)
+    SELECT l.event_id, l.et
+    FROM l JOIN r ON l.et IS NOT DISTINCT FROM r.et
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — still a hash join (NULL hashes like any value under
+    null-safe equality), unlike `=` which drops NULL rows."""
+    e = load_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", F.nullif("event_type", F.lit("error")).alias("et")
+    )
+    r = e.select(F.nullif("event_type", F.lit("error")).alias("et")).distinct()
+    return l.join(r, l.et.eqNullSafe(r.et)).select(l.event_id, l.et.alias("et"))
+
+
+@query(
+    "explode_outer_arrays",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(SUBSTRING(text, 1, 40), '\s+'), x -> x != '')
+               AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           CASE WHEN LEN(toks) = 0 THEN NULL ELSE UNNEST(CASE WHEN LEN(toks) = 0 THEN [NULL] ELSE toks END) END AS tok
+    FROM t
+    """,
+)
+def explode_outer_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive as a NULL row (the
+    left-join flavor of flattening — plain explode silently drops them)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    toks = F.filter(F.split(F.substring("text", 1, 40), r"\s+"), lambda t: t != F.lit(""))
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH hours AS (
+      SELECT user_id,
+             UNNEST(GENERATE_SERIES(TIME_BUCKET(INTERVAL '1 hour', MIN(ts)),
+                                    TIME_BUCKET(INTERVAL '1 hour', MAX(ts)),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    actual AS (
+      SELECT user_id, TIME_BUCKET(INTERVAL '1 hour', ts) AS hour, COUNT(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT h.user_id, h.hour, COALESCE(a.n, 0) AS n_events
+    FROM hours h LEFT JOIN actual a ON a.user_id = h.user_id AND a.hour = h.hour
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series from sparse events: per-user hourly spine via
+    ``sequence`` + explode, left-joined to actual counts (gaps become 0).
+    Spine generation is per-group arithmetic — no cross join against a
+    calendar table."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    actual = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    return spine.join(actual, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
+    "scd2_order_status_history",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(o_orderdate) OVER w AS next_date
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    )
+    SELECT o_custkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           next_date AS valid_to,
+           (next_date IS NULL) AS is_current
+    FROM h WHERE o_custkey < 100
+    """,
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity windows: each per-customer order event becomes a
+    [valid_from, valid_to) row, the latest marked current — the warehouse
+    dimension-history build as ONE window pass (no self-join)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
 
 
