@@ -1,0 +1,71 @@
+"""Connected components over an edge list — the dedup-clustering step.
+
+Near-duplicate detection yields PAIRS; production dedup needs GROUPS
+(transitively connect a~b, b~c => {a,b,c}; keep one canonical doc per
+group).  That's connected components on the similarity graph.
+
+Algorithm: iterative min-label propagation (each node repeatedly adopts
+the smallest label among itself and its neighbors) — the standard
+large-scale formulation (cf. "hash-to-min" / GraphX's default), here as
+plain DataFrame joins:
+
+    labels(v) <- min(labels(v), min over neighbors u of labels(u))
+
+Each iteration is ONE equi-join of the current labels against the
+(symmetrized) edge list + a min-aggregation; the driver loop only checks
+convergence (an updated-row count — a scalar, not data).  Iterations are
+bounded by the graph diameter; similarity graphs are overwhelmingly tiny
+cliques, so 2-4 iterations settle in practice and ``max_iter`` bounds the
+worst case.  At 100 TB scale each iteration is shuffle-on-node-id — the
+same cost profile as one self-join; no driver-side data ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id reachable from it.
+
+    ``edges`` is an undirected pair list (each pair listed once in either
+    direction).  Raises if ``max_iter`` iterations don't converge —
+    a similarity graph that deep signals a pathological giant component
+    (i.e. a thresholding bug), which should fail loudly, not silently.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+
+    for _ in range(max_iter):
+        # each node's candidate label: min of its own and all neighbors'
+        neighbor_labels = (
+            sym.join(labels, sym.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        changed = (
+            labels.join(new_labels, "node")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_label", "label")
+        # materialization barrier: keep the lineage from growing unboundedly
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations - "
+        "suspiciously deep similarity graph (check the pairing threshold)"
+    )

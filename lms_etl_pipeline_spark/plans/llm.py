@@ -150,6 +150,64 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents WHERE doc_id < 150
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 150),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (LN((nd.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) AS wt
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.wt * b.wt) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d JOIN norms na ON na.doc_id = d.a JOIN norms nb ON nb.doc_id = d.b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.35
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs (classic IR near-dup): docs
+    joined ONLY where they share a term — the sparse-vector trick that
+    replaces a dense all-pairs cross join with a term-keyed equi-join whose
+    cost is sum over terms of df² (bounded by stopword removal / df caps
+    at scale).  Bounded id range keeps the oracle's self-join small.
+
+    Float note: per-pair dot sums a handful of weight products in SQL-join
+    order on both engines; scores round to 6 decimals for the hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    w = tx.tf_idf(d, "doc_id", "text").select(
+        "doc_id", "term", F.col("tf_idf").alias("wt")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .filter(cos >= 0.35)
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
     "tf_idf_top_terms",
     oracle=f"""
     WITH terms AS (
@@ -416,6 +474,60 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(tx.winnow_hashes(F.col("_hs"), w=4)).alias("fingerprint"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) > 0),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_slots_sql(8)}
+      FROM hs_t
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             MD5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+      WHERE l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT c.a, c.b
+      FROM cands c
+      JOIN sh_t sa ON sa.doc_id = c.a
+      JOIN sh_t sb ON sb.doc_id = c.b
+      WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+              / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+              >= 0.5
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT reach.node, sym.v
+      FROM reach JOIN sym ON reach.r = sym.u
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: connected components (min-label
+    propagation, operators.graph) over the MinHash-LSH similarity graph —
+    the step that turns pairwise matches into keep-one-per-cluster dedup.
+    The oracle computes the same components via a recursive-CTE transitive
+    closure + MIN(reachable)."""
+    from lms_etl_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.near_dup_pairs(docs, "doc_id", "text")
+    return connected_components(pairs.select("a", "b"))
 
 
 @query("dedup_simhash", oracle=None)
