@@ -37,6 +37,9 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         plan = joined._jdf.queryExecution().sparkPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan  # bucket layout replaced the shuffle
+        # sortBy'd buckets: the merge join reads pre-sorted files — at most
+        # trivial in-partition sorts remain, never a ShuffleExchange
+        assert plan.count("Exchange") == 0
         # and the result is still right
         plain = load_table(spark, SF_SMOKE, "orders").join(
             load_table(spark, SF_SMOKE, "customer"),
