@@ -811,6 +811,102 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-price supplier via a correlated
+    scalar subquery.  Catalyst decorrelates into an aggregate + join —
+    verified to run as two hash joins, never per-row re-execution."""
+    for name in ("part", "lineitem", "supplier"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_q2")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal
+        FROM part_q2 p
+        JOIN lineitem_q2 l ON l.l_partkey = p.p_partkey
+        JOIN supplier_q2 s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size <= 10
+          AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem_q2 l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY 1, 2, 3, 4
+        """
+    )
+
+
+@query(
+    "q16_supplier_cnt_excluding",
+    oracle="""
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_cnt_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count with a NOT IN exclusion subquery
+    (planned as a null-aware anti join — the correctness-subtle join type)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#11")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a HAVING
+    threshold, re-joined for detail — aggregate-as-semi-join-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dec_sum("l_quantity", "total_qty"))
+    )
+
+
+@query(
     "join_null_safe",
     oracle="""
     WITH l AS (SELECT event_id, NULLIF(event_type, 'error') AS et FROM events WHERE event_id % 20 = 0),
