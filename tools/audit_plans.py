@@ -24,6 +24,7 @@ ALLOW_CROSS = {
     "dedup_embedding_cosine",  # bounded id-range all-pairs oracle anchor
     "tf_idf_top_terms",      # 1-row corpus-count broadcast
     "text_token_stats",      # same corpus-count pattern via tx.tf_idf
+    "tfidf_cosine_pairs",    # same 1-row corpus-count broadcast via tx.tf_idf
 }
 
 
