@@ -7,11 +7,12 @@ Design notes (100 TB posture):
 - **MinHash-LSH** near-dup: per-doc signature of ``k`` min-hashes over the
   shingle set, banded into ``b`` groups.  Candidate pairs come from an
   equi-join on (band, band_hash) — the classic Broder scheme — so the cost
-  is |candidate pairs|, never N².  The hash family is md5 with a per-slot
-  salt: deterministic, engine-portable (the DuckDB oracle computes the
-  *identical* signatures), and uniform.  md5 costs more than xxhash64 but
-  keeps the whole pipeline differentially testable; swap ``_mh`` for
-  ``xxhash64`` when raw throughput matters more than oracle parity.
+  is |candidate pairs|, never N².  The hash family is ONE md5-derived base
+  hash per shingle plus ``k`` affine universal-hash transforms (see
+  ``MH_A``/``MH_B``): deterministic, engine-portable (the DuckDB oracle
+  computes the *identical* signatures), uniform, and ~k× cheaper than a
+  salted md5 per slot.  Swap ``base_hash`` for ``xxhash64`` when raw
+  throughput matters more than oracle parity.
 - **SimHash** uses ``xxhash64`` (native, cheap) — approximate by design,
   checked rows-only.
 
@@ -103,7 +104,9 @@ def with_minhash(
        push down and clone.
     """
     if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism
+        from lms_etl_pipeline_spark.session import default_parallelism
+
+        partitions = default_parallelism(df.sparkSession)
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
         F.size("_toks") >= 3
     )

@@ -21,6 +21,7 @@ from lms_etl_pipeline_spark.operators import dedup as dd
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.operators import vectors as vec
 from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.session import default_parallelism
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 EMB_DIM = 64
@@ -468,7 +469,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.dedup docstring)."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
-    part = toked.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    part = toked.repartition(default_parallelism(spark), "doc_id")
     hashed = part.select("doc_id", tx.kgram_hashes(F.col("_toks"), k=3).alias("_hs"))
     return hashed.select(
         "doc_id",
@@ -661,7 +662,7 @@ def near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tx.tokens("text").alias("_toks")).filter(F.size("_toks") >= 3)
     shingled = toked.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        default_parallelism(spark), "doc_id"
     ).select("doc_id", F.array_distinct(tx.shingles(F.col("_toks"), n=3)).alias("toks"))
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(shingled).filter(F.size("toks") > 0)

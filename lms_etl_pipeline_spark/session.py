@@ -47,6 +47,19 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def default_parallelism(spark: SparkSession, fallback: int = 32) -> int:
+    """Cluster parallelism for explicit repartitions, resilient to session
+    flavors: classic sessions expose ``sparkContext``; Spark Connect
+    sessions don't — fall back to the shuffle-partition conf."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 - Connect sessions raise PySparkNotImplementedError
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # noqa: BLE001
+            return fallback
+
+
 def get_spark(app_name: str = "lms-etl-pipeline-spark", **overrides: str) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
