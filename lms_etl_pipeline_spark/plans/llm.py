@@ -878,6 +878,31 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(EXP(SUM(LN(c_acctbal)) / COUNT(*)), 4) AS geomean_bal,
+           COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (grouped-aggregate pandas_udf): per-segment geometric
+    mean — a custom aggregate Spark lacks natively, Arrow-batched per
+    group.  Rounded to 4 decimals: the log-sum is an order-dependent float
+    reduction, and 1e-4 absorbs the cross-engine ulp drift the exact
+    decimal trick can't fix for transcendental functions."""
+    from lms_etl_pipeline_spark.functions.pandas_aggs import geomean, pd_count
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return c.groupBy("c_mktsegment").agg(
+        F.round(geomean("c_acctbal"), 4).alias("geomean_bal"),
+        pd_count("c_acctbal").alias("n"),
+    )
+
+
+@query(
     "applyinpandas_group_rank",
     oracle="""
     SELECT c_mktsegment, c_custkey, c_acctbal,
