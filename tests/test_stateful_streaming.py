@@ -47,3 +47,47 @@ def test_first_seen_across_runs(spark, tmp_path):
     )
     streaming.run_available_now(stream, sink, ckpt, output_mode="append")
     assert sorted(got) == [("u3", "2024-01-01 02:00:01")]
+
+
+def test_streaming_corpus_dedup_pipeline(spark, tmp_path):
+    """Composition: file stream -> content fingerprint -> stateful
+    first-seen dedup -> collected sink.  A doc re-ingested in a later batch
+    (same content, new doc_id) is dropped by the fingerprint key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    landing = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckd")
+    schema = StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP")
+
+    def land(rows):
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING, ts_s STRING").selectExpr(
+            "doc_id", "text", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    got: list = []
+
+    def run():
+        stream = streaming.file_stream(spark, landing, schema).select(
+            tx.fingerprint("text").alias("fp"), "ts"
+        )
+        deduped = streaming_first_seen(stream, "fp", "ts")
+        streaming.run_available_now(
+            deduped, lambda df, _: got.extend(r.key for r in df.collect()), ckpt,
+            output_mode="append",
+        )
+
+    land([(1, "the quick brown fox", "2024-01-01 00:00:00"),
+          (2, "a wholly different document", "2024-01-01 00:00:01")])
+    run()
+    assert len(got) == 2
+
+    got.clear()
+    # re-ingest doc 1's content under a new id (word order shuffled — the
+    # canonical-form fingerprint still matches), plus one genuinely new doc
+    land([(3, "brown quick the fox", "2024-01-02 00:00:00"),
+          (4, "never seen before text", "2024-01-02 00:00:01")])
+    run()
+    assert len(got) == 1  # only the new doc emerges
