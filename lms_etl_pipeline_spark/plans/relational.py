@@ -258,6 +258,75 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           LIST(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer order-key list.  ``collect_list`` is
+    shuffle-order-nondeterministic, so the engine convention is an explicit
+    ``array_sort`` on top — reproducible AND comparable across engines."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, TIME_BUCKET(INTERVAL '1 day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             DATE_DIFF('day', f.cohort_day, TIME_BUCKET(INTERVAL '1 day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT f.cohort_day,
+           CAST(a.day_offset AS INTEGER) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    WHERE a.day_offset <= 7
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per day-offset (the product-analytics staple).  Two aggregations + one
+    equi-join on user_id; the cohort table is user-cardinality (small
+    relative to events) and broadcastable at scale."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
 @query("sample_fraction", oracle=None)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed (reproducible within Spark for a
