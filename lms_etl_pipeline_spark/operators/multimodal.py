@@ -21,7 +21,7 @@ and fan-out (frame sampling) emitted incrementally per batch.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator, Iterable
+from collections.abc import Iterator
 
 import pandas as pd
 

@@ -12,7 +12,6 @@ character offsets coincide in the oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.operators import multimodal as mm
 from lms_etl_pipeline_spark.plans.catalog import query
