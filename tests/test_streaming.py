@@ -122,3 +122,43 @@ def test_sessionized_counts_streaming_plan(spark, tmp_path):
     # emitted rows); complete mode snapshots the full session state
     streaming.run_available_now(sessions, sink, str(tmp_path / "ck3"), output_mode="complete")
     assert sorted(got) == [(1, 1), (1, 2)]
+
+
+def test_watermark_drops_late_data_across_runs(spark, tmp_path):
+    """Late-data semantics: a row older than the checkpointed watermark is
+    dropped from windowed state; fresh rows aggregate normally."""
+    from pyspark.sql.types import StructType
+
+    landing = str(tmp_path / "late")
+    ckpt = str(tmp_path / "ckw")
+    schema = StructType.fromDDL("ts TIMESTAMP, user_id INT")
+
+    def land(ts_strs):
+        spark.createDataFrame([(t, 1) for t in ts_strs], "ts_s STRING, user_id INT").selectExpr(
+            "CAST(ts_s AS TIMESTAMP) AS ts", "user_id"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    got: list = []
+
+    def run():
+        win = streaming.windowed_counts(
+            streaming.file_stream(spark, landing, schema),
+            window_len="1 hour",
+            watermark="2 hours",
+        )
+        streaming.run_available_now(
+            win, lambda df, _: got.extend((str(r.w_start), r.n_events) for r in df.collect()), ckpt
+        )
+
+    # run 1: events up to 10:30 => watermark advances to ~08:30
+    land(["2024-01-01 10:00:00", "2024-01-01 10:30:00"])
+    run()
+    assert ("2024-01-01 10:00:00", 2) in got
+
+    # run 2: one hopelessly late row (05:00 < watermark) + one fresh row
+    got.clear()
+    land(["2024-01-01 05:00:00", "2024-01-01 11:00:00"])
+    run()
+    windows = dict(got)
+    assert "2024-01-01 11:00:00" in windows  # fresh row aggregated
+    assert "2024-01-01 05:00:00" not in windows  # late row dropped by watermark
