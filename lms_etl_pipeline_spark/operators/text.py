@@ -38,6 +38,9 @@ def tokens(text: Column | str, sep: str = r"\s+") -> Column:
     """Whitespace tokens with empties removed (codegen'd array expression).
 
     Splits on the ``\\s+`` regex so tabs/newlines separate tokens too.
+    ASCII-whitespace semantics (Java regex ``\\s`` == RE2 ``\\s`` — Spark
+    and the DuckDB oracle agree): unicode spaces like NEL (U+0085) or NBSP
+    are NOT separators and stay inside tokens, unlike Python ``str.split``.
     """
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, sep), lambda t: t != F.lit(""))

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): operator invariants that hold for ALL
+inputs, not just fixtures.
+
+Example counts are kept small — every example is a Spark job — but each
+property covers an input class unit tests can't enumerate (arbitrary
+unicode, adversarial whitespace, permutations, partitionings).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lms_etl_pipeline_spark import etl
+from lms_etl_pipeline_spark.functions.numeric import dec
+from lms_etl_pipeline_spark.operators import text as tx
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=80
+)
+
+
+@SET
+@given(texts)
+def test_tokens_never_empty_strings_and_count_matches(spark, s):
+    import re
+
+    row = spark.createDataFrame([Row(t=s)]).select(
+        tx.tokens("t").alias("toks"), tx.token_count("t").alias("n")
+    ).collect()[0]
+    assert "" not in row.toks
+    assert row.n == len(row.toks)
+    # ASCII-whitespace contract: Java regex \s == RE2 \s (so Spark and the
+    # DuckDB oracle agree); NOT Python str.split, which also splits on
+    # unicode spaces like NEL \x85 (hypothesis found that divergence)
+    expected = [t for t in re.split(r"[ \t\n\x0b\f\r]+", s) if t]
+    assert row.toks == expected
+
+
+@SET
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=3), max_size=8), st.integers(2, 4))
+def test_shingle_count_invariant(spark, toks, n):
+    df = spark.createDataFrame([Row(toks=toks)], "toks ARRAY<STRING>")
+    sh = df.select(tx.shingles(F.col("toks"), n=n).alias("sh")).collect()[0].sh
+    assert len(sh) == max(0, len(toks) - n + 1)
+
+
+@SET
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=30), min_size=1, max_size=6))
+def test_fingerprint_invariant_under_shuffle_and_dup(spark, words):
+    base = " ".join(words)
+    shuffled = " ".join(sorted(words, reverse=True)) + " " + (words[0] if words else "")
+    df = spark.createDataFrame([Row(a=base, b=shuffled)])
+    row = df.select(
+        tx.fingerprint("a").alias("fa"), tx.fingerprint("b").alias("fb")
+    ).collect()[0]
+    # same token SET => same fingerprint (order/multiplicity-insensitive)
+    if set(base.split()) == set(shuffled.split()):
+        assert row.fa == row.fb
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 8),
+)
+def test_dec_sum_partition_invariant(spark, values, parts):
+    """The engine's decimal-sum convention is bit-identical under ANY
+    partitioning — the property plain double sums lack."""
+    df = spark.createDataFrame([(v,) for v in values], "v DOUBLE")
+    a = df.coalesce(1).agg(F.sum(dec("v")).cast("double").alias("s")).collect()[0].s
+    b = df.repartition(parts).agg(F.sum(dec("v")).cast("double").alias("s")).collect()[0].s
+    assert a == b
+
+
+@SET
+@given(st.text(max_size=30))
+def test_align_to_schema_never_throws_on_bad_casts(spark, s):
+    df = spark.createDataFrame([Row(x=s)])
+    target = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+        ]
+    )
+    out = etl.align_to_schema(df, target).collect()[0]
+    # either parsed or NULL — never an ANSI abort
+    assert out.x is None or isinstance(out.x, int)
