@@ -622,7 +622,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = q.join(exact_kept, "doc_id").select("doc_id", "lang", "text", "n_tokens")
+    # materialize once: survivors feeds BOTH the LSH pipeline and the final
+    # anti-join — left lazy, the quality+fingerprint subtree runs twice
+    survivors = (
+        q.join(exact_kept, "doc_id")
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
     pairs = dd.near_dup_pairs(survivors, "doc_id", "text")
     comps = connected_components(pairs.select("a", "b"))
     dropped = comps.filter(F.col("node") != F.col("component")).select(
