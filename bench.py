@@ -1,7 +1,6 @@
 """Headline benchmark: wall-clock the engine's flagship queries at sf0.1.
 
-Runs each headline query end-to-end (plan build + execution + result fetch
-via a count-style action) on ``local[$SPARK_GRAFT_CPUS]`` against
+Runs each headline query end-to-end on ``local[$SPARK_GRAFT_CPUS]`` against
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) and prints ONE
 JSON line::
 
@@ -12,6 +11,16 @@ The headline set is chosen to cover every expensive plan shape the engine
 claims: scan-heavy agg, fact-fact shuffle join + broadcast dims, outer join
 agg, window functions, event windowing, TF-IDF (explode + double agg +
 shuffle join), MinHash-LSH near-dup, and exact cosine top-k.
+
+Measurement discipline (round-2 advisories):
+
+- each query is forced through a **full-column hash-sum sink**, not
+  ``count()`` — Catalyst column-prunes projection-only plans under count,
+  which silently under-reports projection-shaped work (e.g. minhash's
+  hash-slot arrays were being optimized away);
+- each query runs ``BENCH_REPS`` times (default 2) and reports the MIN —
+  this box shows ±25% run-to-run variance, and min-take tames it so
+  round-over-round deltas mean something.
 """
 
 from __future__ import annotations
@@ -50,22 +59,37 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from lms_etl_pipeline_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    reps = max(int(os.environ.get("BENCH_REPS", "2")), 1)
+
+    def force_eval(df) -> None:
+        """Evaluate EVERY output column (hash-sum sink), so projection-only
+        plans can't be column-pruned down to a row count."""
+        cols = [
+            F.to_json(F.struct(c)) if t.startswith(("map<", "struct<")) else F.col(c)
+            for c, t in df.dtypes
+        ]
+        # bit_xor (not sum): the engine runs ANSI mode, where summing 64-bit
+        # hashes overflows
+        df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h")).collect()
 
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup.
-    qs["flagship_regional_revenue"](spark, sf_dir).count()
+    force_eval(qs["flagship_regional_revenue"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        # without driver-side row materialization costs skewing the number.
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force_eval(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -44,32 +44,36 @@ def asof_join(
     ``value_cols`` are the right-side payload columns to carry (default:
     all non-key, non-ts right columns).  ``tolerance`` (an INTERVAL string,
     e.g. ``'30 days'``) drops matches older than ``left_ts - tolerance`` —
-    the pandas ``merge_asof`` contract.
+    the pandas ``merge_asof`` contract.  A payload column whose name
+    collides with a left column is emitted as ``{name}_right`` (pandas
+    ``merge_asof`` suffix behavior); payloads are aliased to ``__r_`` names
+    *at select time* so the schema-alignment NULL padding below can never
+    clobber them.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn("__ts", F.col(left_ts))
-    r_tagged = (
-        right.select(
-            F.col(on),
-            F.col(right_ts).alias("__ts"),
-            *[F.col(c) for c in value_cols],
-        )
-        .withColumn(_SIDE, F.lit(0))
-    )
+    # payload goes straight to its reserved __r_ name: a value_col that
+    # shares a name with a left column must survive the left-schema padding
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).withColumn(_SIDE, F.lit(0))
     # align schemas for the union: left keeps its columns, right contributes
     # the payload; missing columns are NULL on the other side
+    r_types = dict(r_tagged.dtypes)
     for c in left.columns:
         if c not in (on,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(dict(r_tagged.dtypes)[c]))
+        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(r_types[f"__r_{c}"]))
     r_tagged = r_tagged.select(
         *[F.col(c) for c in left.columns],
         F.col("__ts"),
         F.col(_SIDE),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(f"__r_{c}") for c in value_cols],
     )
     l_tagged = l_tagged.select(
         *[F.col(c) for c in left.columns],
@@ -99,10 +103,12 @@ def asof_join(
         for c in value_cols:
             out = out.withColumn(f"__r_{c}", F.when(within, F.col(f"__r_{c}")))
         out = out.withColumn("__match_ts", F.when(within, F.col("__match_ts")))
+    # merge_asof-style suffix on collision so output names stay unique
+    out_name = {c: (f"{c}_right" if c in left.columns else c) for c in value_cols}
     return out.select(
         *[F.col(c) for c in left.columns],
         F.col("__match_ts").alias(f"asof_{right_ts}"),
-        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__r_{c}").alias(out_name[c]) for c in value_cols],
     )
 
 

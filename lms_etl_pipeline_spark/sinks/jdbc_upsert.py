@@ -96,9 +96,15 @@ def upsert_via_staging(
     writer.save()
 
     # Driver-side merge through the JVM's DriverManager (same classpath the
-    # JDBC writer used — no Python DB driver needed).
+    # JDBC writer used — no Python DB driver needed).  ``properties`` (the
+    # standard carrier for user/password) must reach this connection too,
+    # not just the staging write, or the merge fails against any
+    # authenticated database (round-2 advisory).
     jvm = df.sparkSession._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    jprops = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
         try:

@@ -62,6 +62,7 @@ class RestApiReader(DataSourceReader):
         self.rows_key = options.get("rows_key", "users")
         self.total_key = options.get("total_key", "totalItems")
         self.timeout = float(options.get("timeout", "30"))
+        self.trust_pushdown = options.get("trust_pushdown", "false").lower() == "true"
         self.headers = {"Content-Type": "application/json"}
         if options.get("api_key"):
             self.headers["x-api-key"] = options["api_key"]
@@ -71,11 +72,21 @@ class RestApiReader(DataSourceReader):
 
     # -- pushdown -----------------------------------------------------------
     def pushFilters(self, filters: Sequence) -> Iterator:
-        """Translate equality predicates to the API's ``_filter`` param;
-        everything else stays in Spark (yielded back as unsupported)."""
+        """Translate equality predicates to the API's ``_filter`` param.
+
+        By default every filter — including the pushed ones — is yielded
+        back so Spark re-applies it post-scan: REST APIs commonly ignore
+        unknown query params, and a server that drops ``_filter`` would
+        otherwise silently return unfiltered rows as if they matched
+        (round-2 advisory).  Pushdown still prunes network traffic when the
+        API honors it; ``.option("trust_pushdown", "true")`` opts into
+        consuming the filters for servers known to enforce them.
+        """
         for f in filters:
             if isinstance(f, EqualTo) and len(f.attribute) == 1:
                 self._pushed[f.attribute[0]] = str(f.value)
+                if not self.trust_pushdown:
+                    yield f
             else:
                 yield f
 

@@ -69,9 +69,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
-        path = table_path(sf_dir, name)
         try:
-            out[name] = spark.read.parquet(path)
+            # route through load_table so per-table normalizations (events.ts
+            # nanos -> microsecond timestamp) apply uniformly — SQL over
+            # registered views must see the same schema the plan builders do
+            out[name] = load_table(spark, sf_dir, name)
         except Exception:  # noqa: BLE001 - missing table is a supported layout
             continue
     return out

@@ -93,6 +93,34 @@ def test_equality_filter_pushes_to_api(registered, api):
     assert all(q.get("_filter") == "departmentId eq 'D1'" for q in _PagedApi.requests)
 
 
+class _IgnoresFilterApi(_PagedApi):
+    """Server that silently drops the ``_filter`` param — the common REST
+    behavior for unknown query params."""
+
+    def do_GET(self):
+        q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+        q.pop("_filter", None)  # pretend we never saw it
+        self.path = "/users?" + "&".join(f"{k}={v}" for k, v in q.items())
+        super().do_GET()
+
+
+@pytest.fixture(scope="module")
+def deaf_api():
+    httpd = HTTPServer(("127.0.0.1", 0), _IgnoresFilterApi)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_filter_correct_when_api_ignores_pushdown(registered, deaf_api):
+    """Spark must re-apply pushed predicates post-scan: a server that drops
+    ``_filter`` would otherwise return unfiltered rows as if they matched."""
+    df = _read(registered, deaf_api).filter(F.col("departmentId") == "D1")
+    rows = df.collect()
+    assert {r.departmentId for r in rows} == {"D1"}
+    assert len(rows) == len([u for u in USERS if u["departmentId"] == "D1"])
+
+
 def test_schema_is_mandatory(registered, api):
     with pytest.raises(Exception, match="schema"):
         registered.read.format("rest_api").option("base_url", api).option(

@@ -95,6 +95,22 @@ def test_asof_join_no_right_rows(spark):
     assert len(out) == 1 and out[0].val is None  # left preserved, NULL payload
 
 
+def test_asof_join_overlapping_payload_name(spark):
+    """A right payload column that shares its name with a left column must
+    carry real matched values (not silently NULL) and come back suffixed
+    ``_right`` — the pandas merge_asof contract (round-2 advisory)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "left-status")], "user_id INT, ts_s STRING, status STRING"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "status")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "right-status")], "user_id INT, ts_s STRING, status STRING"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "status")
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    assert sorted(out.columns) == ["asof_ts", "status", "status_right", "ts", "user_id"]
+    row = out.collect()[0]
+    assert row.status == "left-status" and row.status_right == "right-status"
+
+
 def test_single_row_quality(spark):
     df = spark.createDataFrame([(1, "word")], "doc_id BIGINT, text STRING")
     r = tx.quality_features(df).collect()[0]
