@@ -1380,3 +1380,396 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, second wave: Q4/Q7/Q9/Q11/Q13/Q17/Q20/Q21/Q22
+#
+# The fixtures lack partsupp, l_commitdate/l_receiptdate, o_comment and
+# c_phone, so each query keeps the REFERENCE OPERATOR SHAPE (EXISTS
+# semi-join + agg, nation-pair volume, profit decomposition, HAVING over a
+# global scalar, count-distribution, correlated scalar subquery, nested
+# semi-join, exists/not-exists chain, anti-join + global-avg subquery) with
+# predicates re-expressed over available columns.  Divergences are noted
+# per query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    low-cardinality aggregation.  (No l_commitdate in the fixtures; the
+    "late" predicate becomes ``l_returnflag = 'R'``.)
+
+    Scale: the date filter pushes into the orders scan; the semi join
+    shuffles on orderkey and carries no lineitem payload (semi joins emit
+    left rows only); the agg state is |priorities| rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 4) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, both
+    directions, by year.
+
+    Scale: nation broadcasts twice under different aliases; the symmetric
+    pair predicate is a residual on the joined row; the only shuffles are
+    the two fact-fact joins (lineitem⋈orders, then ⋈customer)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum_of(_revenue(), "revenue"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM({_REVENUE_SQL}
+                 - CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(p.p_retailprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit decomposition (revenue minus cost) by supplier
+    nation and order year.  (No partsupp in the fixtures: ps_supplycost is
+    replaced by quantity x p_retailprice — same expression shape, exact
+    decimal all the way.)
+
+    Scale: part/supplier/nation broadcast; lineitem⋈orders is the one big
+    shuffle; the profit expression is per-row codegen with exact decimals,
+    summed order-independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    profit = _revenue() - F.col("l_quantity").cast("DECIMAL(12,2)") * F.col(
+        "p_retailprice"
+    ).cast("DECIMAL(12,2)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dec_sum_of(profit, "sum_profit"))
+    )
+
+
+@query(
+    "q11_important_values",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey, SUM({_REVENUE_SQL}) AS value_dec
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey < 5
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(value_dec, 4) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(ROUND(value_dec, 4) AS DOUBLE)
+        > (SELECT CAST(ROUND(SUM(value_dec), 4) AS DOUBLE) * 0.001 FROM pv)
+    """,
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value sums kept only when above a fraction
+    of the GLOBAL total — a scalar subquery over the same aggregate.
+    (partsupp value becomes lineitem revenue per part from low-key-nation
+    suppliers.)
+
+    Scale: the per-part aggregate computes once; the global total is a
+    1-row reaggregation of it (not a second corpus scan) broadcast into the
+    filter.  Both sides canonicalize ROUND(..,4)->DOUBLE before comparing —
+    the scale-8 total's scaled integer exceeds 2^53, where raw
+    decimal->double conversion diverges between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("value_dec"))
+    )
+    total = pv.agg(
+        (F.round(F.sum("value_dec"), 4).cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.round(F.col("value_dec"), 4).cast("double") > F.col("threshold"))
+        .select("l_partkey", F.round(F.col("value_dec"), 4).cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts — a left
+    outer join with a join-time residual, then two stacked aggregations.
+    (o_comment NOT LIKE becomes an o_orderpriority exclusion.)
+
+    Scale: the outer join shuffles on custkey; the first agg reuses that
+    partitioning (no extra shuffle); the second agg is |distinct counts|
+    rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a grouped aggregate joined back to the
+    probe side.
+
+    Scale: the per-part average is |parts| rows (broadcastable); the brand
+    filter prunes part before its broadcast; quantities are integral
+    doubles, so AVG is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.round(F.sum(dec("l_extendedprice")), 4).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    SELECT s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 50
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join — suppliers who shipped more than
+    a threshold of any filtered part in a year.  (partsupp availability
+    becomes shipped-quantity-per-supplier-part.)
+
+    Scale: the inner aggregate groups on (suppkey, partkey) — one shuffle
+    over the filtered year slice; the HAVING output is tiny and drives a
+    left-semi join into supplier."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_name", "s_nationkey"
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair ("another supplier on
+    the order, but no OTHER supplier at fault") decorrelated into ONE
+    per-order aggregate: n_suppliers > 1 AND n_flagged_suppliers == 1.
+    (l_receiptdate > l_commitdate becomes l_returnflag = 'R'.)
+
+    Scale: the decorrelation replaces two correlated-subquery scans with a
+    single groupBy(orderkey) over lineitem — one shuffle, each side reused;
+    the classic formulation would scan lineitem three times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(per_order, l1.l_orderkey == F.col("po_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_balances",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                              / COUNT(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti-join + uncorrelated scalar-average subquery —
+    above-average-balance customers with no urgent orders, grouped by
+    nation.  (Phone country code becomes c_nationkey; "no orders" becomes
+    "no URGENT orders" so the fixtures yield rows.)
+
+    Scale: the global average is a 1-row broadcast; the anti join shuffles
+    on custkey against the pre-filtered urgent slice; the final agg is
+    |nations| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(dec("c_acctbal")), 4).cast("double").alias("totacctbal"),
+        )
+    )

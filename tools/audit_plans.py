@@ -25,6 +25,8 @@ ALLOW_CROSS = {
     "tf_idf_top_terms",      # 1-row corpus-count broadcast
     "text_token_stats",      # same corpus-count pattern via tx.tf_idf
     "tfidf_cosine_pairs",    # same 1-row corpus-count broadcast via tx.tf_idf
+    "q11_important_values",  # 1-row global-threshold broadcast (scalar subquery)
+    "q22_dormant_balances",  # 1-row global-average broadcast (scalar subquery)
 }
 
 
