@@ -51,3 +51,33 @@ def test_cli_list_and_run(capsys):
     assert "EUROPE" in out
 
     assert main(["run", "nope"]) == 2
+
+def _scan_metrics(df):
+    """Execute ``df`` and return (numFiles, filesSize) from its parquet scan
+    node — the post-pruning selection the executor actually reads.
+
+    ``collect()`` (not ``count()``): count builds a NEW query execution, so
+    the metrics on THIS DataFrame's plan would stay zero."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getSimpleName() or "Scan parquet" in node.nodeName():
+            m = node.metrics()
+            return m.apply("numFiles").value(), m.apply("filesSize").value()
+    raise AssertionError("no parquet scan leaf found")
+
+
+def test_partition_pruning_reduces_bytes_read(spark, tmp_path):
+    """Measured (not just plan-text) pruning evidence: the scan of one
+    partition value reads strictly fewer files AND bytes than the full scan."""
+    e = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_type")
+    parquet_io.write_partitioned(e, path, ["event_type"])
+
+    back = parquet_io.read_partitioned(spark, path)
+    all_files, all_bytes = _scan_metrics(back)
+    one_files, one_bytes = _scan_metrics(back.filter(F.col("event_type") == "click"))
+    assert one_files < all_files
+    assert one_bytes < all_bytes
+    assert one_bytes > 0
