@@ -219,3 +219,35 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_csv(spark, path, schema)
+
+
+@query(
+    "jsonl_roundtrip_documents",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + scan — the LLM-corpus interchange hop, proven lossless.
+
+    Documents go out as newline-delimited JSON (one task per output
+    partition, line-splittable on read) and come back through the explicit-
+    schema PERMISSIVE scan; the differential check pins that arbitrary
+    corpus text (embedded quotes/newlines are JSON-escaped) survives the
+    round trip byte-for-byte.  Scratch space lives inside the repo.
+    """
+    from lms_etl_pipeline_spark.sources.jsonl_io import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = "/root/repo/.scratch/documents_jsonl"
+    write_jsonl(d, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema)

@@ -438,6 +438,80 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, LIST_SORT({_SHINGLES}) AS sh FROM documents
+    ),
+    nz AS (SELECT doc_id, sh, LEN(sh) AS n FROM sh_t WHERE LEN(sh) > 0),
+    pref AS (
+      SELECT doc_id,
+             UNNEST(LIST_SLICE(sh, 1, n - CAST(CEIL(0.5 * n) AS BIGINT) + 1)) AS g
+      FROM nz
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM pref l JOIN pref r ON l.g = r.g AND l.doc_id < r.doc_id
+    )
+    SELECT c.a, c.b,
+           CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+             / (sa.n + sb.n - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+             AS jaccard
+    FROM cands c
+    JOIN nz sa ON sa.doc_id = c.a
+    JOIN nz sb ON sb.doc_id = c.b
+    WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+             / (sa.n + sb.n - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+             >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via prefix filtering
+    (PPJoin-style): two 3-gram shingle *sets* with Jaccard >= t must share
+    at least one element in the first ``n - ceil(t*n) + 1`` elements of any
+    consistent total order — so candidate generation is an equi-join on the
+    exploded *prefix* only (lossless, unlike LSH, and far cheaper than the
+    full inverted index).  Verification recomputes exact Jaccard on the
+    candidate pairs alone.
+
+    Scale path: the prefix join shuffles |prefix| ≈ (1-t)·|shingles| rows
+    per doc on the shingle key — never N² — and a frequency-ordered global
+    ordering (rarest shingle first) would shrink candidates further; the
+    lexicographic order used here keeps the oracle engine-portable.
+    """
+    t = 0.5
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(tx.shingles(tx.tokens("text"), 3))).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("n", F.size("sh"))
+    )
+    sh = sh.repartition(default_parallelism(spark), "doc_id").localCheckpoint(eager=False)
+    prefix_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    pref = sh.select("doc_id", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("g"))
+    cands = (
+        pref.alias("l")
+        .join(pref.alias("r"), "g")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("_sha"), F.col("n").alias("_na"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("_shb"), F.col("n").alias("_nb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+@query(
     "dedup_winnowing",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -259,6 +259,45 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation, differentially proven identical
+    to the plain ``GROUP BY``.
+
+    ``o_orderpriority`` has 5 values, so a naive groupBy funnels ~20% of the
+    table into each of 5 reducers no matter how many executors exist.
+    ``operators.skew.salted_agg`` pre-aggregates on (key, salt) — spreading
+    every hot key over n=8 reducers — then combines the ≤8 exact-decimal
+    partials per key.  Decimal partial sums make the two-stage result
+    bit-identical to the one-stage oracle regardless of salt assignment.
+    """
+    from lms_etl_pipeline_spark.operators.skew import salted_agg
+
+    o = load_table(spark, sf_dir, "orders")
+    out = salted_agg(
+        o,
+        ["o_orderpriority"],
+        {
+            "n_orders": (F.count("*"), "sum"),
+            "total_price": (F.sum(dec("o_totalprice")), "sum"),
+        },
+        n=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
+@query(
     "agg_collect_sorted",
     oracle="""
     SELECT o_custkey,
