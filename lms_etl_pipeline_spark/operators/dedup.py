@@ -189,6 +189,64 @@ def near_dup_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via prefix filtering
+    (the PPJoin family's core idea).
+
+    For any consistent total order over shingles, two sets with
+    ``J(A, B) >= t`` must share an element within the first
+    ``|X| - ceil(t * |X|) + 1`` elements of each set — so candidates come
+    from an equi-join on the exploded *prefix* only.  Unlike MinHash-LSH
+    this is lossless: recall is exactly 1 by the prefix-filter theorem, and
+    the exact-Jaccard verification on candidates makes precision 1 too.
+
+    Scale: shuffles ≈ (1-t)·|shingles| rows per doc on the shingle key —
+    linear, never N².  A frequency-ordered ordering (rarest shingle first)
+    would shrink the candidate set further; lexicographic order is used so
+    differential oracles can reproduce it with plain ``LIST_SORT``.
+    Output columns: ``(a, b, jaccard)`` with ``a < b``.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(shingles(tokens(text_col), n))).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_n", F.size("_sh"))
+    )
+    if num_partitions:
+        sh = sh.repartition(num_partitions, "_id")
+    # Reused thrice (prefix explode + both verify probes): cut the lineage
+    # once so the shingle arrays are not recomputed per consumer.
+    sh = sh.localCheckpoint(eager=False)
+    prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    pref = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("_g"))
+    cands = (
+        pref.alias("l")
+        .join(pref.alias("r"), "_g")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"), F.col("_n").alias("_na"))
+    sb = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"), F.col("_n").alias("_nb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(text_col: Column | str) -> Column:
     """64-bit SimHash over word tokens using native xxhash64, as a bit
     string (``"0110..."``, MSB first).

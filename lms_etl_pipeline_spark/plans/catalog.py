@@ -42,7 +42,6 @@ _PRIORITY: tuple[str, ...] = (
     # window functions
     "window_row_number_rank",
     "window_topk_per_group",
-    "window_lag_lead",
     "window_running_sum",
     "window_range_between",
     "window_ntile_percentile",
@@ -60,19 +59,21 @@ _PRIORITY: tuple[str, ...] = (
     "text_sentiment_lexicon",
     "tf_idf_top_terms",
     "tfidf_cosine_pairs",
-    # deduplication
+    # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
+    # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
     "dedup_exact_text",
     "minhash_signatures",
     "near_dup_pairs_lsh",
+    "ngram_jaccard_pairs",
     "dedup_winnowing",
     "dedup_clusters",
     "corpus_curation_pipeline",
+    "agg_salted_skew",
     # similarity search / embeddings
     "knn_cosine_exact",
     "dedup_embedding_cosine",
     # scalar function families past last round's cut
     "scalar_json_funcs",
-    "scalar_map_funcs",
     # Python compute surface (UDTF / grouped-agg / grouped-map)
     "udtf_sentence_split",
     "pandas_udaf_geomean",

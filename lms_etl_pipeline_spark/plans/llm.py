@@ -479,35 +479,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering (rarest shingle first) would shrink candidates further; the
     lexicographic order used here keeps the oracle engine-portable.
     """
-    t = 0.5
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "doc_id",
-            F.array_sort(F.array_distinct(tx.shingles(tx.tokens("text"), 3))).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .withColumn("n", F.size("sh"))
-    )
-    sh = sh.repartition(default_parallelism(spark), "doc_id").localCheckpoint(eager=False)
-    prefix_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
-    pref = sh.select("doc_id", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("g"))
-    cands = (
-        pref.alias("l")
-        .join(pref.alias("r"), "g")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("_sha"), F.col("n").alias("_na"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("_shb"), F.col("n").alias("_nb"))
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
-    return (
-        cands.join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= t)
+    return dd.jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.5,
+        num_partitions=default_parallelism(spark),
     )
 
 

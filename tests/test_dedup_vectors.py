@@ -88,3 +88,54 @@ def test_dot_sql_fragment_matches_spark(spark):
     df = spark.createDataFrame([Row(a=a, b=b)])
     spark_v = df.select(vec.dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
     assert math.isclose(duck, spark_v, rel_tol=0.0, abs_tol=0.0)  # bit-identical
+
+
+def _brute_force_jaccard_pairs(rows, n=3, threshold=0.5):
+    """Reference all-pairs n-gram Jaccard (test-only, O(N^2))."""
+    sets = {}
+    for rid, text in rows:
+        toks = [t for t in text.split() if t]
+        sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        if sh:
+            sets[rid] = sh
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= threshold:
+                out[(a, b)] = jac
+    return out
+
+
+def test_jaccard_pairs_prefix_matches_brute_force(spark):
+    # Mix of exact dup, near dup, disjoint, and short (< n tokens) docs:
+    # the prefix filter must lose NOTHING vs the quadratic reference.
+    near = DOC + " tonight"
+    rows = [
+        (1, DOC),
+        (2, DOC),  # exact duplicate
+        (3, near),  # near duplicate
+        (4, "completely different words about completely other things entirely"),
+        (5, "tiny doc"),  # < 3 tokens -> no shingles -> excluded
+        (6, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    expected = _brute_force_jaccard_pairs(rows, n=3, threshold=0.4)
+    df = spark.createDataFrame([Row(id=r, t=t) for r, t in rows])
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dd.jaccard_pairs_prefix(df, "id", "t", n=3, threshold=0.4).collect()
+    }
+    assert set(got) == set(expected)
+    for pair, jac in expected.items():
+        assert math.isclose(got[pair], jac, rel_tol=1e-12)
+    assert got[(1, 2)] == 1.0
+
+
+def test_jaccard_pairs_prefix_threshold_one_keeps_only_exact(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t=DOC), Row(id=2, t=DOC), Row(id=3, t=DOC + " extra")]
+    )
+    got = {(r.a, r.b) for r in dd.jaccard_pairs_prefix(df, "id", "t", threshold=1.0).collect()}
+    assert got == {(1, 2)}
