@@ -259,6 +259,49 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) per group.
+
+    Spark's ``percentile`` sorts within the aggregation buffer and linearly
+    interpolates at rank (n-1)*p — the same definition DuckDB's
+    QUANTILE_CONT uses, so results match to the last interpolation ulp;
+    one ROUND(4) on both sides absorbs it.  The scale path for percentiles
+    over billions of rows is ``approx_percentile`` (t-digest sketch, fixed
+    memory, mergeable partials); this exact query is its correctness
+    anchor, same pattern as approx_count_distinct / agg_distinct_counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@query(
+    "agg_approx_percentiles",
+    oracle=None,  # t-digest sketch: engine-specific; exact anchor = agg_percentiles_exact
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (fixed-memory mergeable sketch) — the 100 TB
+    percentile path; rows-only checked, anchored by agg_percentiles_exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).alias("p50_price"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).alias("p90_price"),
+    )
+
+
+@query(
     "agg_salted_skew",
     oracle="""
     SELECT o_orderpriority,

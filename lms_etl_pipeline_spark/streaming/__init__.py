@@ -105,6 +105,56 @@ def windowed_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-bound condition
+    (the ad-attribution shape: impression ⋈ click within ``within``).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can evict buffered rows once the
+    watermark passes — without the time bound, stream-stream join state
+    grows forever.  ``how='left_outer'`` additionally emits unmatched left
+    rows after the watermark proves no match can arrive.  Columns from the
+    right side are suffixed ``_r`` to keep the output schema unambiguous.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    cond = (
+        (F.col(key_col) == F.col(f"{key_col}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes its first-seen event time, then evicts it — the
+    at-scale alternative to ``dropDuplicates`` on a stream, whose state
+    otherwise grows with every distinct key ever seen.  Guarantees
+    one-row-per-key among events that arrive within the watermark delay of
+    each other (exactly the retry/replay window duplicate producers have).
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def sessionized_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -199,3 +199,89 @@ def test_rate_source_runtime_smoke(spark, tmp_path):
         assert rows > 0, "rate source produced no rows within 30s"
     finally:
         q.stop()
+
+
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    """Watermarked stream-stream join: clicks attribute to the impression
+    they follow within the bound; outside-bound clicks drop."""
+    from pyspark.sql.types import StructType
+
+    imp_path, clk_path = str(tmp_path / "imp"), str(tmp_path / "clk")
+    schema_ddl = "ad_id INT, ts TIMESTAMP"
+
+    def land(path, rows):
+        spark.createDataFrame(rows, "ad_id INT, ts_s STRING").selectExpr(
+            "ad_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    land(imp_path, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")])
+    land(
+        clk_path,
+        [
+            (1, "2024-01-01 10:30:00"),  # within 1 hour -> joins
+            (2, "2024-01-01 12:30:00"),  # 2.5h later -> outside bound
+        ],
+    )
+    schema = StructType.fromDDL(schema_ddl)
+    joined = streaming.stream_stream_join(
+        streaming.file_stream(spark, imp_path, schema),
+        streaming.file_stream(spark, clk_path, schema),
+        key_col="ad_id",
+        within="1 hour",
+    )
+    assert joined.isStreaming
+
+    got: list = []
+    streaming.run_available_now(
+        joined,
+        lambda df, _: got.extend((r.ad_id, str(r.ts), str(r.ts_r)) for r in df.collect()),
+        str(tmp_path / "ckj"),
+        output_mode="append",
+    )
+    assert got == [(1, "2024-01-01 10:00:00", "2024-01-01 10:30:00")]
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark delay
+    collapse to one row (within a run and across checkpointed runs)."""
+    from pyspark.sql.types import StructType
+
+    landing = str(tmp_path / "dupes")
+    ckpt = str(tmp_path / "ckd")
+    schema = StructType.fromDDL("k INT, ts TIMESTAMP")
+
+    def land(rows):
+        spark.createDataFrame(rows, "k INT, ts_s STRING").selectExpr(
+            "k", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    got: list = []
+
+    def run():
+        dedup = streaming.dedup_within_watermark(
+            streaming.file_stream(spark, landing, schema), ["k"], watermark="2 hours"
+        )
+        streaming.run_available_now(
+            dedup,
+            lambda df, _: got.extend((r.k, str(r.ts)) for r in df.collect()),
+            ckpt,
+            output_mode="append",
+        )
+
+    # run 1: key 1 arrives thrice (replayed producer), key 2 once
+    land(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:00:30"),
+            (1, "2024-01-01 10:01:00"),
+            (2, "2024-01-01 10:05:00"),
+        ]
+    )
+    run()
+    assert sorted(got) == [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:05:00")]
+
+    # run 2: key 1 replays again within the watermark delay -> still dropped
+    got.clear()
+    land([(1, "2024-01-01 10:30:00"), (3, "2024-01-01 10:30:00")])
+    run()
+    assert sorted(got) == [(3, "2024-01-01 10:30:00")]
