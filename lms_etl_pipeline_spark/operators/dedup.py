@@ -196,6 +196,7 @@ def jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    order: str = "lex",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via prefix filtering
     (the PPJoin family's core idea).
@@ -207,24 +208,61 @@ def jaccard_pairs_prefix(
     this is lossless: recall is exactly 1 by the prefix-filter theorem, and
     the exact-Jaccard verification on candidates makes precision 1 too.
 
+    Any consistent total order is *correct*; which one is *fast* depends on
+    the shingle-frequency distribution, so it's a parameter:
+
+    - ``order='lex'`` (default): sort each shingle set lexicographically —
+      one projection, no extra shuffle.  Right when document frequencies
+      are flat (no hot shingles), as in the synthetic fixtures (27k
+      distinct shingles, max df 25/5000 docs: measured 5.5 s vs 27 s for
+      df-ordering at sf0.1, candidates 567k vs 409k — the df aggregate
+      bought nothing).
+    - ``order='df'``: global document-frequency-ascending order (rarest
+      shingle first, ties lexicographic) — the PPJoin ordering.  On real
+      Zipfian corpora the lexicographic prefix inevitably contains
+      stopword shingles with df in the millions, each generating df²/2
+      candidate entries; df-ordering keeps prefixes maximally selective
+      and is the only order that survives 100 TB.  Costs one extra
+      shingle-keyed count aggregate + a sort by (df, shingle); both are
+      data-derived and deterministic, so a differential oracle can
+      reproduce them exactly.
+
     Scale: shuffles ≈ (1-t)·|shingles| rows per doc on the shingle key —
-    linear, never N².  A frequency-ordered ordering (rarest shingle first)
-    would shrink the candidate set further; lexicographic order is used so
-    differential oracles can reproduce it with plain ``LIST_SORT``.
-    Output columns: ``(a, b, jaccard)`` with ``a < b``.
+    linear, never N².  Output columns: ``(a, b, jaccard)`` with ``a < b``.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(F.array_distinct(shingles(tokens(text_col), n))).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .withColumn("_n", F.size("_sh"))
+    if order not in ("lex", "df"):
+        raise ValueError(f"order must be 'lex' or 'df', got {order!r}")
+    # Tokenize in its own projection and filter on the cheap token count —
+    # an inlined tokens() subtree is re-evaluated per shingle position in
+    # interpreted higher-order eval (see with_minhash plan-shape notes).
+    toked = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
     )
     if num_partitions:
-        sh = sh.repartition(num_partitions, "_id")
+        toked = toked.repartition(num_partitions, "_id")
+    sets = toked.select("_id", F.array_distinct(shingles(F.col("_toks"), n)).alias("_sh"))
+    if order == "lex":
+        sh = sets.select("_id", F.array_sort("_sh").alias("_sh")).withColumn(
+            "_n", F.size("_sh")
+        )
+    else:
+        ex = sets.select("_id", F.explode("_sh").alias("_g"))
+        dfreq = ex.groupBy("_g").agg(F.count("*").alias("_dfg"))
+        # Per-doc shingle list sorted by (global df, shingle): struct natural
+        # ordering gives the total order; collect_list's nondeterministic
+        # order is normalized by the sort.
+        sh = (
+            ex.join(dfreq, "_g")
+            .groupBy("_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_dfg", "_g"))).alias("_osh"))
+            .select(
+                "_id",
+                F.transform("_osh", lambda s: s["_g"]).alias("_sh"),
+                F.size("_osh").alias("_n"),
+            )
+        )
     # Reused thrice (prefix explode + both verify probes): cut the lineage
-    # once so the shingle arrays are not recomputed per consumer.
+    # once so the ordered arrays are not recomputed per consumer.
     sh = sh.localCheckpoint(eager=False)
     prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
     pref = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("_g"))

@@ -438,6 +438,106 @@ def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                    i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 1), ' '))) AS bigram
+      FROM t WHERE LEN(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the fraction of all bigrams taken by the single
+    most frequent bigram, and the fraction covered by any repeated bigram —
+    the standard filters for template/boilerplate text that length and
+    stopword ratios miss.
+
+    Relational plan, not a per-row array search: ONE explode to long form,
+    count per (doc, bigram), then a per-doc max/sum — two partial-aggregated
+    shuffles on uniformly distributed keys, linear at corpus scale.  Ratios
+    are exact-integer divides (bit-identical across engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize tokens + repartition before the shingle lambda (interpreted
+    # higher-order eval re-inlines subtrees; single input split serializes
+    # the CPU work — see operators.dedup plan-shape notes).
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
+    part = toked.repartition(default_parallelism(spark), "doc_id")
+    bg = part.select("doc_id", F.explode(tx.shingles(F.col("_toks"), 2)).alias("bigram"))
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# Engine-portable regex subset (Java regex == RE2 here: ASCII classes, no
+# backrefs/lookaround) so Spark and the DuckDB oracle redact identically.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or see https://example.com/u/'
+                  || CAST(doc_id AS VARCHAR) AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(raw_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_URL_RE}', '<URL>', 'g') AS redacted,
+           LEN(REGEXP_EXTRACT_ALL(raw_text, '{_EMAIL_RE}')) AS n_emails,
+           LEN(REGEXP_EXTRACT_ALL(raw_text, '{_URL_RE}')) AS n_urls
+    FROM raw
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — redact emails/URLs and count what was removed, the
+    standard pretraining-corpus hygiene pass.
+
+    The synthetic fixture corpus contains no PII, so the query plants a
+    deterministic email+URL per document (derived from ``doc_id``, built
+    identically in the oracle) — the differential check then proves the
+    redaction itself, not a no-op pass-through.  Pure codegen'd regex
+    column expressions: no UDF, no shuffle, linear scan at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or see https://example.com/u/"),
+        F.col("doc_id").cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_URL_RE), F.lit(0))).alias("n_urls"),
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh_t AS (
@@ -475,9 +575,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs alone.
 
     Scale path: the prefix join shuffles |prefix| ≈ (1-t)·|shingles| rows
-    per doc on the shingle key — never N² — and a frequency-ordered global
-    ordering (rarest shingle first) would shrink candidates further; the
-    lexicographic order used here keeps the oracle engine-portable.
+    per doc on the shingle key — never N².  Ordering is lexicographic here
+    (the fixtures' shingle frequencies are flat — measured no candidate
+    win from df-ordering, see the operator docstring); Zipfian corpora
+    should pass ``order='df'`` for the PPJoin rarest-first prefix.
     """
     d = load_table(spark, sf_dir, "documents")
     return dd.jaccard_pairs_prefix(

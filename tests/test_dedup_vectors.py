@@ -139,3 +139,19 @@ def test_jaccard_pairs_prefix_threshold_one_keeps_only_exact(spark):
     )
     got = {(r.a, r.b) for r in dd.jaccard_pairs_prefix(df, "id", "t", threshold=1.0).collect()}
     assert got == {(1, 2)}
+
+
+def test_jaccard_pairs_prefix_df_order_same_results(spark):
+    # Both total orders must be lossless: identical pairs + values.
+    near = DOC + " tonight"
+    rows = [(1, DOC), (2, near), (3, "other words entirely different here today"), (4, DOC)]
+    df = spark.createDataFrame([Row(id=r, t=t) for r, t in rows])
+    lex = {
+        (r.a, r.b): r.jaccard
+        for r in dd.jaccard_pairs_prefix(df, "id", "t", threshold=0.4, order="lex").collect()
+    }
+    byfreq = {
+        (r.a, r.b): r.jaccard
+        for r in dd.jaccard_pairs_prefix(df, "id", "t", threshold=0.4, order="df").collect()
+    }
+    assert lex == byfreq and (1, 4) in lex
