@@ -94,6 +94,39 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curated_corpus_partitioned_write",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang, LEN(toks) AS n_tokens
+    FROM t
+    WHERE LEN(toks) BETWEEN 20 AND 1000
+      AND lang IN ('en', 'es')
+    """,
+)
+def curated_corpus_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus delivery: quality-gate, write parquet partitioned by
+    ``lang``, read back with a partition-pruned scan — the layout a 100 TB
+    corpus ships in (per-language consumers touch only their directories;
+    `tests/test_parquet_partitioning.py` pins PartitionFilters + measured
+    scan-bytes).  The differential check proves the partitioned hop is
+    lossless: lang comes back from directory names, data columns from the
+    files, and the pruned read returns exactly the oracle's rows.
+    """
+    from lms_etl_pipeline_spark.sources.parquet_io import read_partitioned, write_partitioned
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id", "lang", F.size(tx.tokens("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens").between(20, 1000))
+    path = "/root/repo/.scratch/curated_by_lang"
+    write_partitioned(gated, path, ["lang"])
+    back = read_partitioned(spark, path)
+    return back.filter(F.col("lang").isin("en", "es")).select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+@query(
     "text_language_id",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -293,3 +293,51 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("DECIMAL(18,4)")).cast("double").alias("band_total"),
         )
     )
+
+
+@query(
+    "scalar_higher_order_funcs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           LEN(LIST_FILTER(toks, x -> LENGTH(x) > 3)) AS n_long,
+           LEN(LIST_FILTER(toks, x -> LENGTH(x) > 8)) > 0 AS has_verylong,
+           LEN(LIST_FILTER(toks, x -> LENGTH(x) >= 20)) = 0 AS all_short,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0)
+                AS BIGINT) AS total_chars,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(toks) + 1),
+                i -> i * LENGTH(toks[i]))), 0) AS BIGINT) AS pos_weighted_chars
+    FROM t
+    """,
+)
+def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / exists / forall / aggregate /
+    zip_with — as one codegen'd projection (exact integer arithmetic, so
+    the oracle twin built from LIST_FILTER/LIST_TRANSFORM/LIST_SUM hashes
+    identically).  ``pos_weighted_chars`` exercises zip_with against a
+    generated index sequence, the canonical positional-fold shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    d = d.select("doc_id", toks.alias("_toks"))
+    lens = F.transform("_toks", lambda x: F.length(x))
+    zero = F.lit(0).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.size(F.filter("_toks", lambda x: F.length(x) > 3)).cast("bigint").alias("n_long"),
+        F.exists("_toks", lambda x: F.length(x) > 8).alias("has_verylong"),
+        F.forall("_toks", lambda x: F.length(x) < 20).alias("all_short"),
+        F.aggregate(lens, zero, lambda acc, x: acc + x).alias("total_chars"),
+        F.aggregate(
+            F.zip_with(
+                lens,
+                F.sequence(F.lit(1), F.size("_toks")),
+                lambda l, i: l * i,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("pos_weighted_chars"),
+    )

@@ -169,3 +169,36 @@ def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("bal_quartile"),
         F.cume_dist().over(w).alias("bal_cume"),
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+           LAST_VALUE(o_totalprice)  OVER w AS priciest,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-partition
+    frame.  The frame spec matters: the default RANGE frame ends at CURRENT
+    ROW, under which last_value degenerates to the current row — the classic
+    window-function trap; pinning UNBOUNDED..UNBOUNDED on both engines makes
+    the analytic functions read the whole partition."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
