@@ -1226,6 +1226,69 @@ def applyinpandas_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cogroup_pandas_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(DATEDIFF('microsecond', c.ts, p.ts) AS BIGINT) AS micros_since_click
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the fourth Python-compute shape (after
+    grouped-map, grouped-agg, UDTF): two frames cogrouped on a key, each
+    pair of per-key pandas frames merged with ``pd.merge_asof``.  Semantics
+    mirror the native as-of join (``join_asof_last_click``), which is the
+    point: the same oracle checks Spark's JVM path and the Arrow-batched
+    pandas path, and the time-since-last-click delta is exact integer
+    microseconds on both engines.
+
+    Scale: one shuffle per side on user_id; each user's event history must
+    fit in one task's memory — the cogroup contract (bounded per-entity
+    history), never whole-table groups.
+    """
+    import pandas as pd
+
+    def asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        if len(purchases) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "micros_since_click": pd.Series(dtype="Int64")}
+            )
+        p = purchases.sort_values("ts")
+        c = clicks.sort_values("ts").assign(click_ts=lambda d: d["ts"])
+        merged = pd.merge_asof(p, c[["ts", "click_ts"]], on="ts", direction="backward")
+        micros = (merged["ts"] - merged["click_ts"]) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {"event_id": merged["event_id"],
+             "user_id": merged["user_id"],
+             "micros_since_click": micros.astype("Int64")}
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click").select("user_id", "ts").distinct()
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge, "event_id BIGINT, user_id BIGINT, micros_since_click BIGINT"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

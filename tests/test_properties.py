@@ -99,3 +99,41 @@ def test_align_to_schema_never_throws_on_bad_casts(spark, s):
     out = etl.align_to_schema(df, target).collect()[0]
     # either parsed or NULL — never an ANSI abort
     assert out.x is None or isinstance(out.x, int)
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_prefix_filter_is_lossless(spark, docs, t):
+    """The prefix-filtered set-similarity join must find EXACTLY the pairs a
+    quadratic scan finds, for any corpus and threshold (the prefix-filter
+    theorem) — including single-char-vocab corpora where every shingle set
+    collides."""
+    from lms_etl_pipeline_spark.operators import dedup as dd
+
+    n = 2
+    sets = {}
+    for i, text in enumerate(docs):
+        toks = text.split()
+        sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        if sh:
+            sets[i] = sh
+    expected = set()
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter / (len(sets[a]) + len(sets[b]) - inter) >= t:
+                expected.add((a, b))
+
+    df = spark.createDataFrame([Row(id=i, txt=d) for i, d in enumerate(docs)])
+    got = {
+        (r.a, r.b)
+        for r in dd.jaccard_pairs_prefix(df, "id", "txt", n=n, threshold=t).collect()
+    }
+    assert got == expected
