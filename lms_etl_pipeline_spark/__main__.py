@@ -6,6 +6,7 @@ one.  Commands:
 
     list                         show every registered query
     run <query> [--sf-dir DIR]   execute one query, print rows (capped)
+    sql <stmt> [--sf-dir DIR]    ad-hoc Spark SQL over the registered views
     entry                        run the flagship driver query
     bench                        run the headline benchmark (one JSON line)
     audit                        physical-plan audit over the catalog
@@ -25,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("query")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     runp.add_argument("--limit", type=int, default=20)
+    sqlp = sub.add_parser("sql")
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sqlp.add_argument("--limit", type=int, default=20)
     sub.add_parser("entry")
     sub.add_parser("bench")
     sub.add_parser("audit")
@@ -61,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.query!r}; `list` shows all", file=sys.stderr)
             return 2
         queries[args.query](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "sql":
+        from lms_etl_pipeline_spark.sources.tables import register_views
+
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.limit, truncate=False)
         return 0
     return 2
 

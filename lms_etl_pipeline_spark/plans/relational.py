@@ -184,6 +184,45 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_hll_partial_merge", oracle=None)
+def sketch_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB aggregation pattern: build one
+    HLL sketch per fine-grained group (nation), then merge sketches up to
+    the coarse level (region) with ``hll_union_agg`` instead of rescanning
+    the fact table.  At scale the fine sketches are tiny materialized
+    aggregates (think: daily partitions) and any rollup — region, week,
+    global — is a sketch union, not a second pass over 100 TB.
+
+    Approximate by design (rows-only); exact anchor: the same rollup via
+    COUNT(DISTINCT) in ``agg_distinct_counts`` / ``flagship`` family.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"))
+    )
+
+
+@query("sample_stratified_by_priority", oracle=None)
+def sample_stratified_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-key fraction) sampling via ``sampleBy`` — quota
+    sampling for building eval sets from skewed strata without a full
+    shuffle (per-row Bernoulli keyed on the stratum, seeded).  Seeded but
+    engine-specific randomness => rows-only; the sibling ``sample_fraction``
+    documents the same contract for uniform sampling."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"1-URGENT": 0.2, "2-HIGH": 0.1, "3-MEDIUM": 0.05}
+    return o.sampleBy("o_orderpriority", fractions, seed=42).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
 @query(
     "agg_min_max_by",
     oracle="""
