@@ -64,6 +64,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the filter and the 7-column projection push into the parquet scan;
     the shuffle moves only ~|groups| * partial-state rows (4 groups here), so
     the plan is scan-bound at any SF — exactly what you want at 100 TB.
+
+    Measured floor note (local[32], sf0.1): the fixture is ONE file with ONE
+    row group, so scan + partial agg serialize on one core (~1.2 s); an
+    explicit repartition does NOT help — the single scan task then pays the
+    same cost as shuffle write (measured 1.2 s both ways).  The fix is data
+    layout (more row groups / files — see ``sources.parquet_io``), never a
+    plan change; at real scale the layout provides the parallelism.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (

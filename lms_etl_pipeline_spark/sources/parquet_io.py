@@ -45,3 +45,49 @@ def read_partitioned(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet layout in place; returns the new file
+    count.
+
+    Streaming/incremental sinks accrete many tiny files (one per micro-batch
+    per partition), which poisons scans twice at 100 TB: per-file open cost,
+    and one-row-group files that cap scan parallelism and defeat min/max
+    pruning (see the q1 measured-floor note).  Compaction = read → coalesce
+    to ceil(bytes / target) files → atomic-ish rewrite (write to a sibling
+    temp dir, then swap) — the engine-level equivalent of a lakehouse
+    OPTIMIZE.
+
+    ``sort_cols`` additionally sorts *within* output files so row-group
+    min/max statistics become selective (clustered layout → rowgroup skips
+    on range predicates), the poor man's Z-ORDER for one dimension.
+    """
+    import math
+
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    compacted = df.repartition(n_files)
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+
+    tmp = path.rstrip("/") + "__compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    # swap: remove original, move temp into place (fs-atomic per rename on
+    # HDFS/local; on object stores use a manifest-committing table format)
+    fs.delete(jpath, True)
+    fs.rename(sc._jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    return len(
+        [f for f in fs.listStatus(jpath) if f.getPath().getName().endswith(".parquet")]
+    )

@@ -81,3 +81,25 @@ def test_partition_pruning_reduces_bytes_read(spark, tmp_path):
     assert one_files < all_files
     assert one_bytes < all_bytes
     assert one_bytes > 0
+
+
+def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
+    from lms_etl_pipeline_spark.sources.parquet_io import compact_small_files
+
+    path = str(tmp_path / "frag")
+    # simulate a micro-batch-accreted layout: 40 tiny files
+    for batch in range(8):
+        spark.range(batch * 100, (batch + 1) * 100).selectExpr(
+            "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v"
+        ).repartition(5).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 20
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_after = compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024, sort_cols=["id"])
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after < before and after == n_after
+    rows_after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
