@@ -1120,6 +1120,44 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             CAST(UNNEST(RANGE(0, LEN(embedding))) AS INTEGER) AS dim,
+             UNNEST(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS mean_val
+    FROM ex GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dim, mean) — the
+    k-means/IVF training step (`knn_cosine_ivf` consumes exactly these cell
+    centroids) made oracle-exact: per-dimension sums go through DECIMAL so
+    the distributed reduction is order-free and bit-identical to the
+    sequential oracle.
+
+    Plan: ONE posexplode to (label, dim, x) long form — 64 rows per vector —
+    then a partial+final hash agg on (label, dim); both keys are uniform, no
+    skew, linear at any corpus size.  The long form IS the scale trick:
+    no per-row array state survives the shuffle, only per-(group, dim)
+    partials.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("mean_val")
+    )
+
+
+@query(
     "udtf_sentence_split",
     oracle=r"""
     WITH s AS (
