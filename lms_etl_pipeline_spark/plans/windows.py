@@ -202,3 +202,44 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("priciest"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
     )
+
+
+@query(
+    "window_time_rolling",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS events_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour event count and value sum — the time-based
+    RANGE frame (rate limiting, rolling engagement, fraud velocity).
+
+    Spark's rangeBetween needs a numeric ORDER key, so the frame orders on
+    epoch *microseconds* (exact long; an hour is 3.6e9 µs) — semantically
+    identical to the oracle's ``RANGE INTERVAL 1 HOUR PRECEDING`` because
+    RANGE frames bound peers by value distance either way.  The rolling sum
+    goes through exact DECIMAL so per-frame accumulation order can't leak
+    into the double result.
+
+    Scale: one shuffle on user_id + per-user time sort — bounded per-entity
+    history, the same contract as every sessionization/asof op here.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("events_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("value_last_hour"),
+    )
