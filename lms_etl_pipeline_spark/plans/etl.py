@@ -251,3 +251,111 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_jsonl(spark, path, schema)
+
+
+@query(
+    "etl_dq_violations",
+    oracle="""
+    SELECT 'null_custkey' AS rule, COUNT(*) AS n_violations
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'nonpositive_price', COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)
+    UNION ALL
+    SELECT 'dup_orderkey',
+           COALESCE(SUM(n - 1), 0)
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'bad_status', COUNT(*) FROM orders
+    WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+    """,
+)
+def etl_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality gate: evaluate every rule in ONE
+    conditional-aggregation scan plus one key-uniqueness aggregate — never
+    a pass per rule (at 100 TB, N rules must not mean N scans).  Returns
+    (rule, n_violations); a loader aborts or quarantines when any count is
+    nonzero.  Mirrors the reference's implicit contract (unique
+    ``lms_user_id``, typed columns) as explicit, testable rules.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    flat = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("dup_orderkey"))
+    )
+    long_form = flat.unpivot([], ["null_custkey", "nonpositive_price", "bad_status"], "rule", "n_violations")
+    dup_form = dups.unpivot([], ["dup_orderkey"], "rule", "n_violations")
+    return long_form.unionByName(dup_form).select(
+        "rule", F.col("n_violations").cast("long").alias("n_violations")
+    )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT COALESCE(o.key, n.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'added'
+                WHEN n.key IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.key = n.key
+    WHERE o.key IS NULL OR n.key IS NULL
+       OR o.status != n.status OR o.price != n.price
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture companion to the reference's
+    snapshot-overwrite + keyed-upsert design: given yesterday's and today's
+    full snapshots, emit (key, added|removed|changed).  One full outer join
+    on the key with a row-hash comparison; feed the result to the upsert
+    sink to turn snapshot loads into minimal incremental writes.
+
+    The two snapshots here are derived deterministically from ``orders``
+    (drop key%10 from old, drop key%11 + mutate status of key%7 in new) so
+    the differential check pins all three change classes.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    old_snap = o.filter(F.col("key") % 10 != 0)
+    new_snap = o.filter(F.col("key") % 11 != 0).withColumn(
+        "status", F.when(F.col("key") % 7 == 0, F.lit("X")).otherwise(F.col("status"))
+    )
+    joined = old_snap.alias("o").join(
+        new_snap.alias("n"), F.col("o.key") == F.col("n.key"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.key").isNull(), F.lit("added"))
+        .when(F.col("n.key").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.filter(
+            F.col("o.key").isNull()
+            | F.col("n.key").isNull()
+            | (F.col("o.status") != F.col("n.status"))
+            | (F.col("o.price") != F.col("n.price"))
+        )
+        .select(F.coalesce(F.col("o.key"), F.col("n.key")).alias("key"), change.alias("change"))
+    )
