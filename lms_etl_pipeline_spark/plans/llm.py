@@ -621,6 +621,52 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_match_names",
+    oracle="""
+    WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
+    dirty AS (
+      SELECT SUBSTRING(name, 1, LENGTH(name) - 1) AS dirty_name,
+             SPLIT_PART(name, ' ', 1) AS blk
+      FROM clean
+    ),
+    master AS (SELECT name, SPLIT_PART(name, ' ', 1) AS blk FROM clean)
+    SELECT d.dirty_name, m.name AS matched_name,
+           CAST(LEVENSHTEIN(d.dirty_name, m.name) AS INTEGER) AS dist
+    FROM dirty d JOIN master m ON d.blk = m.blk
+    WHERE LEVENSHTEIN(d.dirty_name, m.name) BETWEEN 1 AND 2
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity resolution): a dirty feed matched
+    against a master list by edit distance, with equi-join *blocking* so the
+    comparison count is |block pairs|, never |dirty|x|master|.  Blocking is
+    on the first token here; real deployments block on q-grams/phonetic
+    keys — same plan shape, and recall is set by the blocking key (the
+    standard ER trade, stated rather than hidden).
+
+    The fixture names are synthetic with no natural near-misses, so the
+    dirty feed is derived deterministically (last character dropped) in
+    both engines — the differential check then proves the blocked
+    edit-distance join itself, matching each corrupted name back to its
+    source at distance 1-2.
+    """
+    p = load_table(spark, sf_dir, "part")
+    clean = p.select(F.col("p_name").alias("name")).distinct()
+    blk = F.split(F.col("name"), " ").getItem(0)
+    dirty = clean.select(
+        F.expr("substring(name, 1, length(name) - 1)").alias("dirty_name"),
+        blk.alias("blk"),
+    )
+    master = clean.select("name", blk.alias("blk"))
+    dist = F.levenshtein("dirty_name", "name")
+    return (
+        dirty.join(master, "blk")
+        .filter(dist.between(1, 2))
+        .select("dirty_name", F.col("name").alias("matched_name"), dist.cast("int").alias("dist"))
+    )
+
+
+@query(
     "dedup_winnowing",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -104,3 +104,55 @@ def test_codegen_covers_relational_core(spark):
     import re
 
     assert re.search(r"\*\(\d+\)\s*HashAggregate", executed)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime row-level filtering: a selective filter on the orders side
+    of a shuffle join should inject a bloom filter onto the lineitem scan
+    side (rows that can't join are dropped before the shuffle).  At 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~matching slice."""
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    def _get(k):
+        try:
+            return spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            return None
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        # default 10GB: tiny fixture scans would never qualify without this
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: _get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join so the runtime filter (not a broadcast) applies
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _optimized(joined).lower()
+        assert "bloom" in plan or "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
