@@ -621,6 +621,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             TRY_CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing the
+    stable document id — the scale-correct split: no ``rand()`` (task
+    retries would reassign rows), no global sort, reproducible across runs,
+    engines, and partitionings, and any late-arriving document lands in a
+    stable split.  The md5-prefix hash is the engine-portable family used
+    by MinHash (`operators.dedup.base_hash`), so the oracle computes the
+    identical buckets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+@query(
     "fuzzy_match_names",
     oracle="""
     WITH clean AS (SELECT DISTINCT p_name AS name FROM part),
