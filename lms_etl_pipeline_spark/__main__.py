@@ -6,6 +6,7 @@ one.  Commands:
 
     list                         show every registered query
     run <query> [--sf-dir DIR]   execute one query, print rows (capped)
+    explain <query> [--sf-dir DIR]  print the formatted physical plan
     sql <stmt> [--sf-dir DIR]    ad-hoc Spark SQL over the registered views
     entry                        run the flagship driver query
     bench                        run the headline benchmark (one JSON line)
@@ -26,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("query")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     runp.add_argument("--limit", type=int, default=20)
+    exp = sub.add_parser("explain")
+    exp.add_argument("query")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sqlp = sub.add_parser("sql")
     sqlp.add_argument("statement")
     sqlp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -66,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.query!r}; `list` shows all", file=sys.stderr)
             return 2
         queries[args.query](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "explain":
+        queries = entrymod.queries()
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; `list` shows all", file=sys.stderr)
+            return 2
+        queries[args.query](spark, args.sf_dir).explain("formatted")
         return 0
     if args.cmd == "sql":
         from lms_etl_pipeline_spark.sources.tables import register_views

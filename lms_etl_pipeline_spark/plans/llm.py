@@ -621,6 +621,49 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, LEN({_TOKS}) AS n_tokens FROM documents),
+    runs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 4096 AS pack_id
+    FROM runs
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents to fixed-token-budget packs
+    (4096 here) for LLM training — the streaming first-fit approximation:
+    docs in stable (lang, doc_id) order, pack = floor(preceding-tokens /
+    budget).  One window (running sum) per language partition; no shuffle
+    beyond the partitionBy, deterministic because the order key is unique.
+
+    A pack can overflow the budget by at most one document (first-fit
+    semantics — the downstream tokenizer truncates or splits); exact
+    bin-packing is NP-hard and needs no more fidelity than this at corpus
+    scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tx.tokens("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 4096).alias("pack_id"),
+    )
+
+
+@query(
     "dataset_split_assign",
     oracle="""
     WITH h AS (
