@@ -621,6 +621,57 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks, LEN(toks) AS n FROM t WHERE LEN(toks) > 0),
+    idx AS (
+      SELECT doc_id, toks, n,
+             UNNEST(RANGE(0, GREATEST((n - 64 + 47) // 48, 0) + 1)) AS chunk_idx
+      FROM nz
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           ARRAY_TO_STRING(LIST_SLICE(toks, chunk_idx * 48 + 1,
+                                      LEAST(chunk_idx * 48 + 64, n)), ' ') AS chunk_text,
+           CAST(LEAST(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS INTEGER) AS n_tokens
+    FROM idx
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 48 — 16
+    tokens of overlap): the retrieval/RAG preprocessing step that turns a
+    corpus into embeddable passages.  Chunk count per doc is
+    ``ceil(max(n-64, 0) / 48) + 1`` so the tail is always covered and a
+    short doc yields exactly one chunk.
+
+    One generate (posexplode of the chunk-index range) over a materialized
+    token array — no Python, no shuffle; the chunk rows are what feeds an
+    embedding UDF downstream (`multimodal` shows that plumbing).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    n = F.size("_toks")
+    n_chunks = F.greatest(F.floor((n - 64 + 47) / 48), F.lit(0)) + 1
+    idx = toked.select(
+        "doc_id",
+        "_toks",
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * 48
+    length = F.least(start + 64, F.col("_n")) - start
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_toks", start + 1, length)).alias("chunk_text"),
+        length.cast("int").alias("n_tokens"),
+    )
+
+
+@query(
     "corpus_pack_sequences",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, LEN({_TOKS}) AS n_tokens FROM documents),
