@@ -1071,6 +1071,74 @@ def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_filtered_oracle(k: int = 5, n_queries: int = 5) -> str:
+    d_qe = vec.dot_sql("e.embedding", "q.embedding", EMB_DIM)
+    d_qq = vec.dot_sql("q.embedding", "q.embedding", EMB_DIM)
+    d_ee = vec.dot_sql("e.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {n_queries}),
+    corpus AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             ({d_qe}) / (SQRT({d_qq}) * SQRT({d_ee})) AS cosine
+      FROM q CROSS JOIN corpus e
+      WHERE e.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT q_id, n_id, rk, cosine FROM ranked WHERE rk <= {k}
+    """
+
+
+@query("knn_filtered_exact", oracle=_knn_filtered_oracle())
+def knn_filtered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) vector search: metadata predicate first, top-k
+    cosine over the survivors — pre-filtering, the semantics every vector
+    store struggles to bolt on.  In a relational engine it is just a join:
+    the lang predicate prunes the corpus BEFORE any distance math, so
+    selectivity directly cuts compute — and the filtered result is exact,
+    not a post-filtered approximation that can return < k rows.
+
+    Scale: same broadcast-queries × linear-corpus-scan shape as
+    ``knn_cosine_exact``; the metadata join rides the same scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        e.join(d.filter(F.col("lang") == "en"), e.vec_id == d.doc_id)
+        .select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.try_divide(
+                vec.dot(F.col("q_emb"), F.col("n_emb")),
+                vec.norm(F.col("q_emb")) * vec.norm(F.col("n_emb")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id", "rk", "cosine")
+    )
+
+
 # Fixed literal hyperplanes (versioned constants — reproducible bucketing).
 _RNG = random.Random(7)
 HYPERPLANES: list[list[float]] = [
