@@ -621,6 +621,50 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_score_logistic",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id,
+             LEN(toks) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+             CAST(LEN(LIST_FILTER(toks, x -> x IN
+                 ('the','a','an','and','of','to','in','is','on'))) AS DOUBLE) / LEN(toks)
+                 AS stop_ratio
+      FROM t WHERE LEN(toks) > 0
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(-1.5 + 0.004 * n_tokens + 2.0 * ttr
+                                    - 3.0 * stop_ratio))), 6) AS quality_score
+    FROM feats
+    """,
+)
+def doc_quality_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference as a projection: a fixed-weight logistic scorer
+    over the deterministic quality features — the shape of every
+    classifier-based corpus filter (fastText-style quality models, toxicity
+    gates) once the model is exported to columnar math.  No UDF, no model
+    server round-trips: scoring 100 TB is one codegen'd scan.  Weights are
+    versioned constants; ROUND(6) absorbs libm exp() ulp differences
+    between engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    base = d.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") > 0)
+    n_tokens = F.size("_toks")
+    ttr = F.size(F.array_distinct("_toks")).cast("double") / n_tokens
+    stop_ratio = (
+        F.size(F.filter("_toks", lambda t: t.isin(*tx.STOPWORDS_EN))).cast("double")
+        / n_tokens
+    )
+    logit = F.lit(-1.5) + 0.004 * n_tokens + 2.0 * ttr - 3.0 * stop_ratio
+    return base.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("quality_score"),
+    )
+
+
+@query(
     "doc_chunk_sliding",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

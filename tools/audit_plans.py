@@ -21,6 +21,7 @@ sys.path.insert(0, "/root/repo")
 # Queries whose cross join is the algorithm (bounded side documented):
 ALLOW_CROSS = {
     "knn_cosine_exact",      # broadcast 5-row query set x corpus: linear scan
+    "knn_filtered_exact",    # same shape over the metadata-filtered corpus
     "dedup_embedding_cosine",  # bounded id-range all-pairs oracle anchor
     "tf_idf_top_terms",      # 1-row corpus-count broadcast
     "text_token_stats",      # same corpus-count pattern via tx.tf_idf
