@@ -571,6 +571,75 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, LIST_SORT({_SHINGLES}) AS sh FROM documents
+    ),
+    nz AS (SELECT doc_id, sh, LEN(sh) AS n FROM sh_t WHERE LEN(sh) > 0),
+    pref AS (
+      SELECT doc_id,
+             UNNEST(LIST_SLICE(sh, 1, n - CAST(CEIL(0.5 * n) AS BIGINT) + 1)) AS g
+      FROM nz
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM pref l JOIN pref r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    pos AS (
+      SELECT c.a AS anchor, c.b AS positive
+      FROM cands c
+      JOIN nz sa ON sa.doc_id = c.a
+      JOIN nz sb ON sb.doc_id = c.b
+      WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+               / (sa.n + sb.n - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+               >= 0.5
+    ),
+    bound AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    step0 AS (
+      SELECT anchor, positive, nd, (anchor * 7919 + 31) % nd AS r0
+      FROM pos CROSS JOIN bound
+    ),
+    step1 AS (
+      SELECT anchor, positive, nd,
+             CASE WHEN r0 IN (anchor, positive) THEN (r0 + 1) % nd ELSE r0 END AS r1
+      FROM step0
+    )
+    SELECT anchor, positive,
+           CASE WHEN r1 IN (anchor, positive) THEN (r1 + 1) % nd ELSE r1 END AS negative
+    FROM step1
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, negative): positives
+    are verified near-duplicates (the lossless prefix-filtered Jaccard
+    join); negatives are drawn by a deterministic affine hash of the anchor
+    id — retry-safe and reproducible, unlike ``rand()`` sampling, and biased
+    toward *random* (easy) negatives exactly like standard in-batch
+    negatives.  The collision guard keeps negative ∉ {{anchor, positive}}.
+
+    Scale: positives cost what `ngram_jaccard_pairs` costs; negatives are a
+    projection plus one 1-row broadcast (corpus-size bound).
+    """
+    pos = dd.jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        num_partitions=default_parallelism(spark),
+    ).select(F.col("a").alias("anchor"), F.col("b").alias("positive"))
+    nd = load_table(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("nd")
+    )
+    def bump(r):
+        hit = (r == F.col("anchor")) | (r == F.col("positive"))
+        return F.when(hit, (r + 1) % F.col("nd")).otherwise(r)
+
+    raw = (F.col("anchor") * 7919 + 31) % F.col("nd")
+    neg = bump(bump(raw))  # two passes: the +1 step can itself land on the pair
+    return pos.crossJoin(F.broadcast(nd)).select(
+        "anchor", "positive", neg.alias("negative")
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh_t AS (
