@@ -231,6 +231,47 @@ def sample_stratified_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a 'yesterday' partial aggregate
+    merged with a 'today' delta batch's partial — proven identical to
+    recomputing over the full table (the oracle).  The decomposable-state
+    pattern (count→sum, sum→sum, max→max; exact DECIMAL partials so merge
+    order can't leak) is what lets a 100 TB rollup absorb a daily delta by
+    touching only the delta + the stored partials, never the history.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("_sum_dec"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 10 != 0))  # stored rollup
+    delta = partial(o.filter(F.col("o_orderkey") % 10 == 0))  # today's batch
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_sum_dec").cast("double").alias("total_price"),
+            F.max("max_price").alias("max_price"),
+        )
+        .select("o_orderpriority", "n_orders", "total_price", "max_price")
+    )
+
+
+@query(
     "agg_min_max_by",
     oracle="""
     SELECT o_orderpriority,
