@@ -158,3 +158,53 @@ def upsert_via_foreach_partition(
             conn.close()
 
     df.foreachPartition(write_partition)
+
+
+def ledgered_batch_sink(
+    connection_factory: Callable[[], Any],
+    table: str,
+    key_cols: list[str],
+    ledger_table: str = "__batch_ledger",
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once-effect ``foreachBatch`` sink via a batch-id ledger.
+
+    The keyed upsert alone makes *row* replays converge, but a replayed
+    micro-batch still re-executes its writes (and any side effects).  The
+    ledger closes that gap: each batch id is recorded in ``ledger_table``
+    in the SAME transaction scope as the data; a replayed batch id is
+    detected and skipped entirely.  This is the standard
+    idempotent-foreachBatch recipe for Structured Streaming sinks whose
+    target database can hold a one-column ledger.
+
+    Returns a ``(batch_df, batch_id) -> None`` callable for
+    ``run_available_now`` / ``writeStream.foreachBatch``.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        con = connection_factory()
+        try:
+            cur = con.cursor()
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {_q(ledger_table)} (batch_id BIGINT PRIMARY KEY)"
+            )
+            con.commit()
+            cur.execute(
+                f"SELECT 1 FROM {_q(ledger_table)} WHERE batch_id = ?", (batch_id,)
+            )
+            if cur.fetchone() is not None:
+                return  # replayed batch: already applied, skip all effects
+        finally:
+            con.close()
+
+        upsert_via_foreach_partition(batch_df, connection_factory, table, key_cols)
+
+        con = connection_factory()
+        try:
+            con.cursor().execute(
+                f"INSERT INTO {_q(ledger_table)} (batch_id) VALUES (?)", (batch_id,)
+            )
+            con.commit()
+        finally:
+            con.close()
+
+    return sink

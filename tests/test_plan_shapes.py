@@ -156,3 +156,29 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_respected(spark):
+    """Join-strategy hints: the physical strategy is controllable per-join
+    when the optimizer's default is wrong for a known workload (the
+    cluster-tuning escape hatch)."""
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    merged = _spark_plan(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+    assert "SortMergeJoin" in merged
+    hashed = _spark_plan(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in hashed
+    bcast = _spark_plan(o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey))
+    assert "BroadcastHashJoin" in bcast
+
+
+def test_repartition_by_range_plans_range_partitioning(spark):
+    """repartitionByRange: the ordered-layout writer's partitioner (range
+    partitioning + in-partition sort = globally ordered files, selective
+    min/max stats)."""
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").repartitionByRange(8, "o_orderdate")
+    assert "rangepartitioning" in _spark_plan(o).lower()

@@ -285,3 +285,36 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     land([(1, "2024-01-01 10:30:00"), (3, "2024-01-01 10:30:00")])
     run()
     assert sorted(got) == [(3, "2024-01-01 10:30:00")]
+
+
+def test_ledgered_batch_sink_skips_replayed_batches(spark, tmp_path):
+    """Batch-id ledger: replaying a micro-batch (same batch_id) is a no-op,
+    so non-idempotent side effects don't double-apply."""
+    import sqlite3
+    from functools import partial
+
+    from lms_etl_pipeline_spark.sinks.jdbc_upsert import ledgered_batch_sink
+
+    db = str(tmp_path / "ledger.db")
+    con = sqlite3.connect(db)
+    # counter column: an upsert that INCREMENTS on conflict would double-count
+    # on replay without the ledger — use plain insert-once rows to observe it
+    con.execute("CREATE TABLE people (id INTEGER PRIMARY KEY, name TEXT)")
+    con.commit()
+    con.close()
+    factory = partial(sqlite3.connect, db, timeout=30)
+    sink = ledgered_batch_sink(factory, "people", ["id"])
+
+    batch = spark.createDataFrame([(1, "ann"), (2, "bob")], "id INT, name STRING")
+    sink(batch, 7)
+    sink(batch, 7)  # replay of the SAME micro-batch: must be skipped
+    sink(spark.createDataFrame([(3, "cy")], "id INT, name STRING"), 8)
+
+    c = sqlite3.connect(db)
+    try:
+        rows = sorted(c.execute("SELECT id, name FROM people").fetchall())
+        ledger = sorted(x[0] for x in c.execute("SELECT batch_id FROM __batch_ledger"))
+    finally:
+        c.close()
+    assert rows == [(1, "ann"), (2, "bob"), (3, "cy")]
+    assert ledger == [7, 8]
