@@ -67,6 +67,10 @@ def compact_small_files(
     ``sort_cols`` additionally sorts *within* output files so row-group
     min/max statistics become selective (clustered layout → rowgroup skips
     on range predicates), the poor man's Z-ORDER for one dimension.
+
+    Refuses hive-partitioned roots (``col=value`` subdirectories): a flat
+    rewrite would collapse the partition layout — compact each partition
+    directory instead.
     """
     import math
 
@@ -74,6 +78,12 @@ def compact_small_files(
     hconf = sc._jsc.hadoopConfiguration()
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
+    for st in fs.listStatus(jpath):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"{path} is hive-partitioned ({st.getPath().getName()}); "
+                "compact each partition directory, not the root"
+            )
     total_bytes = fs.getContentSummary(jpath).getLength()
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 

@@ -103,3 +103,16 @@ def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
     assert after < before and after == n_after
     rows_after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert rows_after == rows_before
+
+
+def test_compact_refuses_partitioned_root(spark, tmp_path):
+    import pytest
+
+    from lms_etl_pipeline_spark.sources.parquet_io import compact_small_files, write_partitioned
+
+    path = str(tmp_path / "part_root")
+    write_partitioned(
+        spark.range(10).selectExpr("id", "id % 2 AS k"), path, ["k"]
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_small_files(spark, path)

@@ -115,3 +115,41 @@ def test_single_row_quality(spark):
     df = spark.createDataFrame([(1, "word")], "doc_id BIGINT, text STRING")
     r = tx.quality_features(df).collect()[0]
     assert r.n_tokens == 1 and r.ttr == 1.0
+
+def test_cogroup_asof_handles_user_with_no_clicks(spark):
+    """cogroup_pandas_asof's merge fn gets an EMPTY right frame for a user
+    with purchases but no clicks — must yield NULL deltas, not crash."""
+    import pandas as pd
+
+    purchases = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 99, "2024-01-01 11:00:00")],
+        "event_id LONG, user_id LONG, ts_s STRING",
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    clicks = spark.createDataFrame(
+        [(10, "2024-01-01 09:00:00")], "user_id LONG, ts_s STRING"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    def asof_merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "micros_since_click": pd.Series(dtype="Int64")}
+            )
+        ps = p.sort_values("ts")
+        cs = c.sort_values("ts").assign(click_ts=lambda d: d["ts"])
+        merged = pd.merge_asof(ps, cs[["ts", "click_ts"]], on="ts", direction="backward")
+        micros = (merged["ts"] - merged["click_ts"]) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame(
+            {"event_id": merged["event_id"], "user_id": merged["user_id"],
+             "micros_since_click": micros.astype("Int64")}
+        )
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(asof_merge, "event_id BIGINT, user_id BIGINT, micros_since_click BIGINT")
+        .collect()
+    )
+    got = sorted((r.user_id, r.micros_since_click) for r in out)
+    assert got == [(10, 3_600_000_000), (99, None)]
