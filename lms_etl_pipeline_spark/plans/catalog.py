@@ -51,12 +51,12 @@ _PRIORITY: tuple[str, ...] = (
     "events_session_window",
     "events_funnel_conversion",
     "events_type_pivot",
-    # text analysis
+    # text analysis + LLM-training-data ops
     "text_token_stats",
     "doc_quality_filter",
     "text_language_id",
-    "token_count_bpe",
-    "text_sentiment_lexicon",
+    "dataset_split_assign",
+    "doc_chunk_sliding",
     "tf_idf_top_terms",
     "tfidf_cosine_pairs",
     # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
