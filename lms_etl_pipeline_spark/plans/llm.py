@@ -690,6 +690,97 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_outlier_filter_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             FLOOR(QUANTILE_CONT(n_chars, 0.25)) AS q1,
+             FLOOR(QUANTILE_CONT(n_chars, 0.75)) AS q3
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN q ON d.lang = q.lang
+    WHERE d.n_chars >= q.q1 - 2 * (q.q3 - q.q1)
+      AND d.n_chars <= q.q3 + 2 * (q.q3 - q.q1)
+    """,
+)
+def doc_outlier_filter_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language IQR outlier gate on document length — the robust
+    (quantile-based) sibling of the z-score filter, standard for trimming
+    truncated/concatenated documents before training.
+
+    Thresholds are FLOOR'd to integers in both engines so an integer
+    length can never sit within float-ulp of the cut line (knife-edge-free
+    differential comparison).  Plan: one exact-percentile aggregate per
+    language (tiny) broadcast back onto the corpus scan — two passes total,
+    no sort of the full table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = d.groupBy("lang").agg(
+        F.floor(F.expr("percentile(n_chars, 0.25)")).alias("q1"),
+        F.floor(F.expr("percentile(n_chars, 0.75)")).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        d.join(F.broadcast(q), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("q1") - 2 * iqr)
+            & (F.col("n_chars") <= F.col("q3") + 2 * iqr)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "doc_zscore_normalize",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,4)) * CAST(n_chars AS DECIMAL(18,4)))
+                  AS DOUBLE) AS s2
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           ROUND((d.n_chars - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6)
+               AS len_z
+    FROM documents d JOIN m ON d.lang = m.lang
+    WHERE m.n > 1
+    """,
+)
+def doc_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization: z-score of document length within
+    its language — the broadcast-the-moments pattern (group stats are tiny;
+    the corpus streams once).  Moments are exact decimal sums
+    (order-free, the `agg_stats_exact` discipline) so mean/std — and hence
+    every z — are bit-stable; one ROUND(6) on the final z absorbs the
+    division/sqrt ulp.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum(
+            F.col("n_chars").cast("decimal(18,4)") * F.col("n_chars").cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return (
+        d.join(F.broadcast(m), "lang")
+        .filter(F.col("n") > 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.round((F.col("n_chars") - mean) / std, 6).alias("len_z"),
+        )
+    )
+
+
+@query(
     "doc_quality_score_logistic",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
