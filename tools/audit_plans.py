@@ -24,6 +24,7 @@ ALLOW_CROSS = {
     "knn_filtered_exact",    # same shape over the metadata-filtered corpus
     "dedup_embedding_cosine",  # bounded id-range all-pairs oracle anchor
     "tf_idf_top_terms",      # 1-row corpus-count broadcast
+    "contrastive_triplets",  # 1-row corpus-size broadcast (negative sampling bound)
     "text_token_stats",      # same corpus-count pattern via tx.tf_idf
     "tfidf_cosine_pairs",    # same 1-row corpus-count broadcast via tx.tf_idf
     "q11_important_values",  # 1-row global-threshold broadcast (scalar subquery)
