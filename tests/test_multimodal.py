@@ -66,3 +66,25 @@ def test_resize_real_is_explicit_stub(spark):
     df = mm.with_payload(spark.createDataFrame([(1, "x")], "doc_id BIGINT, text STRING"))
     with pytest.raises(NotImplementedError, match="PIL"):
         mm.resize_images(df, decode="real")
+
+
+def test_map_in_arrow_zero_copy_batch_transform(spark):
+    """mapInArrow: the lowest-overhead Python surface — RecordBatch in,
+    RecordBatch out, no pandas materialization.  The right tool when the
+    Python side is itself Arrow-native (tokenizers, image codecs reading
+    Arrow buffers)."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"defg"), (3, b"")], "id LONG, payload BINARY"
+    )
+
+    def add_len(batches):
+        for batch in batches:
+            n = pa.compute.binary_length(batch.column(1))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), n], ["id", "payload", "n_bytes"]
+            )
+
+    out = df.mapInArrow(add_len, "id LONG, payload BINARY, n_bytes INT").collect()
+    assert sorted((r.id, r.n_bytes) for r in out) == [(1, 3), (2, 4), (3, 0)]
