@@ -86,3 +86,82 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+SESSION_SCHEMA = "key STRING, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
+_SESSION_STATE_SCHEMA = "start_ms BIGINT, last_ms BIGINT, n BIGINT"
+
+
+def _make_sessionize_fn(gap_ms: int):
+    def sessionize_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Accumulate per-key session state; emit the CLOSED session when
+        the event-time watermark passes last_event + gap (the timeout)."""
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        pd.to_datetime(start_ms, unit="ms"),
+                        pd.to_datetime(last_ms, unit="ms"),
+                        n,
+                    )
+                ],
+                columns=["key", "session_start", "session_end", "n_events"],
+            )
+            return
+        mn = None
+        mx = None
+        n_new = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000)
+            mn = ts_ms.min() if mn is None else min(mn, ts_ms.min())
+            mx = ts_ms.max() if mx is None else max(mx, ts_ms.max())
+            n_new += len(pdf)
+        if n_new == 0:
+            return
+        if state.exists:
+            start_ms, last_ms, n = state.get
+            start_ms, last_ms, n = min(start_ms, int(mn)), max(last_ms, int(mx)), n + n_new
+        else:
+            start_ms, last_ms, n = int(mn), int(mx), n_new
+        state.update((start_ms, last_ms, n))
+        # the session closes when the watermark crosses last event + gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return sessionize_fn
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_ms: int = 600_000,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom sessionization with **event-time timeouts**: sessions close
+    exactly when the watermark proves no in-gap event can still arrive,
+    and only closed sessions are emitted (contrast ``session_window``,
+    whose complete/update modes re-emit open state every batch).
+
+    The state machine is the part built-in windows can't express: emission
+    *on close only*, arbitrary per-session payload (here start/end/count;
+    extend the state schema for funnels or revenue), and state that is
+    removed the moment it is emitted.  Watermark + ``EventTimeTimeout`` is
+    what bounds state on an unbounded stream.
+    """
+    renamed = stream_df.selectExpr(f"{key_col} AS key", f"{ts_col} AS ts").withWatermark(
+        "ts", watermark
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _make_sessionize_fn(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -91,3 +91,50 @@ def test_streaming_corpus_dedup_pipeline(spark, tmp_path):
           (4, "never seen before text", "2024-01-02 00:00:01")])
     run()
     assert len(got) == 1  # only the new doc emerges
+
+
+def test_streaming_sessionize_emits_only_closed_sessions(spark, tmp_path):
+    """Event-time-timeout sessionizer: a session is emitted exactly once —
+    when the watermark passes its last event + gap — and open sessions
+    stay unemitted across checkpointed runs."""
+    from pyspark.sql.types import StructType
+
+    from lms_etl_pipeline_spark import streaming
+    from lms_etl_pipeline_spark.streaming.stateful import streaming_sessionize
+
+    landing = str(tmp_path / "sess_ev")
+    ckpt = str(tmp_path / "ck_sess")
+    schema = StructType.fromDDL("user STRING, ts TIMESTAMP")
+
+    def land(rows):
+        spark.createDataFrame(rows, "user STRING, ts_s STRING").selectExpr(
+            "user", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    got: list = []
+
+    def run():
+        sessions = streaming_sessionize(
+            streaming.file_stream(spark, landing, schema), "user", gap_ms=600_000
+        )
+        streaming.run_available_now(
+            sessions,
+            lambda df, _: got.extend(
+                (r.key, str(r.session_start), str(r.session_end), r.n_events)
+                for r in df.collect()
+            ),
+            ckpt,
+            output_mode="append",
+        )
+
+    # run 1: user a has a 2-event burst; nothing can close yet (watermark
+    # stops at the max seen event time, 10:05 < 10:05+gap)
+    land([("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:05:00")])
+    run()
+    assert got == []
+
+    # run 2: a later event from user b advances the watermark past a's
+    # gap -> a's session closes and emits; b's own session stays open
+    land([("b", "2024-01-01 11:00:00")])
+    run()
+    assert got == [("a", "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)]
