@@ -153,3 +153,25 @@ def test_cogroup_asof_handles_user_with_no_clicks(spark):
     )
     got = sorted((r.user_id, r.micros_since_click) for r in out)
     assert got == [(10, 3_600_000_000), (99, None)]
+
+
+def test_text_pipeline_handles_megabyte_document(spark):
+    """A pathological 1 MB single document flows through tokenize /
+    shingle / minhash / quality without error and with correct counts —
+    no per-row blowup (higher-order exprs stay linear in doc length)."""
+    from pyspark.sql import Row
+
+    from lms_etl_pipeline_spark.operators import dedup as dd
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    n_tokens = 200_000  # ~1.2 MB of text
+    big = " ".join(f"w{i % 5000}" for i in range(n_tokens))
+    df = spark.createDataFrame([Row(doc_id=1, text=big), Row(doc_id=2, text="tiny doc here")])
+
+    stats = tx.quality_features(df, "text").select("doc_id", "n_tokens", "n_distinct").collect()
+    by_id = {r.doc_id: r for r in stats}
+    assert by_id[1].n_tokens == n_tokens and by_id[1].n_distinct == 5000
+    assert by_id[2].n_tokens == 3
+
+    sigs = dd.with_minhash(df, "doc_id", "text").collect()
+    assert {r.doc_id for r in sigs} == {1, 2}
