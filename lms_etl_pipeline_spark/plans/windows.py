@@ -243,3 +243,65 @@ def window_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("events_last_hour"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("value_last_hour"),
     )
+
+
+@query(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(value) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND INTERVAL 1 MICROSECOND PRECEDING)
+    )
+    SELECT event_id, user_id,
+           ROUND((value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS value_z,
+           ABS((value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1))) > 1.5
+               AS is_anomaly
+    FROM f
+    WHERE n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 1e-12
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection, batch-checkable: each event's
+    value z-scored against the user's PRECEDING 1-hour window — the frame
+    excludes the current event (RANGE ending 1 µs before it), because a
+    point scored against a baseline containing itself has |z| capped at
+    (n-1)/√n and small windows could never flag.  The rolling moments are
+    exact decimal frame sums (the `agg_stats_exact` discipline applied to
+    window frames), so the z — and the |z| > 1.5 flag — is bit-stable
+    across partitionings and engines; the variance floor guards
+    all-identical-values baselines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    d6 = F.col("value").cast("decimal(18,6)")
+    f = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(wp).alias("n"),
+        F.sum(d6).over(wp).cast("double").alias("s1"),
+        F.sum(d6 * d6).over(wp).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var)
+    return (
+        f.filter((F.col("n") > 1) & (var > 1e-12))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 6).alias("value_z"),
+            (F.abs(z) > 1.5).alias("is_anomaly"),
+        )
+    )
