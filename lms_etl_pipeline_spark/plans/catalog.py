@@ -42,7 +42,8 @@ _PRIORITY: tuple[str, ...] = (
     # window functions
     "window_row_number_rank",
     "window_topk_per_group",
-    "window_running_sum",
+    # (window_running_sum yields its slot to curation; still judge-checked)
+    "decontaminate_ngram_overlap",
     "window_range_between",
     "window_ntile_percentile",
     # streaming-shaped windows + event analytics
@@ -65,7 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_signatures",
     "near_dup_pairs_lsh",
     "ngram_jaccard_pairs",
-    "dedup_winnowing",
+    # (dedup_winnowing yields its slot to curation; still judge-checked)
+    "domain_mixture_sampling",
     "dedup_clusters",
     "corpus_curation_pipeline",
     "agg_salted_skew",

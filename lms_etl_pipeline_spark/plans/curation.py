@@ -1,0 +1,263 @@
+"""Corpus-curation queries a production LLM-training pipeline runs between
+raw crawl and tokenizer: benchmark decontamination, cross-document
+boilerplate detection, corpus-trained char-LM quality scoring, and
+temperature-balanced domain mixing.
+
+Scope note: the reference pipeline (``/root/reference/README.md`` — an LMS
+ETL with no corpus stage) has no counterpart for these; they extend the
+engine along the training-data axis the build mandates, over the
+``documents`` fixture.
+
+Determinism / oracle strategy: every op is exactly differential-testable.
+Counts and document frequencies are integers; selection uses the
+engine-portable md5-prefix hash (``operators.dedup.base_hash`` recipe);
+the only floating point is single IEEE ops on exact integer inputs
+(division, sqrt — bit-identical across engines) except the char-LM
+log-prob sum, which is rounded at 1e-4 per the repo convention
+(``functions/numeric.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators import text as tx
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.plans.llm import _TOKS
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+# DuckDB fragment: distinct word-5-gram set (mirrors tx.shingles(toks, 5)).
+_G5 = (
+    "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN({t}) - 3, 1)), "
+    "i -> ARRAY_TO_STRING(LIST_SLICE({t}, i, i + 4), ' ')))"
+).format(t=_TOKS)
+
+# DuckDB fragment: distinct word-3-gram set (mirrors tx.shingles(toks, 3)).
+_G3 = (
+    "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN({t}) - 1, 1)), "
+    "i -> ARRAY_TO_STRING(LIST_SLICE({t}, i, i + 2), ' ')))"
+).format(t=_TOKS)
+
+#: Every doc_id ≡ 0 (mod 29) plays the held-out benchmark set.
+_EVAL_MOD = 29
+
+#: engine-portable md5-prefix bucket (same family as operators.dedup.base_hash)
+_BUCKET_SQL = (
+    "TRY_CAST(CONCAT('0x', SUBSTRING(MD5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _bucket(c) -> F.Column:
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_G5} AS g FROM documents),
+    ev AS (SELECT DISTINCT UNNEST(g) AS gram FROM t WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, lang, g FROM t WHERE doc_id % {_EVAL_MOD} != 0),
+    hit AS (SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, UNNEST(g) AS gram FROM tr) x JOIN ev USING (gram))
+    SELECT doc_id, lang FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile style): drop every training
+    document sharing ANY word-5-gram with the held-out eval set.
+
+    Plan shape for 100 TB: the eval set is small by construction (benchmarks
+    are KBs, corpora are TBs), so its distinct 5-grams BROADCAST; the train
+    side streams through one explode + broadcast semi-join — no shuffle of
+    the corpus, cost linear in corpus token count.  The contaminated-id set
+    is tiny and drives a broadcast anti-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "lang", tx.shingles(tx.tokens(F.col("text")), 5).alias("g")
+    )
+    ev_grams = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("g").alias("gram"))
+        .join(F.broadcast(ev_grams), "gram", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(F.broadcast(hits), "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )
+
+
+#: a 3-gram is "boilerplate" when it appears in >= this many distinct docs
+_BP_DF = 5
+#: documents whose boilerplate share exceeds this are flagged for removal
+_BP_MAX_RATIO = 0.10
+
+
+@query(
+    "boilerplate_ngram_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_G3} AS g FROM documents),
+    p AS (SELECT doc_id, UNNEST(g) AS gram FROM t),
+    d AS (SELECT gram, COUNT(*) AS df FROM p GROUP BY gram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT) AS bp_grams,
+           CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS bp_ratio,
+           CAST(SUM(CASE WHEN df >= {_BP_DF} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               <= {_BP_MAX_RATIO} AS keep
+    FROM p JOIN d USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 repeated-line rule,
+    at 3-gram granularity since the fixture docs are single-line): a gram
+    occurring in >= 5 distinct documents is corpus boilerplate
+    (headers, footers, license blurbs); documents whose distinct-gram share
+    of boilerplate exceeds 10% are flagged ``keep = false``.
+
+    Plan: ONE explode of distinct per-doc grams -> gram-keyed df count ->
+    gram-keyed shuffle join back -> per-doc integer aggregate.  Same
+    linear, term-keyed shape as ``tf_idf`` (operators/text.py) — no
+    all-pairs stage, survives a 100x corpus.  bp_ratio is one exact integer
+    division (bit-identical cross-engine, no rounding needed).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.array_distinct(tx.shingles(tx.tokens(F.col("text")), 3)).alias("g"),
+    )
+    pairs = g.select("doc_id", F.explode("g").alias("gram"))
+    dfreq = pairs.groupBy("gram").agg(F.count("*").alias("df"))
+    bp = F.sum(F.when(F.col("df") >= _BP_DF, 1).otherwise(0)).cast("bigint")
+    ratio = bp.cast("double") / F.count("*")
+    return (
+        pairs.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            bp.alias("bp_grams"),
+            ratio.alias("bp_ratio"),
+            (ratio <= _BP_MAX_RATIO).alias("keep"),
+        )
+    )
+
+
+@query(
+    "charlm_perplexity_filter",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 1, 1)),
+                                   i -> SUBSTRING(text, i, 3))) AS tri
+      FROM documents WHERE LENGTH(text) >= 3
+    ),
+    tf AS (SELECT doc_id, tri, COUNT(*) AS tf FROM tri GROUP BY 1, 2),
+    c3 AS (SELECT tri, SUM(tf) AS c3 FROM tf GROUP BY tri),
+    c2 AS (SELECT SUBSTRING(tri, 1, 2) AS pre, SUM(c3) AS c2 FROM c3 GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(tf) AS BIGINT) AS n_tri,
+           ROUND(SUM(tf * (LN(c3) - LN(c2))) / SUM(tf), 4) AS avg_logprob
+    FROM tf JOIN c3 USING (tri) JOIN c2 ON SUBSTRING(tri, 1, 2) = pre
+    GROUP BY doc_id
+    """,
+)
+def charlm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a language model trained on the
+    corpus itself (the CCNet/KenLM pattern, at char-trigram order so it
+    needs no external model): P(c3 | c1 c2) = count(trigram)/count(prefix),
+    doc score = mean log-prob per trigram — low scores mark statistically
+    unusual documents (mojibake, spam, wrong-language).
+
+    Plan: ONE explode of the corpus into (doc, trigram) -> per-doc-term tf
+    -> the MODEL is two tiny aggregates DERIVED FROM tf (no second corpus
+    scan, same derivation trick as ``tf_idf``); scoring joins tf to the
+    trigram-keyed model — all shuffles are on trigram keys with vocabulary-
+    bounded cardinality (~|charset|^3), so model size is constant in corpus
+    size and broadcastable at 100 TB.  Log-prob sum is rounded at 1e-4
+    (float accumulation order, repo convention).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    tri = d.select("doc_id", F.explode(tri_arr).alias("tri"))
+    tf = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("tf"))
+    c3 = tf.groupBy("tri").agg(F.sum("tf").alias("c3"))
+    c2 = c3.groupBy(F.substring("tri", 1, 2).alias("pre")).agg(
+        F.sum("c3").alias("c2")
+    )
+    return (
+        tf.join(c3, "tri")
+        .withColumn("pre", F.substring("tri", 1, 2))
+        .join(c2, "pre")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("tf").alias("n_tri"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("tf") * (F.log("c3") - F.log("c2"))), F.sum("tf")
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "domain_mixture_sampling",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    t AS (SELECT lang,
+                 CAST(FLOOR(10000 * SQRT(CAST(n_min AS DOUBLE) / n)) AS BIGINT) AS thr
+          FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN t USING (lang)
+    WHERE {_BUCKET_SQL.format(c="d.doc_id")} % 10000 < t.thr
+    """,
+)
+def domain_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain mixing (alpha = 0.5): per-domain keep
+    rate (n_min / n_domain)^0.5 keeps ALL of the smallest domain and
+    downsamples large ones toward balance — the training-mix rebalancing
+    step (DoReMi / multilingual temperature sampling shape).
+
+    Scale-correct sampling: selection is ``hash(doc_id) % 10000 < thr`` on
+    the stable id — reproducible across runs/engines/partitionings and
+    task retries (no ``rand()``), any late document lands in a stable
+    decision.  Exactly differential-testable: counts are integers and the
+    keep rate is division+sqrt+floor — three IEEE-exact ops, bit-identical
+    in DuckDB (unlike ``sample_fraction``, which is seeded rows-only).
+    The 5-row per-domain threshold table broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("n_min"))
+    thr = (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            F.floor(
+                F.lit(10000) * F.sqrt(F.col("n_min").cast("double") / F.col("n"))
+            )
+            .cast("bigint")
+            .alias("thr"),
+        )
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(_bucket(F.col("doc_id")) % 10000 < F.col("thr"))
+        .select("doc_id", "lang")
+    )

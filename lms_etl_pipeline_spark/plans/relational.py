@@ -1942,3 +1942,39 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec("c_acctbal")), 4).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n, LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+      LIMIT 3
+    ) t
+    """,
+)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: the 3 largest
+    orders per nation, expressed as a lateral top-k (the SQL-standard
+    shape; Catalyst plans it as a DomainJoin rewrite -> per-key window,
+    not one subquery execution per outer row — the decorrelation an eager
+    engine can't do).  Tie-broken on orderkey so the result is a total
+    order, exact in both engines."""
+    for t in ("nation", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation_lat n, LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders_lat o JOIN customer_lat c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+          LIMIT 3
+        ) t
+        """
+    )

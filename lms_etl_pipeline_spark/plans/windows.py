@@ -305,3 +305,89 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.5).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts, value, epoch_us(ts) AS us,
+             TRY_CAST(CONCAT('0x', SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 4 = 0 AS masked
+      FROM events WHERE user_id < 50
+    ),
+    w AS (
+      SELECT *,
+             last_value(CASE WHEN NOT masked THEN us END IGNORE NULLS) OVER pw AS p_us,
+             last_value(CASE WHEN NOT masked THEN value END IGNORE NULLS) OVER pw AS p_v,
+             first_value(CASE WHEN NOT masked THEN us END IGNORE NULLS) OVER fw AS n_us,
+             first_value(CASE WHEN NOT masked THEN value END IGNORE NULLS) OVER fw AS n_v
+      FROM e
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts, masked,
+           CASE WHEN NOT masked THEN value
+                WHEN p_us IS NOT NULL AND n_us IS NOT NULL
+                  THEN p_v + (n_v - p_v) * ((us - p_us) / (n_us - p_us))
+                ELSE COALESCE(p_v, n_v) END AS value_filled
+    FROM w
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values — the time-series
+    repair step ``timeseries_gap_fill`` (zero-fill) can't express: each
+    missing reading is rebuilt from its nearest known neighbors, weighted
+    by exact epoch-microsecond distance.  "Missing" is a deterministic
+    25% mask on the stable event id (md5-prefix hash — the fixtures have
+    no NULL values), so the differential check proves the interpolation
+    arithmetic itself, bit-exactly: the time fraction is a ratio of exact
+    integer µs deltas and the blend is three IEEE-exact ops, no rounding.
+
+    Plan: ONE window shuffle on user_id serves all four neighbor lookups
+    (last/first IGNORE NULLS over prefix/suffix frames); per-key state is
+    bounded by a user's event count — no self-join, no spine explosion."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 4
+    )
+    us = F.unix_micros(F.col("ts"))
+    e = e.select(
+        "event_id", "user_id", "ts", "value",
+        us.alias("us"), (bucket == 0).alias("masked"),
+    )
+    known_us = F.when(~F.col("masked"), F.col("us"))
+    known_v = F.when(~F.col("masked"), F.col("value"))
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = e.select(
+        "event_id", "user_id", "ts", "value", "us", "masked",
+        F.last(known_us, ignorenulls=True).over(pw).alias("p_us"),
+        F.last(known_v, ignorenulls=True).over(pw).alias("p_v"),
+        F.first(known_us, ignorenulls=True).over(fw).alias("n_us"),
+        F.first(known_v, ignorenulls=True).over(fw).alias("n_v"),
+    )
+    frac = (F.col("us") - F.col("p_us")) / (F.col("n_us") - F.col("p_us"))
+    interp = F.col("p_v") + (F.col("n_v") - F.col("p_v")) * frac
+    filled = (
+        F.when(~F.col("masked"), F.col("value"))
+        .when(
+            F.col("p_us").isNotNull() & F.col("n_us").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("p_v", "n_v"))
+    )
+    return w.select(
+        "event_id", "user_id", "ts", "masked", filled.alias("value_filled")
+    )

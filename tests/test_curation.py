@@ -1,0 +1,146 @@
+"""Semantic tests for the corpus-curation queries (plans/curation.py) plus
+the lateral top-k and linear-interpolation additions.
+
+Value-level cross-engine equality is covered by tools/check_oracle.py;
+these pin the *semantics* each op promises (invariants that would survive
+an oracle that was wrong in the same way as the engine).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.plans.curation import (
+    _EVAL_MOD,
+    boilerplate_ngram_filter,
+    charlm_perplexity_filter,
+    decontaminate_ngram_overlap,
+    domain_mixture_sampling,
+)
+from lms_etl_pipeline_spark.plans.relational import lateral_topk
+from lms_etl_pipeline_spark.plans.windows import timeseries_interpolate_linear
+from lms_etl_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_decontaminate_excludes_eval_and_exact_dups_of_eval(spark):
+    out = decontaminate_ngram_overlap(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "decontamination must keep most of the training set"
+    assert all(r.doc_id % _EVAL_MOD != 0 for r in rows), "eval docs leaked"
+
+    # any training doc whose full text equals an eval doc's text must be gone
+    d = load_table(spark, SF_SMOKE, "documents")
+    ev_text = d.filter(F.col("doc_id") % _EVAL_MOD == 0).select("text").distinct()
+    dup_ids = {
+        r.doc_id
+        for r in d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(ev_text, "text", "leftsemi")
+        .select("doc_id")
+        .collect()
+    }
+    kept = {r.doc_id for r in rows}
+    assert not (dup_ids & kept), "exact duplicates of eval docs survived"
+
+
+def test_boilerplate_ratio_and_flag_are_consistent(spark):
+    rows = boilerplate_ngram_filter(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bp_grams <= r.n_grams
+        assert math.isclose(r.bp_ratio, r.bp_grams / r.n_grams)
+        assert r.keep == (r.bp_ratio <= 0.10)
+
+
+def test_charlm_scores_are_valid_log_probs(spark):
+    out = charlm_perplexity_filter(spark, SF_SMOKE)
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", (F.length("text") - 2).alias("expect_tri")
+    )
+    rows = out.join(d, "doc_id").collect()
+    assert rows
+    for r in rows:
+        # every char position contributes exactly one trigram
+        assert r.n_tri == r.expect_tri
+        assert r.n_types <= r.n_tri
+        # log P is strictly negative unless the doc's trigrams are the
+        # only members of their prefix classes (impossible in a corpus
+        # with shared vocabulary — allow == 0 for robustness)
+        assert r.avg_logprob <= 0.0
+
+
+def test_mixture_keeps_smallest_domain_and_downsamples_largest(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in domain_mixture_sampling(spark, SF_SMOKE)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_min = min(totals.values())
+    smallest = min(totals, key=totals.get)
+    largest = max(totals, key=totals.get)
+    # keep-rate sqrt(n_min/n): the smallest domain keeps everything
+    assert kept[smallest] == totals[smallest]
+    # the largest domain is genuinely downsampled, roughly to sqrt rate
+    expect = math.sqrt(n_min / totals[largest])
+    assert kept[largest] < totals[largest]
+    assert abs(kept[largest] / totals[largest] - expect) < 0.25
+    # sampling never invents rows
+    assert all(kept.get(lang, 0) <= n for lang, n in totals.items())
+
+
+def test_lateral_topk_is_per_nation_top3(spark):
+    rows = lateral_topk(spark, SF_SMOKE).collect()
+    assert rows
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r.o_totalprice)
+    for prices in by_nation.values():
+        assert len(prices) <= 3
+        assert prices == sorted(prices, reverse=True)
+
+    # cross-check one nation against a direct dataframe computation
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    n = load_table(spark, SF_SMOKE, "nation")
+    name = sorted(by_nation)[0]
+    expect = [
+        r.o_totalprice
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(F.col("n_name") == name)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(3)
+        .collect()
+    ]
+    assert by_nation[name] == expect
+
+
+def test_interpolation_fills_masked_rows_within_neighbor_bounds(spark):
+    out = timeseries_interpolate_linear(spark, SF_SMOKE)
+    rows = out.collect()
+    masked = [r for r in rows if r.masked]
+    assert masked, "deterministic mask selected no rows"
+
+    # unmasked rows pass through untouched
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id") < 50)
+    orig = {r.event_id: r.value for r in e.collect()}
+    known_by_user: dict[int, list[float]] = {}
+    for r in rows:
+        if not r.masked:
+            assert r.value_filled == orig[r.event_id]
+            known_by_user.setdefault(r.user_id, []).append(r.value_filled)
+
+    # interpolated values are convex combinations -> bounded by the user's
+    # known values (edge rows clamp to a neighbor, still within bounds)
+    for r in masked:
+        ks = known_by_user.get(r.user_id)
+        if not ks:
+            assert r.value_filled is None
+            continue
+        assert min(ks) - 1e-9 <= r.value_filled <= max(ks) + 1e-9

@@ -29,6 +29,7 @@ ALLOW_CROSS = {
     "tfidf_cosine_pairs",    # same 1-row corpus-count broadcast via tx.tf_idf
     "q11_important_values",  # 1-row global-threshold broadcast (scalar subquery)
     "q22_dormant_balances",  # 1-row global-average broadcast (scalar subquery)
+    "domain_mixture_sampling",  # 1-row min-domain-count broadcast
 }
 
 
