@@ -165,3 +165,94 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = "key STRING, n BIGINT, total DOUBLE, alerted BOOLEAN"
+
+
+def _make_running_totals_processor(threshold: float):
+    """Build the StatefulProcessor lazily so importing this module never
+    requires the streaming-state client machinery."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        """Per-key lifetime (count, sum) with a threshold alert flag."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "alerted": [total >= threshold],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def streaming_running_totals(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = float("inf"),
+) -> DataFrame:
+    """Lifetime per-key running (count, sum) with threshold alerting, on the
+    Spark 4 ``transformWithStateInPandas`` API (the successor to
+    ``applyInPandasWithState``): typed, named state variables
+    (``ValueState``) managed by the RocksDB state store instead of one
+    opaque state tuple.
+
+    Emits one row per key per micro-batch that touched the key, carrying
+    the updated lifetime totals — the streaming incremental-metrics /
+    budget-alert pattern that a windowed aggregation cannot express
+    (state never expires; output is the running value, not a window close).
+
+    Scale posture: state is hash-partitioned by key (one shuffle); each key
+    holds two scalars; RocksDB keeps hot state off-heap and checkpoint
+    deltas incremental — the 100 TB-stream posture.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider`` (transformWithState's backing store)
+    and the ``protobuf`` package (the state-server wire protocol — absent
+    from this container, so the runtime test is skipped; the plan-build
+    path and processor are still exercised by the skip-guarded test when
+    the dependency exists).
+    """
+    try:
+        import google.protobuf  # noqa: F401  # dependency seam
+    except ImportError:
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's streaming state-server protocol); install protobuf "
+            "to use streaming_running_totals"
+        )
+    renamed = stream_df.selectExpr(f"{key_col} AS key", f"{value_col} AS value")
+    return renamed.groupBy("key").transformWithStateInPandas(
+        _make_running_totals_processor(threshold),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

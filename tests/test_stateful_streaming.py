@@ -138,3 +138,82 @@ def test_streaming_sessionize_emits_only_closed_sessions(spark, tmp_path):
     land([("b", "2024-01-01 11:00:00")])
     run()
     assert got == [("a", "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)]
+
+
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: lifetime totals persist across
+    AvailableNow runs via RocksDB-backed ValueState, and the threshold
+    alert fires exactly when the lifetime sum crosses it.
+
+    Skipped where the 'protobuf' package (pyspark's streaming state-server
+    wire protocol) is unavailable — the container ships without it; the
+    operator raises a named-dependency error there instead (gated seam,
+    same contract as the multimodal codecs)."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+        _has_protobuf = True
+    except ImportError:
+        _has_protobuf = False
+    if not _has_protobuf:
+        from lms_etl_pipeline_spark.streaming.stateful import (
+            streaming_running_totals,
+        )
+
+        with pytest.raises(ModuleNotFoundError, match="protobuf"):
+            streaming_running_totals(
+                spark.readStream.format("rate").load(), "value", "value"
+            )
+        pytest.skip("protobuf not installed: transformWithState runtime unavailable")
+
+    from lms_etl_pipeline_spark.streaming.stateful import streaming_running_totals
+
+    landing = str(tmp_path / "spend")
+    ckpt = str(tmp_path / "ckt")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("user STRING, amount DOUBLE")
+
+    def land(rows):
+        spark.createDataFrame(rows, "user STRING, amount DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    got: dict[str, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r.key] = (r.n, r.total, r.alerted)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # run 1: u1 spends 60 (two rows), u2 spends 10
+        land([("u1", 25.0), ("u1", 35.0), ("u2", 10.0)])
+        out = streaming_running_totals(
+            streaming.file_stream(spark, landing, schema), "user", "amount",
+            threshold=100.0,
+        )
+        streaming.run_available_now(out, sink, ckpt, output_mode="update")
+        assert got["u1"][0] == 2 and got["u1"][1] == pytest.approx(60.0)
+        assert got["u1"][2] is False and got["u2"][2] is False
+
+        # run 2: u1 crosses the threshold (60 + 50); u2 untouched this run
+        got.clear()
+        land([("u1", 50.0)])
+        out = streaming_running_totals(
+            streaming.file_stream(spark, landing, schema), "user", "amount",
+            threshold=100.0,
+        )
+        streaming.run_available_now(out, sink, ckpt, output_mode="update")
+        assert got["u1"] == (3, pytest.approx(110.0), True)
+        assert "u2" not in got, "untouched key must not re-emit in Update mode"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
