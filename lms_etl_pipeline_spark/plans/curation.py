@@ -261,3 +261,178 @@ def domain_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_bucket(F.col("doc_id")) % 10000 < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+# -- leakage-safe splits + tokenizer apply ----------------------------------
+
+# The verified MinHash-LSH -> exact-Jaccard -> transitive-closure chain from
+# plans/llm.py (dedup_clusters), reused verbatim so the cluster definition
+# is identical in both engines.
+from lms_etl_pipeline_spark.plans.llm import (  # noqa: E402
+    _BASE_HASHES,
+    _SHINGLES,
+    _minhash_slots_sql,
+)
+
+_CLUSTER_CTE = f"""
+    WITH RECURSIVE sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) > 0),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_slots_sql(8)}
+      FROM hs_t
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             MD5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+      WHERE l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT c.a, c.b
+      FROM cands c
+      JOIN sh_t sa ON sa.doc_id = c.a
+      JOIN sh_t sb ON sb.doc_id = c.b
+      WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+              / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+              >= 0.5
+    ),
+    sym AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT reach.node, sym.v
+      FROM reach JOIN sym ON reach.r = sym.u
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "split_leakage_safe",
+    oracle=_CLUSTER_CTE
+    + f""",
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN {_BUCKET_SQL.format(c="cluster_rep")} % 100 < 80 THEN 'train'
+                WHEN {_BUCKET_SQL.format(c="cluster_rep")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP CLUSTER,
+    not by document — ``dataset_split_assign`` hashed on doc_id would put
+    two near-identical documents on opposite sides of the train/test wall
+    (the classic eval-contamination bug); hashing the cluster representative
+    keeps every near-dup family on one side by construction.
+
+    Composition of two verified operators: the MinHash-LSH similarity graph
+    + min-label connected components (``dedup_clusters``) defines the
+    clusters; the md5-prefix bucket (``dataset_split_assign``) assigns the
+    split to the cluster representative.  Singletons (docs in no pair) are
+    their own representative.  Scale: the component labels are |paired
+    docs| rows — tiny vs the corpus — so the final join broadcasts; the
+    expensive stage is the same banded LSH that is already linear."""
+    from lms_etl_pipeline_spark.operators import dedup as dd
+    from lms_etl_pipeline_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.near_dup_pairs(d, "doc_id", "text")
+    comp = connected_components(pairs.select("a", "b"))
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = _bucket(rep) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.join(F.broadcast(comp), d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            rep.alias("cluster_rep"),
+            split.alias("split"),
+        )
+    )
+
+
+#: corpus vocabulary cutoff: terms ranked past this map to <unk> (id 0)
+_VOCAB_K = 24
+
+
+@query(
+    "tokenize_to_vocab_ids",
+    oracle=f"""
+    WITH toks_t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    counts AS (
+      SELECT t AS term, COUNT(*) AS c
+      FROM (SELECT UNNEST(toks) AS t FROM toks_t) GROUP BY 1
+    ),
+    vocab AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS vid
+      FROM counts QUALIFY vid <= {_VOCAB_K}
+    ),
+    pos AS (
+      SELECT doc_id, GENERATE_SUBSCRIPTS(toks, 1) AS ord, UNNEST(toks) AS term
+      FROM toks_t
+    ),
+    mapped AS (
+      SELECT doc_id, ord, COALESCE(vid, 0) AS vid
+      FROM pos LEFT JOIN vocab USING (term)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           STRING_AGG(CAST(vid AS VARCHAR), ' ' ORDER BY ord) AS token_ids
+    FROM mapped GROUP BY doc_id
+    """.format(toks=_TOKS),
+)
+def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: build a frequency-ranked
+    vocabulary from the corpus itself (rank by count desc, term asc —
+    deterministic), then map every document to its id sequence with
+    out-of-vocabulary terms as ``<unk>`` (id 0) — the text -> token-id
+    step every pretraining pipeline runs before packing.
+
+    Plan: term counts are one explode + term-keyed agg; the vocabulary is
+    VOCABULARY-bounded (the global row_number sort ranks |distinct terms|
+    rows, not corpus rows) and broadcasts to a map-side lookup join on the
+    position-exploded corpus; order is restored per document by sorting
+    the collected (pos, id) structs.  The id sequence is serialized as a
+    space-joined string — same semantics, driver-comparator-hashable
+    (array columns crash its canonicalizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tx.tokens("text").alias("toks"))
+    counts = (
+        toked.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wv = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    vocab = (
+        counts.select("term", F.row_number().over(wv).alias("vid"))
+        .filter(F.col("vid") <= _VOCAB_K)
+    )
+    pos = toked.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    mapped = pos.join(F.broadcast(vocab), "term", "left").withColumn(
+        "vid", F.coalesce("vid", F.lit(0))
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+        lambda x: x.vid.cast("string"),
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("vid") == 0).cast("int")).cast("bigint").alias("n_unk"),
+        F.concat_ws(" ", ordered_ids).alias("token_ids"),
+    )

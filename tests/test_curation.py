@@ -144,3 +144,59 @@ def test_interpolation_fills_masked_rows_within_neighbor_bounds(spark):
             assert r.value_filled is None
             continue
         assert min(ks) - 1e-9 <= r.value_filled <= max(ks) + 1e-9
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from lms_etl_pipeline_spark.operators import dedup as dd
+    from lms_etl_pipeline_spark.plans.curation import split_leakage_safe
+
+    rows = split_leakage_safe(spark, SF_SMOKE).collect()
+    assert rows
+    split_of = {r.doc_id: r.split for r in rows}
+    rep_of = {r.doc_id: r.cluster_rep for r in rows}
+    assert set(split_of.values()) <= {"train", "val", "test"}
+
+    # every verified near-dup pair lands on the SAME side of the wall
+    d = load_table(spark, SF_SMOKE, "documents")
+    pairs = dd.near_dup_pairs(d, "doc_id", "text").select("a", "b").collect()
+    assert pairs, "fixtures contain near-dup pairs by construction"
+    for p in pairs:
+        assert split_of[p.a] == split_of[p.b], (p.a, p.b)
+        assert rep_of[p.a] == rep_of[p.b]
+
+    # singletons represent themselves
+    paired = {p.a for p in pairs} | {p.b for p in pairs}
+    for doc_id, rep in rep_of.items():
+        if doc_id not in paired:
+            assert rep == doc_id
+
+
+def test_tokenize_to_vocab_ids_roundtrip(spark):
+    from lms_etl_pipeline_spark.plans.curation import _VOCAB_K, tokenize_to_vocab_ids
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    out = {r.doc_id: r for r in tokenize_to_vocab_ids(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", tx.tokens("text").alias("toks")
+    ).collect()
+    assert out and len(out) == len(docs)
+
+    # rebuild the vocabulary independently (count desc, term asc, top K)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for d in docs:
+        counts.update(d.toks)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    vid = {term: i + 1 for i, (term, _) in enumerate(ranked[:_VOCAB_K])}
+
+    some_unk = False
+    for d in docs:
+        r = out[d.doc_id]
+        ids = [int(x) for x in r.token_ids.split(" ")]
+        assert len(ids) == len(d.toks) == r.n_tokens
+        expect = [vid.get(t, 0) for t in d.toks]
+        assert ids == expect, d.doc_id
+        assert r.n_unk == sum(1 for i in expect if i == 0)
+        some_unk = some_unk or r.n_unk > 0
+    assert some_unk, "vocab cutoff must produce real <unk> tokens"
