@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import _TOKS
+from lms_etl_pipeline_spark.session import default_parallelism
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 # DuckDB fragment: distinct word-5-gram set (mirrors tx.shingles(toks, 5)).
@@ -74,9 +75,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny and drives a broadcast anti-join.
     """
     d = load_table(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id", "lang", tx.shingles(tx.tokens(F.col("text")), 5).alias("g")
-    )
+    # Materialize tokens + repartition BEFORE the shingle lambda:
+    # interpreted higher-order eval re-inlines the tokens() subtree per
+    # element, and the single-file fixture is one input split (measured
+    # 46 s -> ~2 s at sf0.1; same fix as doc_repetition_signals).
+    toked = d.select("doc_id", "lang", tx.tokens("text").alias("_toks"))
+    part = toked.repartition(default_parallelism(spark), "doc_id")
+    # Materialize the shingled projection ONCE (eager localCheckpoint —
+    # the corpus_curation_pipeline pattern): three consumers read it (eval
+    # grams, train explode, final anti-join); left lazy, each would
+    # recompute tokenize+shingle over the corpus (measured 3x).
+    g = part.select(
+        "doc_id", "lang", tx.shingles(F.col("_toks"), 5).alias("g")
+    ).localCheckpoint(eager=True)
     ev_grams = (
         g.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select(F.explode("g").alias("gram"))
@@ -131,10 +142,18 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (bit-identical cross-engine, no rounding needed).
     """
     d = load_table(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id",
-        F.array_distinct(tx.shingles(tx.tokens(F.col("text")), 3)).alias("g"),
-    )
+    # tokens materialized + repartitioned before the shingle lambda (the
+    # interpreted-HOF / single-split pitfall — see decontaminate above).
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
+    part = toked.repartition(default_parallelism(spark), "doc_id")
+    # Checkpoint the ARRAY, before the explode: Generate over an inlined
+    # higher-order subtree re-evaluates it in interpreted eval (measured
+    # 17 s vs 1 s for the same shingle work at sf0.1); exploding a
+    # materialized column attribute is free.  Both the df count and the
+    # join-back then consume the cheap exploded view.
+    g = part.select(
+        "doc_id", F.array_distinct(tx.shingles(F.col("_toks"), 3)).alias("g")
+    ).localCheckpoint(eager=True)
     pairs = g.select("doc_id", F.explode("g").alias("gram"))
     dfreq = pairs.groupBy("gram").agg(F.count("*").alias("df"))
     bp = F.sum(F.when(F.col("df") >= _BP_DF, 1).otherwise(0)).cast("bigint")
@@ -191,6 +210,11 @@ def charlm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - 2),
         lambda i: F.col("text").substr(i, F.lit(3)),
     )
+    # Explode inline: the explode-after-transform re-eval pitfall (see
+    # boilerplate_ngram_filter) only pays off to fix when the generator is
+    # expensive — substr-per-position is cheap enough that an exchange to
+    # materialize the array costs MORE (measured 2.2-3.3 s inline vs
+    # 3.8-4.8 s behind a repartition at sf0.1).
     tri = d.select("doc_id", F.explode(tri_arr).alias("tri"))
     tf = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("tf"))
     c3 = tf.groupBy("tri").agg(F.sum("tf").alias("c3"))
