@@ -460,3 +460,77 @@ def tokenize_to_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("vid") == 0).cast("int")).cast("bigint").alias("n_unk"),
         F.concat_ws(" ", ordered_ids).alias("token_ids"),
     )
+
+
+#: span-corruption hyperparameters (T5 denoising shape)
+_SPAN_LEN = 4
+_SPAN_MIN_TOKENS = 16
+
+
+@query(
+    "span_corruption_samples",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    eligible AS (
+      SELECT doc_id, toks, LEN(toks) AS n
+      FROM t WHERE LEN(toks) >= {_SPAN_MIN_TOKENS}
+    ),
+    spans AS (
+      SELECT doc_id, toks, n,
+             CAST({_BUCKET_SQL.format(c="doc_id")} % (n - {_SPAN_LEN}) + 1 AS BIGINT)
+                 AS span_start
+      FROM eligible
+    )
+    SELECT doc_id, span_start,
+           -- one ARRAY_TO_STRING over the concatenated list: DuckDB's
+           -- ARRAY_TO_STRING([]) is NULL, which would poison a || chain
+           -- when the span sits at an edge
+           ARRAY_TO_STRING(
+             LIST_SLICE(toks, 1, span_start - 1)
+               || ['<extra_id_0>']
+               || LIST_SLICE(toks, span_start + {_SPAN_LEN}, n), ' ')
+             AS input_text,
+           ARRAY_TO_STRING(
+             ['<extra_id_0>']
+               || LIST_SLICE(toks, span_start, span_start + {_SPAN_LEN} - 1), ' ')
+             AS target_text
+    FROM spans
+    """,
+)
+def span_corruption_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising training-sample construction (T5 span corruption, one
+    span): mask a deterministic {_SPAN_LEN}-token span and emit the
+    (input-with-sentinel, sentinel-target) pair every seq2seq pretraining
+    pipeline builds from raw documents.
+
+    The span position is ``hash(doc_id) % (n - span_len) + 1`` — the same
+    stable-id md5 recipe as the splits: reproducible across runs, engines,
+    partitionings, and task retries (``rand()`` would re-mask differently
+    on retry, silently changing the training set).  Everything is integer
+    arithmetic + array slicing — exact differential oracle, no UDF, one
+    narrow projection, no shuffle: linear at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tx.tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    eligible = toked.filter(F.col("n") >= _SPAN_MIN_TOKENS)
+    span_start = (_bucket(F.col("doc_id")) % (F.col("n") - _SPAN_LEN) + 1).cast(
+        "bigint"
+    )
+    spans = eligible.withColumn("span_start", span_start)
+    prefix = F.slice("toks", 1, F.col("span_start") - 1)
+    suffix = F.slice(
+        "toks",
+        F.col("span_start") + _SPAN_LEN,
+        F.greatest(F.col("n") - F.col("span_start") - _SPAN_LEN + 1, F.lit(0)),
+    )
+    masked = F.slice("toks", F.col("span_start"), F.lit(_SPAN_LEN))
+    sentinel = F.array(F.lit("<extra_id_0>"))
+    return spans.select(
+        "doc_id",
+        "span_start",
+        F.concat_ws(" ", F.concat(prefix, sentinel, suffix)).alias("input_text"),
+        F.concat_ws(" ", F.concat(sentinel, masked)).alias("target_text"),
+    )

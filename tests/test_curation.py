@@ -200,3 +200,30 @@ def test_tokenize_to_vocab_ids_roundtrip(spark):
         assert r.n_unk == sum(1 for i in expect if i == 0)
         some_unk = some_unk or r.n_unk > 0
     assert some_unk, "vocab cutoff must produce real <unk> tokens"
+
+
+def test_span_corruption_roundtrips_to_original(spark):
+    from lms_etl_pipeline_spark.plans.curation import (
+        _SPAN_LEN,
+        _SPAN_MIN_TOKENS,
+        span_corruption_samples,
+    )
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    out = {r.doc_id: r for r in span_corruption_samples(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", tx.tokens("text").alias("toks")
+    ).collect()
+    eligible = [d for d in docs if len(d.toks) >= _SPAN_MIN_TOKENS]
+    assert eligible and len(out) == len(eligible)
+
+    for d in eligible:
+        r = out[d.doc_id]
+        target = r.target_text.split(" ")
+        assert target[0] == "<extra_id_0>" and len(target) == _SPAN_LEN + 1
+        # splice the masked span back over the sentinel -> original doc
+        inp = r.input_text.split(" ")
+        i = inp.index("<extra_id_0>")
+        assert i == r.span_start - 1  # sentinel sits where the span was
+        rebuilt = inp[:i] + target[1:] + inp[i + 1 :]
+        assert rebuilt == list(d.toks), d.doc_id
