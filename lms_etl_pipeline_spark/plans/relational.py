@@ -1978,3 +1978,76 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+def _morton_sql(x: str, y: str, bits: int = 10) -> str:
+    """DuckDB expression: Morton-interleave the low ``bits`` of x and y."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _morton_col(x, y, bits: int = 10):
+    """Spark column: Morton-interleave the low ``bits`` of x and y."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_orderkey, l_partkey,
+             {_morton_sql("(l_orderkey % 1024)", "(l_partkey % 1024)")} AS zkey
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_orderkey, l_partkey,
+             NTILE(16) OVER (ORDER BY zkey ASC, l_orderkey ASC, l_partkey ASC)
+                 AS bucket
+      FROM z
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_orderkey % 1024) AS min_ok, MAX(l_orderkey % 1024) AS max_ok,
+           MIN(l_partkey % 1024) AS min_pk, MAX(l_partkey % 1024) AS max_pk
+    FROM b GROUP BY bucket
+    """,
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimensional data skipping —
+    the layout optimization behind Delta/Iceberg OPTIMIZE ZORDER: interleave
+    the bits of two filter dimensions into one sort key, range-split the
+    table on it, and every file/bucket gets a TIGHT min/max range on BOTH
+    dimensions (a sort on either single key leaves the other unbounded, so
+    scans filtering on it can skip nothing).  Emitted here: per-bucket
+    min/max of both dims — the footer stats a scan would prune against.
+
+    The Morton key is 40 bitwise ops in one codegen'd projection; at real
+    scale the same key feeds ``repartitionByRange(zkey)`` + sorted parquet
+    writes (``tests/test_parquet_partitioning.py`` pins the pruned-scan
+    side).  NTILE over (zkey, tiebreak) stands in for the range split —
+    deterministic total order, exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = F.col("l_orderkey") % 1024
+    pk = F.col("l_partkey") % 1024
+    z = li.select(
+        "l_orderkey", "l_partkey", _morton_col(ok, pk).alias("zkey")
+    )
+    w = Window.orderBy(
+        F.col("zkey").asc(), F.col("l_orderkey").asc(), F.col("l_partkey").asc()
+    )
+    b = z.select(ok.alias("ok"), pk.alias("pk"), F.ntile(16).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("ok").alias("min_ok"),
+        F.max("ok").alias("max_ok"),
+        F.min("pk").alias("min_pk"),
+        F.max("pk").alias("max_pk"),
+    )

@@ -227,3 +227,34 @@ def test_span_corruption_roundtrips_to_original(spark):
         assert i == r.span_start - 1  # sentinel sits where the span was
         rebuilt = inp[:i] + target[1:] + inp[i + 1 :]
         assert rebuilt == list(d.toks), d.doc_id
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Z-order's reason to exist: per-bucket min/max boxes are tight on
+    BOTH dims, so the summed box area is far below a single-key sort's
+    (which leaves the second dimension unbounded ~ full range)."""
+    from lms_etl_pipeline_spark.plans.relational import zorder_layout_stats
+
+    rows = zorder_layout_stats(spark, SF_SMOKE).collect()
+    assert len(rows) == 16
+    z_area = sum((r.max_ok - r.min_ok + 1) * (r.max_pk - r.min_pk + 1) for r in rows)
+
+    # single-key comparison: same table, same 16 buckets, sorted by ok only
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    b = li.select(
+        (F.col("l_orderkey") % 1024).alias("ok"),
+        (F.col("l_partkey") % 1024).alias("pk"),
+        F.ntile(16)
+        .over(W.orderBy(F.col("l_orderkey").asc(), F.col("l_partkey").asc()))
+        .alias("bucket"),
+    )
+    single = b.groupBy("bucket").agg(
+        F.min("ok").alias("min_ok"), F.max("ok").alias("max_ok"),
+        F.min("pk").alias("min_pk"), F.max("pk").alias("max_pk"),
+    ).collect()
+    s_area = sum(
+        (r.max_ok - r.min_ok + 1) * (r.max_pk - r.min_pk + 1) for r in single
+    )
+    assert z_area < s_area, (z_area, s_area)
