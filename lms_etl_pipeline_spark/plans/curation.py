@@ -1,7 +1,8 @@
 """Corpus-curation queries a production LLM-training pipeline runs between
 raw crawl and tokenizer: benchmark decontamination, cross-document
-boilerplate detection, corpus-trained char-LM quality scoring, and
-temperature-balanced domain mixing.
+boilerplate detection, corpus-trained char-LM quality scoring,
+temperature-balanced domain mixing, leakage-safe cluster splits,
+vocabulary tokenization, and span-corruption sample construction.
 
 Scope note: the reference pipeline (``/root/reference/README.md`` — an LMS
 ETL with no corpus stage) has no counterpart for these; they extend the
