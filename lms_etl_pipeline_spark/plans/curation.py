@@ -535,3 +535,45 @@ def span_corruption_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.concat(prefix, sentinel, suffix)).alias("input_text"),
         F.concat_ws(" ", F.concat(sentinel, masked)).alias("target_text"),
     )
+
+
+#: stable per-group sample size
+_STABLE_K = 5
+
+
+@query(
+    "sample_stable_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_BUCKET_SQL.format(c="doc_id")} AS hkey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey ASC, doc_id ASC)
+                 AS rank
+      FROM h
+    )
+    SELECT doc_id, lang, rank FROM r WHERE rank <= {_STABLE_K}
+    """,
+)
+def sample_stable_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable "random" K-per-group sample: order each group by the
+    md5-prefix hash of the stable id and take the first K — the
+    eval-subset construction every pipeline needs ("5 spot-check docs per
+    language, the SAME 5 every run").  Unlike ``sample_stratified_by_
+    priority`` (seeded, rows-only checkable), this is exactly reproducible
+    across runs, engines, partitionings, and retries, and is therefore the
+    variant you can differential-test and cache downstream.  One window
+    shuffle on the group key; rank<=K prunes to K rows per group."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        _bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _STABLE_K)
+    )

@@ -341,3 +341,37 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("pos_weighted_chars"),
     )
+
+
+@query(
+    "variant_semi_structured",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           MIN(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on the VARIANT type (Spark 4): parse the
+    JSON payload ONCE into Spark's binary variant encoding, then extract
+    typed paths with ``variant_get`` — the engine's answer to schemaless
+    columns at scale (binary-encoded traversal + shredding-friendly
+    storage, vs per-extraction JSON string re-parsing with
+    ``get_json_object``, or rigid ``from_json`` schemas).  The aggregate
+    over the extracted field proves typed extraction end-to-end; the
+    oracle reads the same numbers with DuckDB's JSON functions."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

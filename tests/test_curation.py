@@ -258,3 +258,38 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         (r.max_ok - r.min_ok + 1) * (r.max_pk - r.min_pk + 1) for r in single
     )
     assert z_area < s_area, (z_area, s_area)
+
+
+def test_stable_per_group_sample_is_k_and_stable(spark):
+    from lms_etl_pipeline_spark.plans.curation import _STABLE_K, sample_stable_per_group
+
+    a = sorted((r.lang, r.doc_id, r.rank) for r in sample_stable_per_group(spark, SF_SMOKE).collect())
+    b = sorted((r.lang, r.doc_id, r.rank) for r in sample_stable_per_group(spark, SF_SMOKE).collect())
+    assert a == b, "stable sample must be identical across runs"
+    from collections import Counter
+
+    per_lang = Counter(t[0] for t in a)
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in totals.items():
+        assert per_lang[lang] == min(_STABLE_K, n)
+
+
+def test_variant_extraction_matches_string_json_path(spark):
+    from lms_etl_pipeline_spark.plans.scalar import variant_semi_structured
+
+    got = {r.event_type: (r.n, r.sum_k) for r in variant_semi_structured(spark, SF_SMOKE).collect()}
+    e = load_table(spark, SF_SMOKE, "events")
+    expect = {
+        r.event_type: (r.n, r.sum_k)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+        .collect()
+    }
+    assert got == expect
