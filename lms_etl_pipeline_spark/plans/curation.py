@@ -577,3 +577,83 @@ def sample_stable_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _STABLE_K)
     )
+
+
+@query(
+    "quality_ranker_auc",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, LEN({_TOKS}) AS score,
+             (LEN({_TOKS}) BETWEEN 20 AND 1000
+              AND CAST(LEN(LIST_FILTER({_TOKS}, x -> x IN
+                    ('the','a','an','and','of','to','in','is','on'))) AS DOUBLE)
+                  / LEN({_TOKS}) <= 0.5
+              AND CAST(LEN(LIST_DISTINCT({_TOKS})) AS DOUBLE) / LEN({_TOKS}) > 0.05)
+                 AS label
+      FROM documents
+    ),
+    g AS (
+      SELECT score,
+             CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM labeled GROUP BY score
+    ),
+    c AS (
+      SELECT score, np, nn,
+             CAST(COALESCE(SUM(nn) OVER (ORDER BY score ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS nn_below
+      FROM g
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           SUM(np * (nn_below + nn / 2.0)) / (SUM(np) * SUM(nn)) AS auc
+    FROM c
+    """,
+)
+def quality_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer evaluation at corpus scale: exact ROC-AUC of a ranker
+    (token count) against the quality-gate labels (``doc_quality_filter``'s
+    predicate), via the Mann-Whitney identity — AUC = P(random positive
+    outranks random negative, ties at half credit).
+
+    The classifier-eval step every filtering pipeline runs before trusting
+    a scorer.  NOT computed by sorting individual rows: scores collapse to
+    per-score-value (np, nn) counts first, so the window pass runs over
+    |distinct scores| rows (bounded), not the corpus.  All terms are
+    integers or exact half-integers (nn/2.0), so the sum is exact in IEEE
+    double regardless of accumulation order — bit-identical across engines
+    and partitionings, no rounding needed."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_features(d, "text")
+    labeled = q.select(
+        F.col("n_tokens").alias("score"),
+        (
+            F.col("n_tokens").between(20, 1000)
+            & (F.col("stop_ratio") <= 0.5)
+            & (F.col("ttr") > 0.05)
+        ).alias("label"),
+    )
+    g = labeled.groupBy("score").agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint").alias("np"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("bigint").alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("score").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("bigint").alias("nn_below"),
+    )
+    return c.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        (
+            F.sum(F.col("np") * (F.col("nn_below") + F.col("nn") / 2.0))
+            / (F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+    )

@@ -293,3 +293,22 @@ def test_variant_extraction_matches_string_json_path(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_auc_matches_bruteforce_pairwise(spark):
+    from lms_etl_pipeline_spark.plans.curation import quality_ranker_auc
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    row = quality_ranker_auc(spark, SF_SMOKE).collect()[0]
+
+    q = tx.quality_features(load_table(spark, SF_SMOKE, "documents"), "text")
+    labeled = [
+        (r.n_tokens, bool(20 <= r.n_tokens <= 1000 and r.stop_ratio <= 0.5 and r.ttr > 0.05))
+        for r in q.collect()
+    ]
+    pos = [s for s, l in labeled if l]
+    neg = [s for s, l in labeled if not l]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert pos and neg, "both classes must be represented"
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert row.auc == wins / (len(pos) * len(neg))
