@@ -657,3 +657,95 @@ def quality_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("np") * F.sum("nn"))
         ).alias("auc"),
     )
+
+
+@query(
+    "lsh_recall_eval",
+    oracle=f"""
+    WITH sh_srt AS (
+      SELECT doc_id, LIST_SORT({_SHINGLES}) AS sh FROM documents
+    ),
+    nz AS (SELECT doc_id, sh, LEN(sh) AS n FROM sh_srt WHERE LEN(sh) > 0),
+    pref AS (
+      SELECT doc_id,
+             UNNEST(LIST_SLICE(sh, 1, n - CAST(CEIL(0.5 * n) AS BIGINT) + 1)) AS g
+      FROM nz
+    ),
+    pcands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM pref l JOIN pref r ON l.g = r.g AND l.doc_id < r.doc_id
+    ),
+    truth AS (
+      SELECT c.a, c.b FROM pcands c
+      JOIN nz sa ON sa.doc_id = c.a
+      JOIN nz sb ON sb.doc_id = c.b
+      WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+              / (sa.n + sb.n - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+              >= 0.5
+    ),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_srt WHERE LEN(sh) > 0),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_slots_sql(8)}
+      FROM hs_t
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             MD5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM sigs
+    ),
+    lcands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+      WHERE l.doc_id < r.doc_id
+    ),
+    lsh AS (
+      SELECT c.a, c.b FROM lcands c
+      JOIN nz sa ON sa.doc_id = c.a
+      JOIN nz sb ON sb.doc_id = c.b
+      WHERE CAST(LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))) AS DOUBLE)
+              / (sa.n + sb.n - LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s))))
+              >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM truth t JOIN lsh l ON t.a = l.a AND t.b = l.b)
+               AS n_found,
+           CAST((SELECT COUNT(*) FROM truth t JOIN lsh l ON t.a = l.a AND t.b = l.b)
+                AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement for the approximate dedup path: compare the
+    MinHash-LSH near-dup pairs (``near_dup_pairs_lsh``, probabilistic
+    candidate generation) against the EXACT prefix-filtered Jaccard pairs
+    (``ngram_jaccard_pairs``, lossless) at the same threshold — the tuning
+    measurement that tells you whether (k=8, bands=4) is enough before
+    trusting LSH on the full corpus.
+
+    Composition of two verified operators, each linear (prefix equi-join /
+    banded equi-join — never N^2); the joined comparison is |pairs| rows.
+    Both pair sets are deterministic, so recall is an exact integer ratio
+    — differential-tested like everything else, which is the point: the
+    approximate path's QUALITY is itself an exactly-checkable number."""
+    from lms_etl_pipeline_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = dd.jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.5,
+        num_partitions=default_parallelism(spark),
+    ).select("a", "b")
+    lsh = dd.near_dup_pairs(d, "doc_id", "text").select("a", "b")
+    found = truth.join(lsh, ["a", "b"], "leftsemi")
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .select(
+            "n_true",
+            "n_found",
+            (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )

@@ -30,6 +30,7 @@ ALLOW_CROSS = {
     "q11_important_values",  # 1-row global-threshold broadcast (scalar subquery)
     "q22_dormant_balances",  # 1-row global-average broadcast (scalar subquery)
     "domain_mixture_sampling",  # 1-row min-domain-count broadcast
+    "lsh_recall_eval",       # 1-row count x 1-row count broadcast (recall ratio)
 }
 
 
