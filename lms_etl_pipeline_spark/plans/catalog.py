@@ -26,47 +26,56 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # relational / TPC-H composite shapes (incl. previously driver-flagged
-    # queries whose canonicalization was fixed this round)
+    # Round-4 rotation: the Spark-4.1 NTZ-regression trio (fixed this round)
+    # enters for driver-visible certification of that regression class, plus
+    # five locally-certified queries get their first driver rows
+    # (agg_percentiles_exact, lateral_topk, split_leakage_safe,
+    # tokenize_to_vocab_ids, quality_ranker_auc).  Eight thrice-certified
+    # entries yield their slots (q3/q8/q12, window_row_number_rank,
+    # events_sliding_window, tfidf_cosine_pairs, multimodal_frame_sample,
+    # etl_flatten_json_props) — all remain in the catalog and the local
+    # full-catalog gate; every operator family stays represented.
+    #
+    # relational / TPC-H composite shapes
     "flagship_regional_revenue",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q12_shipmode_priority",
     "filter_project_casts",
     "agg_collect_sorted",
+    "agg_percentiles_exact",
     "set_except",
     "join_anti",
     "join_asof_last_click",
     "subquery_correlated",
-    # window functions
-    "window_row_number_rank",
+    "lateral_topk",
+    # window functions (incl. the fixed NTZ trio)
     "window_topk_per_group",
-    # (window_running_sum yields its slot to curation; still judge-checked)
+    "window_time_rolling",
     "decontaminate_ngram_overlap",
     "window_range_between",
     "window_ntile_percentile",
     # streaming-shaped windows + event analytics
     "events_tumbling_window",
-    "events_sliding_window",
     "events_session_window",
     "events_funnel_conversion",
     "events_type_pivot",
+    "events_rolling_anomaly",
+    "timeseries_interpolate_linear",
     # text analysis + LLM-training-data ops
     "text_token_stats",
     "doc_quality_filter",
     "text_language_id",
     "dataset_split_assign",
+    "split_leakage_safe",
     "doc_chunk_sliding",
+    "tokenize_to_vocab_ids",
     "tf_idf_top_terms",
-    "tfidf_cosine_pairs",
+    "quality_ranker_auc",
     # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
     # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
     "dedup_exact_text",
     "minhash_signatures",
     "near_dup_pairs_lsh",
     "ngram_jaccard_pairs",
-    # (dedup_winnowing yields its slot to curation; still judge-checked)
     "domain_mixture_sampling",
     "dedup_clusters",
     "corpus_curation_pipeline",
@@ -82,10 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "applyinpandas_group_rank",
     # multimodal plumbing
     "multimodal_image_decode",
-    "multimodal_frame_sample",
     "multimodal_join_features",
     # reference ETL parity chain
-    "etl_flatten_json_props",
     "etl_pack_custom_fields",
     "etl_align_to_schema",
     "etl_users_pipeline_shape",

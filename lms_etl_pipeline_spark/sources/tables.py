@@ -41,22 +41,40 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy: no data moves until an action runs.
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read nanos as longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps — the same truncation DuckDB applies, and a column-local
-    codegen'd conversion (no shuffle, no Python).
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS). Readers
+    surface that physical type differently across Spark versions, so we
+    normalize every observed shape to a session-TZ ``timestamp`` (micros):
+
+    - ``LongType`` — older readers with ``spark.sql.legacy.parquet.nanosAsLong``
+      honor the legacy conf and hand us raw nanos; integer-div to micros.
+    - ``TimestampNTZType`` — Spark 4.1+ reads TIMESTAMP(NANOS, isAdjustedToUTC
+      =false) natively as NTZ (truncated to micros). The session TZ is pinned
+      to UTC (session.py), so ``cast('timestamp')`` is value-preserving.
+
+    Both are column-local codegen'd conversions (no shuffle, no Python), and
+    downstream time arithmetic (``unix_micros`` etc.) sees one stable type.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
+    df = _normalize_ts(df)
+    return df
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize a raw ``ts`` column (long nanos or NTZ) to ``timestamp``."""
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
             # integer div (not /) keeps full precision above 2^53 ns
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # NTZ -> LTZ is value-preserving because the session TZ is UTC
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -25,6 +25,59 @@ def test_events_ts_normalized_to_timestamp(spark):
     assert df.schema["ts"].dataType.typeName() == "timestamp"
 
 
+# The events fixture's parquet TIMESTAMP(NANOS) column surfaces differently
+# across Spark versions: legacy readers honor nanosAsLong and hand back a
+# LongType of raw nanos; Spark 4.1+ reads it natively as TIMESTAMP_NTZ
+# (micros).  Round 3 shipped broken because only the LongType branch existed.
+# This parametrized test pins BOTH reader behaviors (plus the already-
+# normalized passthrough) so the next Spark minor bump cannot silently
+# re-break events.ts consumers.
+_TS_MICROS = 1_700_000_123_456_789  # 2023-11-14T22:15:23.456789Z
+
+
+@pytest.mark.parametrize("reader_shape", ["nanos_as_long", "native_ntz", "already_ltz"])
+def test_normalize_ts_covers_all_reader_behaviors(spark, reader_shape):
+    import datetime as dt
+
+    naive = dt.datetime.utcfromtimestamp(_TS_MICROS / 1_000_000)
+    if reader_shape == "nanos_as_long":
+        src = spark.createDataFrame(
+            [Row(event_id=1, ts=_TS_MICROS * 1000)],
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.LongType()),
+                ]
+            ),
+        )
+    elif reader_shape == "native_ntz":
+        src = spark.createDataFrame(
+            [Row(event_id=1, ts=naive)],
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampNTZType()),
+                ]
+            ),
+        )
+    else:  # already a session-TZ timestamp: normalization must be a no-op
+        src = spark.createDataFrame(
+            [Row(event_id=1, ts=naive)],
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            ),
+        )
+
+    out = tables._normalize_ts(src)
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    got = out.collect()[0].ts
+    # session TZ is UTC, so every shape must land on the exact same instant
+    assert got.replace(tzinfo=None) == naive
+
+
 def test_load_tables_skips_missing(spark, tmp_path):
     # empty dir: no tables, no crash (lazy probe, not os.path.exists)
     assert tables.load_tables(spark, str(tmp_path)) == {}

@@ -1,0 +1,49 @@
+"""Preflight gate: the round may not ship unless this exits 0.
+
+Runs, in order, the three checks that each independently catch catalog
+regressions, and refuses on the first non-zero exit:
+
+1. ``pytest tests/ -q``                — unit/property/golden suite
+2. ``tools/check_oracle.py <sf_dir>``  — full-catalog DuckDB differential
+3. ``tools/audit_plans.py <sf_dir>``   — physical-plan scale-red-flag audit
+
+Usage: python tools/preflight.py [sf_dir]   (default /root/testdata/sf0.01)
+
+Run this as the last action of every round; record the PASS line in the
+snapshot commit / PROGRESS entry.  (Round-3 retro: every gate existed and
+each would have caught the shipped NTZ regression — they just were not run
+after the final environment change.  This wrapper makes "run the gates" one
+command with one exit code.)
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+STEPS = lambda sf_dir: [  # noqa: E731
+    ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
+    ("check_oracle", [sys.executable, "tools/check_oracle.py", sf_dir]),
+    ("audit_plans", [sys.executable, "tools/audit_plans.py", sf_dir]),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    t0 = time.time()
+    for name, cmd in STEPS(sf_dir):
+        print(f"== preflight: {name} ==", flush=True)
+        t = time.time()
+        rc = subprocess.call(cmd, cwd="/root/repo")
+        print(f"== {name}: {'OK' if rc == 0 else f'FAILED rc={rc}'} "
+              f"({time.time() - t:.1f}s) ==", flush=True)
+        if rc != 0:
+            print(f"PREFLIGHT FAILED at {name} after {time.time() - t0:.1f}s")
+            return rc
+    print(f"PREFLIGHT PASS ({time.time() - t0:.1f}s, sf_dir={sf_dir})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
