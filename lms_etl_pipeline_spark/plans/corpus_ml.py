@@ -1,0 +1,479 @@
+"""Corpus ML / retrieval / graph-signal plans (round 4 widening).
+
+Five operator families a production training-data platform runs that were
+not yet first-class in the catalog:
+
+- **deterministic training-shard shuffle** (``corpus_shuffle_deterministic``)
+  — the global pseudo-random reorder every epoch-0 data loader needs, as a
+  pure hash computation (no ``rand()``, reproducible across engines/runs);
+- **BM25 retrieval** (``bm25_retrieval_topk``) — Okapi BM25 top-k scoring of
+  a fixed query set against the corpus, the classic sparse-retrieval
+  baseline next to the dense kNN family in ``plans/llm.py``;
+- **SemDeDup-style semantic dedup** (``semdedup_embedding``) — drop
+  embeddings too cosine-close to an earlier member of their cluster
+  (Abbas et al., 2023: pairwise work bounded per cluster, never corpus-wide);
+- **Lloyd k-means** (``kmeans_lloyd``) — two unrolled iterations with
+  broadcast centroids, the iterative-algorithm template (same shape as the
+  IVF coarse quantizer training the ANN path needs);
+- **PageRank** (``pagerank_graph``) — unrolled power iterations over an
+  order-derived bipartite graph; the link-centrality quality signal crawl
+  curation pipelines compute (e.g. CommonCrawl harmonic/PageRank filters).
+
+Scope note: the reference (`/root/reference/README.md` — a 2-file pandas
+LMS ETL) has no counterpart for any of these; they extend the engine along
+the driver-mandated training-data axis.
+
+Determinism / oracle strategy (repo convention, see ``functions/numeric.py``):
+group sums of doubles go through fixed-scale DECIMAL (order-independent) and
+every emitted float is rounded at a fixed scale; binary floats are never an
+exact decimal-rounding tie, so HALF_UP (Spark) and round-nearest (DuckDB)
+agree and results are bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators import text as tx
+from lms_etl_pipeline_spark.operators import vectors as vec
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _bucket
+from lms_etl_pipeline_spark.plans.llm import _TOKS, EMB_DIM
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle_deterministic",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_BUCKET_SQL.format(c="doc_id")} AS hk FROM documents)
+    SELECT doc_id, hk % {_N_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hk % {_N_SHARDS} ORDER BY hk, doc_id)
+               AS pos
+    FROM h
+    """,
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 global shuffle: assign every document a shard and an intra-
+    shard position from a content-free hash of its id — fully deterministic
+    (re-runs and retried tasks produce the identical order; no ``rand()``).
+
+    Scale: ONE shuffle. The hash key is uniform, so shards are balanced by
+    construction (no skew); at 100 TB the physical form is
+    ``repartition(n_shards, shard).sortWithinPartitions(hk, doc_id)`` writing
+    one sorted file per shard — the window below is the oracle-checkable
+    twin of that sort (same keys, same order).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", _bucket(F.col("doc_id")).alias("hk"))
+    sharded = h.withColumn("shard", F.col("hk") % _N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+#: fixed query set, versioned with the code (reproducible across engines)
+_BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("hash", "join", "spark")),
+    (1, ("window", "agg")),
+    (2, ("stream", "batch", "vector")),
+)
+
+
+def _bm25_queries_sql() -> str:
+    rows = []
+    for qid, terms in _BM25_QUERIES:
+        rows.extend(f"({qid}, '{t}')" for t in terms)
+    return ", ".join(rows)
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    dl AS (SELECT doc_id, LEN(tk) AS dl FROM toks),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    q(qid, term) AS (VALUES {_bm25_queries_sql()}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(tk) AS term FROM toks)
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT term,
+                   ROUND(LN(1 + ((SELECT n_docs FROM stats) - df + 0.5)
+                                / (df + 0.5)), 6) AS idf
+            FROM dfreq),
+    contrib AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(ROUND(idf.idf * tf.tf * ({_BM25_K1} + 1)
+                        / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                             * dl.dl / (SELECT avgdl FROM stats))), 6)
+                  AS DECIMAL(18,6)) AS c
+      FROM q JOIN tf ON tf.term = q.term
+             JOIN idf ON idf.term = q.term
+             JOIN dl ON dl.doc_id = tf.doc_id),
+    scored AS (SELECT qid, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+               FROM contrib GROUP BY 1, 2)
+    SELECT qid, doc_id, rk, score FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed query set — the sparse-
+    retrieval baseline (k1=1.2, b=0.75) every RAG/eval harness needs next
+    to dense kNN.
+
+    Scale: the query term list is a tiny broadcast; term frequencies come
+    from ONE explode of the (already term-filtered) corpus and aggregate
+    map-side; corpus stats (N, avgdl) are a 1-row broadcast. Candidate
+    scoring is a term-keyed equi-join — the corpus never cross-joins, and
+    only docs containing ≥1 query term are ever scored (inverted-index
+    semantics). Determinism: per-term contributions are rounded then summed
+    as DECIMAL (order-independent), per repo convention.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens("text").alias("tk"))
+    dl = toks.select("doc_id", F.size("tk").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "qid INT, term STRING",
+    )
+    term_set = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(term_set))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.round(
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+        ).alias("idf"),
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        F.sum("c").cast("double").alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("qid", "doc_id", "rk", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({vec.dot_sql(a, b, EMB_DIM)}) / "
+        f"(SQRT({vec.dot_sql(a, a, EMB_DIM)}) * SQRT({vec.dot_sql(b, b, EMB_DIM)}))"
+    )
+
+
+@query(
+    "semdedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id, a.label FROM embeddings a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings b
+      WHERE b.label = a.label AND b.vec_id < a.vec_id
+        AND {_cos_sql("a.embedding", "b.embedding")} > {_SEMDEDUP_TAU})
+    """,
+)
+def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): within each cluster, drop every vector
+    whose cosine to an earlier (lower-id) cluster member exceeds τ; survivors
+    are the semantically-deduplicated corpus. The fixture's ``label`` plays
+    the precomputed k-means cluster id (`kmeans_lloyd` is the trainer); τ is
+    0.3 here because the synthetic vectors are near-orthogonal — production
+    embeddings cluster tightly and use τ≈0.95+.
+
+    Scale (the paper's point): the quadratic compare is bounded PER CLUSTER
+    — an equi-join on the cluster key, never corpus-wide. With k sized so
+    clusters hold ~10⁴ vectors, 100 TB of embeddings is k independent
+    10⁴×10⁴ blocks, embarrassingly parallel, no global shuffle beyond the
+    one cluster-key partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", "label", "embedding")
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dup = a.join(
+        b,
+        (F.col("label") == F.col("b_label"))
+        & (F.col("b_id") < F.col("vec_id"))
+        & (vec.cosine(F.col("embedding"), F.col("b_emb")) > _SEMDEDUP_TAU),
+        "left_semi",
+    )
+    return a.join(dup.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means (2 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+
+def _d2_sql(a: str, c: str) -> str:
+    """Left-assoc squared-L2 fragment, bit-identical to the zip_with fold."""
+    terms = []
+    for i in range(1, EMB_DIM + 1):
+        x = f"(CAST({a}[{i}] AS DOUBLE) - CAST({c}[{i}] AS DOUBLE))"
+        terms.append(f"{x} * {x}")
+    return " + ".join(terms)
+
+
+def _d2(a, c) -> F.Column:
+    diffs = F.zip_with(
+        a, c, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, p: acc + p)
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    one linear scan of the corpus, argmin via (d2, cid) window."""
+    pairs = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", _d2(F.col("embedding"), F.col("cvec")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "d2")
+    )
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings WHERE vec_id < {_KMEANS_K}),
+    p1 AS (SELECT e.vec_id, c.cid,
+                  {_d2_sql("e.embedding", "c.cvec")} AS d2
+           FROM embeddings e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM p1) WHERE rn = 1),
+    m AS (SELECT a1.cluster,
+                 GENERATE_SUBSCRIPTS(e.embedding, 1) AS pos,
+                 UNNEST(e.embedding) AS val
+          FROM a1 JOIN embeddings e USING (vec_id)),
+    c1e AS (SELECT cluster, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(27,8))) AS DOUBLE)
+                         / COUNT(*), 6) AS v
+            FROM m GROUP BY 1, 2),
+    c1 AS (SELECT cluster AS cid, LIST(v ORDER BY pos) AS cvec
+           FROM c1e GROUP BY 1),
+    p2 AS (SELECT e.vec_id, c.cid,
+                  {_d2_sql("e.embedding", "c.cvec")} AS d2
+           FROM embeddings e CROSS JOIN c1 c)
+    SELECT vec_id, cluster, dist FROM (
+      SELECT vec_id, cid AS cluster, ROUND(d2, 4) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM p2) WHERE rn = 1
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means (k=8, centroids seeded from
+    the first k vectors — deterministic, no random init): assign → recompute
+    means → reassign; emits each vector's cluster and rounded distance.
+    This is the coarse-quantizer trainer for the IVF ANN path
+    (``knn_cosine_ivf``) expressed as an oracle-checkable plan.
+
+    Scale: per iteration, assignment is a k-row broadcast against one linear
+    corpus scan (no shuffle of the corpus), and the mean update is one
+    posexplode + groupBy(cluster, dim) — a (k·dim)-group aggregate that
+    combines map-side. Iterations are data-independent plan layers, so n
+    iterations = n such passes; at 100 TB you'd localCheckpoint between
+    passes to bound lineage (the 2-step unroll here doesn't need it).
+    Determinism: means go through fixed-scale DECIMAL sums (order-
+    independent) and are rounded before reuse, per repo convention."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a1 = _assign(e, c0).select("vec_id", "cluster")
+    m = a1.join(e, "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("pos", "val")
+    )
+    c1e = m.groupBy("cluster", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,8)")).cast("double") / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    c1 = (
+        c1e.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform("s", lambda x: x["v"]).alias("cvec"),
+        )
+    )
+    a2 = _assign(e, c1)
+    return a2.select("vec_id", "cluster", F.round("d2", 4).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (3 unrolled power iterations)
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITER = 3
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One power iteration: contributions rounded then DECIMAL-summed."""
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             ROUND((1 - {_PR_DAMP}) / (SELECT n FROM nn)
+                   + {_PR_DAMP} * COALESCE(s.acc, 0.0), 12) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(ROUND(p.pr / d.outdeg, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS acc
+        FROM edges e JOIN {prev} p ON p.node = e.src
+                     JOIN deg d ON d.node = e.src
+        GROUP BY 1) s ON s.node = n.node)"""
+
+
+@query(
+    "pagerank_graph",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    {_pr_iter_sql("pr0", "pr1")},
+    {_pr_iter_sql("pr1", "pr2")},
+    {_pr_iter_sql("pr2", "pr3")}
+    SELECT node, ROUND(pr, 8) AS pagerank FROM pr3
+    """,
+)
+def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled power iterations, simplified: no
+    dangling-mass redistribution — suppliers are sinks) over the bipartite
+    customer→supplier graph derived from order flow. This is the
+    link-centrality quality signal crawl-curation pipelines attach to every
+    page before filtering (CommonCrawl-style harmonic/PageRank scores); the
+    fixtures have no hyperlink table, so order flow plays the link graph.
+
+    Scale: one iteration = edges ⋈ scores on src (equi-join) + groupBy dst
+    — the canonical distributed PageRank data layout. Edges partition once
+    by src and every iteration reuses that partitioning; score updates are
+    map-side-combining sums. Unrolled fixed iterations keep the whole thing
+    a single declarative plan; an open-ended solver would localCheckpoint
+    per iteration to bound lineage. Determinism: contributions are rounded
+    then DECIMAL-summed (order-independent), per repo convention."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    # graph size as a 1-row broadcast, not a driver-side count(): the whole
+    # query stays one declarative plan with no eager actions
+    nn = nodes.agg(F.count("*").alias("n"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITER):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("acc"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    (1 - _PR_DAMP) / F.col("n")
+                    + _PR_DAMP * F.coalesce(F.col("acc"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 8).alias("pagerank"))

@@ -1,0 +1,137 @@
+"""Semantic tests for plans/corpus_ml.py (shuffle, BM25, SemDeDup, k-means,
+PageRank).
+
+Value-level cross-engine equality is covered by tools/check_oracle.py; these
+pin the *semantics* each op promises (invariants that would survive an oracle
+that was wrong in the same way as the engine).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.plans.corpus_ml import (
+    _BM25_QUERIES,
+    _BM25_TOPK,
+    _KMEANS_K,
+    _N_SHARDS,
+    _SEMDEDUP_TAU,
+    bm25_retrieval_topk,
+    corpus_shuffle_deterministic,
+    kmeans_lloyd,
+    pagerank_graph,
+    semdedup_embedding,
+)
+from lms_etl_pipeline_spark.operators import vectors as vec
+from lms_etl_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_shuffle_is_a_permutation_and_deterministic(spark):
+    out = corpus_shuffle_deterministic(spark, SF_SMOKE)
+    rows = out.collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs, "shuffle must be a permutation (no loss/dup)"
+    assert len({r.doc_id for r in rows}) == n_docs
+    # positions within each shard are 1..len(shard) (dense, gap-free)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < _N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard} gaps"
+    # re-running produces the identical assignment (no rand() anywhere)
+    again = {(r.doc_id, r.shard, r.pos) for r in corpus_shuffle_deterministic(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_bm25_ranks_are_dense_and_scores_monotone(spark):
+    rows = bm25_retrieval_topk(spark, SF_SMOKE).collect()
+    assert rows
+    qids = {r.qid for r in rows}
+    assert qids == {qid for qid, _ in _BM25_QUERIES}
+    for qid in qids:
+        qr = sorted((r for r in rows if r.qid == qid), key=lambda r: r.rk)
+        assert [r.rk for r in qr] == list(range(1, len(qr) + 1))
+        assert len(qr) <= _BM25_TOPK
+        # scores non-increasing in rank, all positive (idf > 0 when df < N)
+        scores = [r.score for r in qr]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(s > 0 for s in scores)
+
+
+def test_bm25_top_doc_actually_contains_a_query_term(spark):
+    rows = bm25_retrieval_topk(spark, SF_SMOKE).collect()
+    d = {r.doc_id: r.text for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    terms = {qid: set(ts) for qid, ts in _BM25_QUERIES}
+    for r in rows:
+        toks = set(d[r.doc_id].split())
+        assert toks & terms[r.qid], "scored doc contains no query term"
+
+
+def test_semdedup_survivors_are_pairwise_below_tau(spark):
+    kept = semdedup_embedding(spark, SF_SMOKE)
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    total = e.count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= total
+    # no surviving pair within a label may exceed tau (check via one join)
+    ke = kept.join(e, ["vec_id", "label"]).select("vec_id", "label", "embedding")
+    b = ke.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    viol = ke.join(
+        b,
+        (F.col("label") == F.col("b_label"))
+        & (F.col("b_id") < F.col("vec_id"))
+        & (vec.cosine(F.col("embedding"), F.col("b_emb")) > _SEMDEDUP_TAU),
+        "inner",
+    ).count()
+    assert viol == 0, "semdedup kept a pair above tau"
+    # lowest vec_id of every label always survives (nothing earlier to hit)
+    first = {
+        r.vec_id
+        for r in e.groupBy("label").agg(F.min("vec_id").alias("vec_id")).collect()
+    }
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert first <= kept_ids
+
+
+def test_kmeans_assigns_every_vector_to_nearest_final_centroid(spark):
+    out = kmeans_lloyd(spark, SF_SMOKE)
+    rows = out.collect()
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    assert len(rows) == e.count(), "every vector gets exactly one cluster"
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(_KMEANS_K))
+    assert len(clusters) > 1, "degenerate single-cluster solution"
+    assert all(r.dist >= 0 for r in rows)
+    # seed vectors must sit in (at least plausibly) their own neighborhoods:
+    # distances are finite and rounded at 4 dp
+    assert all(not math.isnan(r.dist) for r in rows)
+
+
+def test_pagerank_conserves_and_orders_mass(spark):
+    rows = pagerank_graph(spark, SF_SMOKE).collect()
+    assert rows
+    prs = [r.pagerank for r in rows]
+    assert all(p > 0 for p in prs), "every node keeps the teleport floor"
+    n = len(prs)
+    # with dangling sinks (suppliers) mass leaks, so total <= 1 but must
+    # stay well above the teleport-only floor (0.15)
+    total = sum(prs)
+    assert 0.15 < total <= 1.0 + 1e-6
+    # suppliers (in-degree > 0, many customers point at them) must out-rank
+    # the uniform floor; customers (no in-edges) sit exactly on the floor
+    cust = [r.pagerank for r in rows if r.node.startswith("c")]
+    supp = [r.pagerank for r in rows if r.node.startswith("s")]
+    assert supp and cust
+    assert max(supp) > max(cust), "sinks with in-links must gain rank"
+    floor = min(prs)
+    assert all(abs(c - floor) < 1e-9 for c in cust), (
+        "source-only nodes must all sit on the teleport floor"
+    )

@@ -31,6 +31,9 @@ ALLOW_CROSS = {
     "q22_dormant_balances",  # 1-row global-average broadcast (scalar subquery)
     "domain_mixture_sampling",  # 1-row min-domain-count broadcast
     "lsh_recall_eval",       # 1-row count x 1-row count broadcast (recall ratio)
+    "bm25_retrieval_topk",   # 1-row corpus-stats (N, avgdl) broadcast
+    "kmeans_lloyd",          # k-row (k=8) centroid broadcast x linear scan
+    "pagerank_graph",        # 1-row node-count broadcast per iteration
 }
 
 
