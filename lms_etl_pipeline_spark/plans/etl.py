@@ -222,6 +222,34 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan: the engine's second columnar interchange format
+    (built into Spark, no external package). The read-back is filtered and
+    aggregated so the ORC reader's predicate pushdown and column pruning sit
+    in the checked plan — proving the hop is lossless AND optimizer-visible,
+    not just byte-preserving. Oracle runs on the parquet original: equality
+    holds iff the ORC round trip changed nothing."""
+    from lms_etl_pipeline_spark.functions.numeric import dec_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    path = "/root/repo/.scratch/orders_orc"
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
     "jsonl_roundtrip_documents",
     oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
 )

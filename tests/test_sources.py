@@ -111,3 +111,15 @@ def test_csv_single_file_mode(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{path}/part-*.csv")) == 1
+
+
+def test_orc_roundtrip_pushes_filter_into_scan(spark):
+    from lms_etl_pipeline_spark.plans.etl import orc_roundtrip_orders
+
+    df = orc_roundtrip_orders(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan orc"):]
+    assert "PushedFilters: [" in scan
+    pushed = scan.split("PushedFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in pushed, "status filter must reach the ORC reader"
+    assert df.count() > 0
