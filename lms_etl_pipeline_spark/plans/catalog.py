@@ -27,13 +27,18 @@ _ORACLES: dict[str, str] = {}
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
     # Round-4 rotation: the Spark-4.1 NTZ-regression trio (fixed this round)
-    # enters for driver-visible certification of that regression class, plus
-    # five locally-certified queries get their first driver rows
+    # enters for driver-visible certification of that regression class; five
+    # locally-certified queries get their first driver rows
     # (agg_percentiles_exact, lateral_topk, split_leakage_safe,
-    # tokenize_to_vocab_ids, quality_ranker_auc).  Eight thrice-certified
+    # tokenize_to_vocab_ids, quality_ranker_auc); and the six operators NEW
+    # this round (corpus_shuffle_deterministic, bm25_retrieval_topk,
+    # semdedup_embedding, kmeans_lloyd, pagerank_graph, orc_roundtrip_orders)
+    # are driver-certified in their first round.  Fourteen multi-certified
     # entries yield their slots (q3/q8/q12, window_row_number_rank,
-    # events_sliding_window, tfidf_cosine_pairs, multimodal_frame_sample,
-    # etl_flatten_json_props) — all remain in the catalog and the local
+    # events_sliding_window, events_tumbling_window, tfidf_cosine_pairs,
+    # multimodal_frame_sample, etl_flatten_json_props, text_token_stats,
+    # tf_idf_top_terms, minhash_signatures, dedup_exact_text,
+    # udtf_sentence_split) — all remain in the catalog and the local
     # full-catalog gate; every operator family stays represented.
     #
     # relational / TPC-H composite shapes
@@ -54,26 +59,23 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_between",
     "window_ntile_percentile",
     # streaming-shaped windows + event analytics
-    "events_tumbling_window",
     "events_session_window",
+    "corpus_shuffle_deterministic",
     "events_funnel_conversion",
     "events_type_pivot",
     "events_rolling_anomaly",
     "timeseries_interpolate_linear",
     # text analysis + LLM-training-data ops
-    "text_token_stats",
     "doc_quality_filter",
     "text_language_id",
     "dataset_split_assign",
     "split_leakage_safe",
     "doc_chunk_sliding",
     "tokenize_to_vocab_ids",
-    "tf_idf_top_terms",
     "quality_ranker_auc",
+    "bm25_retrieval_topk",
     # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
     # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
-    "dedup_exact_text",
-    "minhash_signatures",
     "near_dup_pairs_lsh",
     "ngram_jaccard_pairs",
     "domain_mixture_sampling",
@@ -83,10 +85,12 @@ _PRIORITY: tuple[str, ...] = (
     # similarity search / embeddings
     "knn_cosine_exact",
     "dedup_embedding_cosine",
+    "semdedup_embedding",
+    "kmeans_lloyd",
+    "pagerank_graph",
     # scalar function families past last round's cut
     "scalar_json_funcs",
     # Python compute surface (UDTF / grouped-agg / grouped-map)
-    "udtf_sentence_split",
     "pandas_udaf_geomean",
     "applyinpandas_group_rank",
     # multimodal plumbing
@@ -96,8 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "etl_pack_custom_fields",
     "etl_align_to_schema",
     "etl_users_pipeline_shape",
-    # sources / sinks (CSV snapshot round-trip)
+    # sources / sinks (CSV snapshot + ORC round trips)
     "csv_roundtrip_nation",
+    "orc_roundtrip_orders",
 )
 
 
