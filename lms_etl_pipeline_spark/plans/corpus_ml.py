@@ -97,9 +97,7 @@ def _bm25_queries_sql() -> str:
     return ", ".join(rows)
 
 
-@query(
-    "bm25_retrieval_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     dl AS (SELECT doc_id, LEN(tk) AS dl FROM toks),
     stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
@@ -130,8 +128,10 @@ def _bm25_queries_sql() -> str:
                                 ORDER BY score DESC, doc_id) AS rk
       FROM scored)
     WHERE rk <= {_BM25_TOPK}
-    """,
-)
+    """
+
+
+@query("bm25_retrieval_topk", oracle=_BM25_ORACLE)
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 documents for a fixed query set — the sparse-
     retrieval baseline (k1=1.2, b=0.75) every RAG/eval harness needs next
@@ -477,3 +477,196 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.round("pr", 8).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense kNN
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_QIDS = 3
+_RRF_TOPK = 10
+
+
+def _dense_topk_sql() -> str:
+    d_qe = vec.dot_sql("e.embedding", "q.embedding", EMB_DIM)
+    d_qq = vec.dot_sql("q.embedding", "q.embedding", EMB_DIM)
+    d_ee = vec.dot_sql("e.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_RRF_QIDS}),
+    pairs AS (
+      SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+             ({d_qe}) / (SQRT({d_qq}) * SQRT({d_ee})) AS cosine
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id)
+    SELECT qid, doc_id, rk FROM (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, doc_id) AS rk
+      FROM pairs) WHERE rk <= {_RRF_TOPK}
+    """
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH bm AS (SELECT * FROM ({_BM25_ORACLE}) WHERE qid < {_RRF_QIDS}),
+    dn AS (SELECT * FROM ({_dense_topk_sql()})),
+    fused AS (
+      SELECT COALESCE(bm.qid, dn.qid) AS qid,
+             COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + bm.rk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + dn.rk), 0.0), 9) AS rrf
+      FROM bm FULL OUTER JOIN dn
+        ON bm.qid = dn.qid AND bm.doc_id = dn.doc_id)
+    SELECT qid, doc_id, fused_rank, rrf FROM (
+      SELECT qid, doc_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused) WHERE fused_rank <= {_RRF_TOPK}
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (k=60) of the BM25 sparse list
+    and the exact dense-cosine list for the shared query ids — the standard
+    two-tower retrieval pattern (fixture id spaces align 1:1, doc_id ≡
+    vec_id). A document missing from one list contributes only its other
+    rank, exactly as RRF prescribes.
+
+    Scale: composes two already-verified top-k retrievals (each linear,
+    never corpus-quadratic); the fusion itself is a full outer join on two
+    k·|queries|-row lists — negligible. The RRF score is a fixed-order
+    two-term expression (no group sum), so it is bit-deterministic."""
+    bm = bm25_retrieval_topk(spark, sf_dir).filter(F.col("qid") < _RRF_QIDS)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _RRF_QIDS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    n = e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("n_emb"))
+    dense_pairs = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    dn = (
+        dense_pairs.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("qid", "doc_id", "rk")
+    )
+    bm_r = bm.select("qid", "doc_id", F.col("rk").alias("rk_bm"))
+    dn_r = dn.select("qid", "doc_id", F.col("rk").alias("rk_dn"))
+    fused = bm_r.join(dn_r, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rk_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rk_dn")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select("qid", "doc_id", "fused_rank", "rrf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence + PMI
+# ---------------------------------------------------------------------------
+
+_PMI_WINDOW = 2
+_PMI_TOPK = 50
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, GENERATE_SUBSCRIPTS(tk, 1) AS pos, UNNEST(tk) AS term
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    offs(off) AS (VALUES (1), (2)),
+    pairs AS (
+      SELECT LEAST(t1.term, t2.term) AS w1, GREATEST(t1.term, t2.term) AS w2
+      FROM toks t1 JOIN offs ON TRUE
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + off),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2),
+    tc AS (SELECT term, COUNT(*) AS n_w FROM toks GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM pairs) AS np,
+                   (SELECT COUNT(*) FROM toks) AS nt)
+    SELECT w1, w2, n_ab,
+           ROUND(LN((CAST(n_ab AS DOUBLE) / np)
+                    / ((CAST(a.n_w AS DOUBLE) / nt)
+                       * (CAST(b.n_w AS DOUBLE) / nt))), 6) AS pmi
+    FROM pc JOIN tc a ON a.term = pc.w1 JOIN tc b ON b.term = pc.w2
+    CROSS JOIN tot
+    ORDER BY n_ab DESC, w1, w2 LIMIT {_PMI_TOPK}
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (symmetric window ±2) with pointwise
+    mutual information over unigram marginals — the distributional statistic
+    behind word2vec/GloVe-style embedding training and collocation mining;
+    emits the top-50 pairs by support.
+
+    Scale: positions come from ONE posexplode of the corpus; window pairing
+    is an EQUI-join on (doc_id, pos+offset) — offsets are generated, so no
+    range join and no quadratic blow-up (|pairs| ≤ window · |tokens|).
+    Counts aggregate map-side on term keys; corpus totals are a 1-row
+    broadcast. All counts are exact integers; PMI is one rounded ln."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "term")
+    )
+    left = toks.select(
+        "doc_id",
+        F.col("term").alias("t1"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, _PMI_WINDOW + 1)])).alias(
+            "off"
+        ),
+        F.col("pos"),
+    ).select("doc_id", "t1", (F.col("pos") + F.col("off")).alias("jpos"))
+    right = toks.select(
+        "doc_id", F.col("pos").alias("jpos"), F.col("term").alias("t2")
+    )
+    pairs = left.join(right, ["doc_id", "jpos"]).select(
+        F.least("t1", "t2").alias("w1"), F.greatest("t1", "t2").alias("w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    tc = toks.groupBy("term").agg(F.count("*").alias("n_w"))
+    tot = pairs.agg(F.count("*").alias("np")).crossJoin(
+        toks.agg(F.count("*").alias("nt"))
+    )
+    joined = (
+        pc.join(F.broadcast(tc.withColumnRenamed("term", "w1")), "w1")
+        .withColumnRenamed("n_w", "n_a")
+        .join(
+            F.broadcast(
+                tc.select(F.col("term").alias("w2"), F.col("n_w").alias("n_b"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("np"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("nt"))
+                        * (F.col("n_b").cast("double") / F.col("nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return joined.orderBy(F.col("n_ab").desc(), "w1", "w2").limit(_PMI_TOPK)

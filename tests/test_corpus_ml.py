@@ -135,3 +135,58 @@ def test_pagerank_conserves_and_orders_mass(spark):
     assert all(abs(c - floor) < 1e-9 for c in cust), (
         "source-only nodes must all sit on the teleport floor"
     )
+
+
+def test_rrf_fuses_both_lists_and_ranks_densely(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _RRF_K,
+        _RRF_QIDS,
+        _RRF_TOPK,
+        hybrid_retrieval_rrf,
+    )
+
+    rows = hybrid_retrieval_rrf(spark, SF_SMOKE).collect()
+    assert rows
+    assert {r.qid for r in rows} <= set(range(_RRF_QIDS))
+    for qid in {r.qid for r in rows}:
+        qr = sorted((r for r in rows if r.qid == qid), key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in qr] == list(range(1, len(qr) + 1))
+        assert len(qr) <= _RRF_TOPK
+        scores = [r.rrf for r in qr]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # max possible score = rank-1 in both lists; never exceeded
+    assert all(r.rrf <= 2.0 / (_RRF_K + 1) + 1e-12 for r in rows)
+    # a doc ranked #1 in both lists would dominate; every score positive
+    assert all(r.rrf > 0 for r in rows)
+
+
+def test_pmi_pairs_come_from_real_windows(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _PMI_TOPK,
+        _PMI_WINDOW,
+        cooccurrence_pmi,
+    )
+
+    rows = cooccurrence_pmi(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= _PMI_TOPK
+    assert all(r.w1 <= r.w2 for r in rows), "pairs must be canonically ordered"
+    assert all(r.n_ab > 0 for r in rows)
+    # spot-check: the top pair must actually co-occur within the window in
+    # at least one document
+    top = rows[0] if rows else None
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    found = False
+    for d in docs:
+        toks = d.text.split()
+        for i, t in enumerate(toks):
+            for off in range(1, _PMI_WINDOW + 1):
+                if i + off < len(toks):
+                    a, b = sorted((t, toks[i + off]))
+                    if (a, b) == (top.w1, top.w2):
+                        found = True
+                        break
+            if found:
+                break
+        if found:
+            break
+    assert found, "top PMI pair never co-occurs in any window"

@@ -34,6 +34,8 @@ ALLOW_CROSS = {
     "bm25_retrieval_topk",   # 1-row corpus-stats (N, avgdl) broadcast
     "kmeans_lloyd",          # k-row (k=8) centroid broadcast x linear scan
     "pagerank_graph",        # 1-row node-count broadcast per iteration
+    "hybrid_retrieval_rrf",  # 3-row query-set broadcast x linear scan (dense leg)
+    "cooccurrence_pmi",      # 1-row corpus-totals broadcast
 }
 
 
