@@ -670,3 +670,142 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.orderBy(F.col("n_ab").desc(), "w1", "w2").limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus index
+# ---------------------------------------------------------------------------
+
+#: doc_id % 10 == _BATCH_MOD plays the "newly arrived batch"; the rest is the
+#: already-curated index.
+_BATCH_MOD = 7
+_INC_JACCARD = 0.5
+
+_SH_OF_TOKS = (
+    "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)), "
+    "i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ')))"
+)
+_FP_OF_TOKS = "MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' '))"
+
+
+def _inc_dedup_oracle() -> str:
+    from lms_etl_pipeline_spark.operators import dedup as dd
+    from lms_etl_pipeline_spark.plans.llm import _BASE_HASHES, _minhash_slots_sql
+
+    jac_inter = "LEN(LIST_FILTER(sa.sh, s -> LIST_CONTAINS(sb.sh, s)))"
+    return f"""
+    WITH toks_t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    b AS (SELECT * FROM toks_t WHERE doc_id % 10 = {_BATCH_MOD}),
+    bfp AS (SELECT doc_id, {_FP_OF_TOKS} AS fp FROM b),
+    ifp AS (SELECT DISTINCT {_FP_OF_TOKS} AS fp FROM toks_t
+            WHERE doc_id % 10 != {_BATCH_MOD}),
+    exact_drop AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM ifp)),
+    sh_all AS (SELECT doc_id, {_SH_OF_TOKS} AS sh FROM toks_t),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_all
+             WHERE LEN(sh) > 0),
+    sigs AS (SELECT doc_id, {_minhash_slots_sql(8)} FROM hs_t),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             MD5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, MD5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, MD5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, MD5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT lb.doc_id AS bdoc, rb.doc_id AS idoc
+      FROM bands lb JOIN bands rb
+        ON lb.band = rb.band AND lb.band_hash = rb.band_hash
+      WHERE lb.doc_id % 10 = {_BATCH_MOD} AND rb.doc_id % 10 != {_BATCH_MOD}),
+    near_drop AS (
+      SELECT DISTINCT c.bdoc AS doc_id FROM cands c
+      JOIN sh_all sa ON sa.doc_id = c.bdoc
+      JOIN sh_all sb ON sb.doc_id = c.idoc
+      WHERE CAST({jac_inter} AS DOUBLE)
+              / (LEN(sa.sh) + LEN(sb.sh) - {jac_inter}) >= {_INC_JACCARD})
+    SELECT b.doc_id, b.lang FROM b
+    WHERE b.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      AND b.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    """
+
+
+@query("incremental_corpus_dedup", oracle=_inc_dedup_oracle())
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-index) dedup: admit only the newly-arrived
+    batch documents (doc_id % 10 == 7 plays the delta) that are neither an
+    exact canonical-fingerprint duplicate of the existing index nor an
+    LSH-candidate with verified shingle-Jaccard >= 0.5 against it — the
+    production shape for continuously-ingested corpora, where re-running
+    corpus-wide dedup per batch would be quadratic over time.
+
+    Scale: the index's fingerprints and LSH bands are computed once and (in
+    production) PERSISTED; each new batch only hashes itself and equi-joins
+    the band/fingerprint stores — batch-sized work, never index-rescans.
+    Band joins are cross-set only (batch x index), so intra-batch dups are
+    deliberately admitted together (they dedup in the next compaction, same
+    as the reference's keyed upsert semantics). All joins are equi-joins on
+    hash keys; the Jaccard verify touches candidates only."""
+    from lms_etl_pipeline_spark.operators import dedup as dd
+    from lms_etl_pipeline_spark.operators.text import shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == _BATCH_MOD
+    batch = d.filter(is_batch)
+
+    fp = tx.fingerprint("text")
+    bfp = batch.select("doc_id", "lang", fp.alias("fp"))
+    ifp = d.filter(~is_batch).select(fp.alias("fp")).distinct()
+    exact_ok = bfp.join(ifp, "fp", "left_anti").select("doc_id", "lang")
+
+    sigs = dd.with_minhash(d, "doc_id", "text", k=8)
+    bands = dd.lsh_bands(sigs, "doc_id", k=8, bands=4)
+    lb = bands.filter(F.col("doc_id") % 10 == _BATCH_MOD).select(
+        F.col("doc_id").alias("bdoc"), "band", "band_hash"
+    )
+    rb = bands.filter(F.col("doc_id") % 10 != _BATCH_MOD).select(
+        F.col("doc_id").alias("idoc"), "band", "band_hash"
+    )
+    cands = lb.join(rb, ["band", "band_hash"]).select("bdoc", "idoc").distinct()
+
+    sh = F.array_distinct(shingles(tokens("text"), n=3))
+    b_sh = d.select(F.col("doc_id").alias("bdoc"), sh.alias("_shb"))
+    i_sh = d.select(F.col("doc_id").alias("idoc"), sh.alias("_shi"))
+    inter = F.size(F.array_intersect("_shb", "_shi"))
+    union = F.size(F.array_union("_shb", "_shi"))
+    near_drop = (
+        cands.join(b_sh, "bdoc")
+        .join(i_sh, "idoc")
+        .filter(F.try_divide(inter, union) >= _INC_JACCARD)
+        .select(F.col("bdoc").alias("doc_id"))
+        .distinct()
+    )
+    return exact_ok.join(near_drop, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Governance: k-anonymity profile over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_profile",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n,
+           COUNT(*) < {_K_ANON} AS at_risk
+    FROM documents GROUP BY lang, source
+    """,
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance profile: equivalence-class sizes over the
+    quasi-identifier tuple (lang, source) with a k-anonymity flag — classes
+    smaller than k are re-identification risks a release gate must suppress
+    or generalize (k=5, the common regulatory floor).
+
+    Scale: one hash aggregate on the quasi-identifier key — the same single
+    shuffle as any groupBy; the flag is a projection. At 100 TB the class
+    count is bounded by the QI cardinality product, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), (F.count("*") < _K_ANON).alias("at_risk")
+    )

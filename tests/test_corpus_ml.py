@@ -190,3 +190,38 @@ def test_pmi_pairs_come_from_real_windows(spark):
         if found:
             break
     assert found, "top PMI pair never co-occurs in any window"
+
+
+def test_incremental_dedup_admits_only_novel_batch_docs(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _BATCH_MOD,
+        incremental_corpus_dedup,
+    )
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    kept = incremental_corpus_dedup(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    batch_ids = {
+        r.doc_id for r in d.filter(F.col("doc_id") % 10 == _BATCH_MOD).collect()
+    }
+    kept_ids = {r.doc_id for r in kept}
+    assert kept_ids <= batch_ids, "only batch docs may be admitted"
+    assert kept_ids, "a non-trivial share of the batch must be novel"
+    # no admitted doc may share a canonical fingerprint with the index
+    fps = d.select(
+        "doc_id", tx.fingerprint("text").alias("fp")
+    ).collect()
+    index_fps = {r.fp for r in fps if r.doc_id % 10 != _BATCH_MOD}
+    batch_fp = {r.doc_id: r.fp for r in fps if r.doc_id % 10 == _BATCH_MOD}
+    for did in kept_ids:
+        assert batch_fp[did] not in index_fps, f"doc {did} exact-dups the index"
+
+
+def test_k_anonymity_classes_partition_the_corpus(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import _K_ANON, k_anonymity_profile
+
+    rows = k_anonymity_profile(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n for r in rows) == d.count(), "classes must partition"
+    for r in rows:
+        assert r.at_risk == (r.n < _K_ANON)
