@@ -105,6 +105,25 @@ def windowed_counts(
     )
 
 
+def enrich_stream_static(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a live stream with a (bounded) dimension
+    table — the most common production streaming shape (events x user/device
+    /geo dims). The static side is broadcast, so every micro-batch is a
+    map-side hash join with NO streaming state, no watermark requirement,
+    and no shuffle of the stream; the dimension snapshot is re-resolved per
+    micro-batch, so slowly-changing dims pick up updates between batches.
+
+    Left join keeps stream rows with no dimension match (late dim arrival),
+    mirroring the keyed-upsert tolerance of the reference's load side.
+    """
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -318,3 +318,53 @@ def test_ledgered_batch_sink_skips_replayed_batches(spark, tmp_path):
         c.close()
     assert rows == [(1, "ann"), (2, "bob"), (3, "cy")]
     assert ledger == [7, 8]
+
+
+def test_stream_static_enrichment_broadcasts_the_dim(spark, tmp_path):
+    """Stream-static join: file-streamed events enriched with a static user
+    dimension; every input row survives (left join), matches carry the dim
+    attribute, and the static side needs no watermark or stream state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lms_etl_pipeline_spark.streaming import (
+        enrich_stream_static,
+        file_stream,
+        run_available_now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(20)], schema
+    ).write.parquet(src)
+
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 2}") for u in range(3)],  # users 3, 4 unmatched
+        "user_id LONG, tier STRING",
+    )
+
+    stream = file_stream(spark, src, schema)
+    enriched = enrich_stream_static(stream, dim, "user_id")
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    run_available_now(
+        enriched, sink, str(tmp_path / "ckpt"), query_name="enrich", output_mode="append"
+    )
+
+    assert len(got) == 20, "left join must keep every stream row"
+    matched = [r for r in got if r.tier is not None]
+    unmatched = [r for r in got if r.tier is None]
+    assert {r.user_id for r in matched} == {0, 1, 2}
+    assert {r.user_id for r in unmatched} == {3, 4}
+    assert all(r.tier == f"tier{r.user_id % 2}" for r in matched)
