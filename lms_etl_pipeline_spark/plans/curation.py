@@ -749,3 +749,95 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (round 4)
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOPS = 2
+_GOPHER_STOPS_SQL = "('the','a','an','and','of','to','in','is','on')"
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             LEN(toks) AS n_words,
+             ROUND(CAST(SUM_LF AS DOUBLE) / LEN(toks), 6) AS mean_word_len,
+             CAST(LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[a-zA-Z]')))
+                  AS DOUBLE) / LEN(toks) AS alpha_frac,
+             LEN(LIST_FILTER(toks, w -> w IN {_GOPHER_STOPS_SQL})) AS n_stops
+      FROM (SELECT doc_id, lang, toks,
+                   LIST_SUM(LIST_TRANSFORM(toks, w -> LEN(w))) AS SUM_LF
+            FROM t WHERE LEN(toks) > 0))
+    SELECT doc_id, lang, n_words, mean_word_len, n_stops,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}) AS ok_words,
+           (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}) AS ok_mwl,
+           (alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
+           (n_stops >= {_GOPHER_MIN_STOPS}) AS ok_stops,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+            AND alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}
+            AND n_stops >= {_GOPHER_MIN_STOPS}) AS kept
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filter rule set (Rae et al. 2021, Table A1 subset
+    expressible over the fixture text): word-count bounds, mean-word-length
+    band, minimum alphabetic-word fraction, minimum stop-word count — each
+    rule emitted as its own flag plus the conjunctive keep decision, the
+    shape auditing pipelines need (per-rule rejection rates, not just a
+    survivor list).
+
+    Scale: one corpus scan, all rules as native array expressions over one
+    materialized token array — no joins, no shuffle (a pure projection);
+    mean word length is an integer-sum ratio rounded once, exact across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    t = d.select("doc_id", "lang", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = F.round(sum_len.cast("double") / n_words, 6)
+    alpha_frac = (
+        F.size(F.filter("toks", lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    from lms_etl_pipeline_spark.operators.text import STOPWORDS_EN
+
+    n_stops = F.size(F.filter("toks", lambda w: w.isin(*STOPWORDS_EN)))
+    m = t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stops.alias("n_stops"),
+    )
+    ok_words = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ok_mwl = F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+    ok_alpha = F.col("alpha_frac") >= _GOPHER_MIN_ALPHA_FRAC
+    ok_stops = F.col("n_stops") >= _GOPHER_MIN_STOPS
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "mean_word_len",
+        "n_stops",
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+        (ok_words & ok_mwl & ok_alpha & ok_stops).alias("kept"),
+    )

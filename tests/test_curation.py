@@ -312,3 +312,16 @@ def test_auc_matches_bruteforce_pairwise(spark):
     assert pos and neg, "both classes must be represented"
     wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
     assert row.auc == wins / (len(pos) * len(neg))
+
+
+def test_gopher_rules_flags_are_consistent_with_kept(spark):
+    from lms_etl_pipeline_spark.plans.curation import gopher_quality_rules
+
+    rows = gopher_quality_rules(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.kept == (r.ok_words and r.ok_mwl and r.ok_alpha and r.ok_stops)
+    # the synthetic fixture is clean prose-ish text: most docs survive,
+    # but the rule set must not be vacuous (some flag variation exists)
+    kept = sum(1 for r in rows if r.kept)
+    assert 0 < kept <= len(rows)
