@@ -225,3 +225,61 @@ def test_k_anonymity_classes_partition_the_corpus(spark):
     assert sum(r.n for r in rows) == d.count(), "classes must partition"
     for r in rows:
         assert r.at_risk == (r.n < _K_ANON)
+
+
+def test_kmeans_assign_on_separated_literal_clusters(spark):
+    """_assign must put points with their obvious centroid: two well-
+    separated 1-hot-ish clusters in 4-d, literal data, no oracle involved."""
+    from lms_etl_pipeline_spark.plans.corpus_ml import _assign
+
+    pts = spark.createDataFrame(
+        [
+            (0, [10.0, 10.0, 0.0, 0.0]),
+            (1, [11.0, 9.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 10.0, 10.0]),
+            (3, [0.0, 0.0, 9.0, 11.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cent = spark.createDataFrame(
+        [(100, [10.0, 10.0, 0.0, 0.0]), (200, [0.0, 0.0, 10.0, 10.0])],
+        "cid LONG, cvec ARRAY<DOUBLE>",
+    )
+    got = {r.vec_id: r.cluster for r in _assign(pts, cent).collect()}
+    assert got == {0: 100, 1: 100, 2: 200, 3: 200}
+
+
+def test_rrf_math_on_literal_ranks():
+    """RRF arithmetic: a doc ranked 1 in both lists must outscore a doc
+    ranked 1 in only one list; the formula is 1/(60+r) summed."""
+    k = 60
+    both_first = 1 / (k + 1) + 1 / (k + 1)
+    single_first = 1 / (k + 1)
+    second_and_third = 1 / (k + 2) + 1 / (k + 3)
+    assert both_first > second_and_third > single_first
+
+
+def test_pagerank_two_node_chain_analytic(spark, tmp_path):
+    """PageRank on a literal 2-node graph vs the closed-form value.
+
+    Graph: c1 -> s1 (one edge). N=2, d=0.85, 3 iterations, no dangling
+    redistribution: pr(c1) stays at the teleport floor 0.075; pr(s1) =
+    0.075 + 0.85 * pr(c1) = 0.075 + 0.85*0.075 after any iteration >= 1
+    once pr(c1) has settled: iter1 uses pr0=0.5 -> s1 = 0.075+0.425;
+    iter2+ use pr(c1)=0.075 -> s1 = 0.13875.
+    """
+    import lms_etl_pipeline_spark.plans.corpus_ml as cm
+
+    o = spark.createDataFrame(
+        [(1, 11)], "o_orderkey LONG, o_custkey LONG"
+    )
+    li = spark.createDataFrame([(1, 21)], "l_orderkey LONG, l_suppkey LONG")
+    # run the same plan body against literal frames via monkeypatched loader
+    orig = cm.load_table
+    try:
+        cm.load_table = lambda spark_, sf_dir_, name: {"orders": o, "lineitem": li}[name]
+        rows = {r.node: r.pagerank for r in cm.pagerank_graph(spark, "ignored").collect()}
+    finally:
+        cm.load_table = orig
+    assert abs(rows["c11"] - 0.075) < 1e-9
+    assert abs(rows["s21"] - (0.075 + 0.85 * 0.075)) < 1e-9
