@@ -33,7 +33,10 @@ _PRIORITY: tuple[str, ...] = (
     # tokenize_to_vocab_ids, quality_ranker_auc); and the six operators NEW
     # this round (corpus_shuffle_deterministic, bm25_retrieval_topk,
     # semdedup_embedding, kmeans_lloyd, pagerank_graph, orc_roundtrip_orders)
-    # are driver-certified in their first round.  Fourteen multi-certified
+    # are driver-certified in their first round, as are the five late-round
+    # additions (hybrid_retrieval_rrf, cooccurrence_pmi,
+    # incremental_corpus_dedup, gopher_quality_rules,
+    # k_anonymity_profile).  Nineteen multi-certified
     # entries yield their slots (q3/q8/q12, window_row_number_rank,
     # events_sliding_window, events_tumbling_window, tfidf_cosine_pairs,
     # multimodal_frame_sample, etl_flatten_json_props, text_token_stats,
@@ -61,7 +64,6 @@ _PRIORITY: tuple[str, ...] = (
     # streaming-shaped windows + event analytics
     "events_session_window",
     "corpus_shuffle_deterministic",
-    "events_funnel_conversion",
     "events_type_pivot",
     "events_rolling_anomaly",
     "timeseries_interpolate_linear",
@@ -70,10 +72,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_language_id",
     "dataset_split_assign",
     "split_leakage_safe",
+    "gopher_quality_rules",
     "doc_chunk_sliding",
     "tokenize_to_vocab_ids",
     "quality_ranker_auc",
     "bm25_retrieval_topk",
+    "hybrid_retrieval_rrf",
+    "cooccurrence_pmi",
     # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
     # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
     "near_dup_pairs_lsh",
@@ -82,9 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "corpus_curation_pipeline",
     "agg_salted_skew",
+    "incremental_corpus_dedup",
     # similarity search / embeddings
-    "knn_cosine_exact",
-    "dedup_embedding_cosine",
     "semdedup_embedding",
     "kmeans_lloyd",
     "pagerank_graph",
@@ -94,14 +98,13 @@ _PRIORITY: tuple[str, ...] = (
     "pandas_udaf_geomean",
     "applyinpandas_group_rank",
     # multimodal plumbing
-    "multimodal_image_decode",
     "multimodal_join_features",
     # reference ETL parity chain
     "etl_pack_custom_fields",
     "etl_align_to_schema",
     "etl_users_pipeline_shape",
+    "k_anonymity_profile",
     # sources / sinks (CSV snapshot + ORC round trips)
-    "csv_roundtrip_nation",
     "orc_roundtrip_orders",
 )
 
