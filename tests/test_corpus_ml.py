@@ -283,3 +283,16 @@ def test_pagerank_two_node_chain_analytic(spark, tmp_path):
         cm.load_table = orig
     assert abs(rows["c11"] - 0.075) < 1e-9
     assert abs(rows["s21"] - (0.075 + 0.85 * 0.075)) < 1e-9
+
+
+def test_int8_quantize_codes_bounded_and_error_within_half_scale(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import embedding_int8_quantize
+
+    rows = embedding_int8_quantize(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    assert len(rows) == e.count()
+    for r in rows:
+        assert r.max_code <= 127, "symmetric int8 codes must fit"
+        assert r.scale > 0
+        # round-to-nearest guarantees |err| <= scale/2 (+ rounding slack)
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
