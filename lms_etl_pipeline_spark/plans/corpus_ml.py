@@ -896,3 +896,131 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_err", 9).alias("max_abs_err"),
         "max_code",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense-ANN quality measurement: hyperplane-LSH recall vs exact kNN
+# ---------------------------------------------------------------------------
+
+_ANN_QIDS = 20
+_ANN_K = 3
+
+
+def _bucket_sql(col: str) -> str:
+    """DuckDB fragment: the same literal-hyperplane sign signature the
+    engine computes in vectors.hyperplane_bucket (left-assoc double dots
+    against the versioned constant matrix => identical bits => identical
+    buckets)."""
+    from lms_etl_pipeline_spark.plans.llm import HYPERPLANES
+
+    bits = []
+    for j, h in enumerate(HYPERPLANES):
+        dot = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * ({h[i]!r})"
+            for i in range(len(h))
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ann_recall_oracle() -> str:
+    d_qe = vec.dot_sql("e.embedding", "q.embedding", EMB_DIM)
+    d_qq = vec.dot_sql("q.embedding", "q.embedding", EMB_DIM)
+    d_ee = vec.dot_sql("e.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH bkt AS (SELECT vec_id, embedding,
+                        {_bucket_sql("embedding")} AS bucket FROM embeddings),
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ({d_qe}) / (SQRT({d_qq}) * SQRT({d_ee})) DESC, e.vec_id) AS rk
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < {_ANN_QIDS} AND e.vec_id != q.vec_id)
+      WHERE rk <= {_ANN_K}),
+    approx AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ({d_qe}) / (SQRT({d_qq}) * SQRT({d_ee})) DESC, e.vec_id) AS rk
+        FROM bkt q JOIN bkt e ON e.bucket = q.bucket AND e.vec_id != q.vec_id
+        WHERE q.vec_id < {_ANN_QIDS})
+      WHERE rk <= {_ANN_K})
+    SELECT x.q_id, COUNT(*) AS n_true,
+           COALESCE(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+               AS n_found,
+           CAST(COALESCE(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS DOUBLE) / COUNT(*) AS recall
+    FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.n_id = x.n_id
+    GROUP BY x.q_id
+    """
+
+
+@query("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@3 of the hyperplane-LSH approximate kNN
+    (`knn_cosine_lsh`) against the exact cosine top-3 — the dense-retrieval
+    twin of `lsh_recall_eval`: the approximate path's QUALITY graded as an
+    exactly-checkable number (the hyperplane matrix is a versioned literal
+    constant, so buckets — and therefore recall — are bit-identical across
+    engines).
+
+    Scale: the exact side is a query-set broadcast x linear scan (bounded
+    by |queries|); the approximate side is an equi-join on 256 uniform
+    bucket keys; the comparison joins two k·|queries|-row lists. This is
+    the tuning measurement that says whether 8 hyperplanes are enough
+    before trusting the bucketed path on the full corpus."""
+    from lms_etl_pipeline_spark.plans.llm import HYPERPLANES
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("n_id").asc()
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _ANN_K)
+            .select("q_id", "n_id")
+        )
+
+    q = e.filter(F.col("vec_id") < _ANN_QIDS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    exact = topk(
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine")
+        )
+    )
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        vec.hyperplane_bucket(F.col("embedding"), HYPERPLANES).alias("bucket"),
+    )
+    qb = bucketed.filter(F.col("vec_id") < _ANN_QIDS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    nb = bucketed.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "bucket"
+    )
+    approx = topk(
+        qb.join(nb, "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine")
+        )
+    )
+    found = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left"
+    )
+    return found.groupBy("q_id").agg(
+        F.count("*").alias("n_true"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_found"),
+        (
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("double") / F.count("*")
+        ).alias("recall"),
+    )

@@ -296,3 +296,16 @@ def test_int8_quantize_codes_bounded_and_error_within_half_scale(spark):
         assert r.scale > 0
         # round-to-nearest guarantees |err| <= scale/2 (+ rounding slack)
         assert r.max_abs_err <= r.scale / 2 + 1e-9
+
+
+def test_ann_recall_bounds_and_bucket_consistency(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import _ANN_K, _ANN_QIDS, ann_recall_eval
+
+    rows = ann_recall_eval(spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= _ANN_QIDS
+    for r in rows:
+        assert 1 <= r.n_true <= _ANN_K
+        assert 0 <= r.n_found <= r.n_true
+        assert abs(r.recall - r.n_found / r.n_true) < 1e-12
+    # LSH recall over 8 hyperplanes should find SOMETHING across 20 queries
+    assert sum(r.n_found for r in rows) > 0
