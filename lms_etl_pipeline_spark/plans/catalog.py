@@ -82,8 +82,6 @@ _PRIORITY: tuple[str, ...] = (
     # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
     # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
     "near_dup_pairs_lsh",
-    "ngram_jaccard_pairs",
-    "domain_mixture_sampling",
     "dedup_clusters",
     "corpus_curation_pipeline",
     "agg_salted_skew",
@@ -91,6 +89,8 @@ _PRIORITY: tuple[str, ...] = (
     # similarity search / embeddings
     "semdedup_embedding",
     "kmeans_lloyd",
+    "embedding_int8_quantize",
+    "ann_recall_eval",
     "pagerank_graph",
     # scalar function families past last round's cut
     "scalar_json_funcs",
