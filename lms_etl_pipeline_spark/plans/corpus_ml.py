@@ -1024,3 +1024,67 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("double") / F.count("*")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-card profile (datasheet aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH t AS (SELECT lang, LEN({_TOKS}) AS n_toks, n_chars,
+                      doc_id % 10 = {_BATCH_MOD} AS in_delta
+               FROM documents),
+    tot AS (SELECT COUNT(*) AS total_docs, SUM(n_toks) AS total_toks FROM t)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS n_tokens,
+           SUM(n_chars) AS n_chars,
+           MIN(n_toks) AS min_tokens,
+           MAX(n_toks) AS max_tokens,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE)
+                 / (SELECT total_toks FROM tot), 6) AS token_share,
+           SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS n_delta_docs
+    FROM t GROUP BY lang
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile (Gebru et al. datasheet shape): per-language
+    document/token/char totals, length extrema, the language's share of the
+    token budget, and how much of it arrived in the latest delta — the
+    summary table every corpus release publishes and every mixing decision
+    reads.
+
+    Scale: one scan, one hash aggregate on a low-cardinality key, corpus
+    totals as a 1-row broadcast — the cheapest query in the catalog at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(tx.tokens("text")).alias("n_toks"),
+        "n_chars",
+        (F.col("doc_id") % 10 == _BATCH_MOD).alias("in_delta"),
+    )
+    tot = t.agg(F.sum("n_toks").alias("total_toks"))
+    per_lang = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+        F.sum(F.when(F.col("in_delta"), 1).otherwise(0)).alias("n_delta_docs"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "min_tokens",
+        "max_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_toks"), 6
+        ).alias("token_share"),
+        "n_delta_docs",
+    )

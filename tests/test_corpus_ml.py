@@ -309,3 +309,15 @@ def test_ann_recall_bounds_and_bucket_consistency(spark):
         assert abs(r.recall - r.n_found / r.n_true) < 1e-12
     # LSH recall over 8 hyperplanes should find SOMETHING across 20 queries
     assert sum(r.n_found for r in rows) > 0
+
+
+def test_datasheet_partitions_and_shares_sum_to_one(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import corpus_datasheet
+
+    rows = corpus_datasheet(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.min_tokens <= r.max_tokens
+        assert 0 <= r.n_delta_docs <= r.n_docs

@@ -37,6 +37,7 @@ ALLOW_CROSS = {
     "hybrid_retrieval_rrf",  # 3-row query-set broadcast x linear scan (dense leg)
     "cooccurrence_pmi",      # 1-row corpus-totals broadcast
     "ann_recall_eval",       # 20-row query-set broadcast x linear scan (exact leg)
+    "corpus_datasheet",      # 1-row corpus-totals broadcast
 }
 
 
