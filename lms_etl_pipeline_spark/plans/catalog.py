@@ -70,7 +70,6 @@ _PRIORITY: tuple[str, ...] = (
     # text analysis + LLM-training-data ops
     "doc_quality_filter",
     "text_language_id",
-    "dataset_split_assign",
     "split_leakage_safe",
     "gopher_quality_rules",
     "doc_chunk_sliding",
@@ -98,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "pandas_udaf_geomean",
     "applyinpandas_group_rank",
     # multimodal plumbing
+    "multimodal_image_decode",
     "multimodal_join_features",
     # reference ETL parity chain
     "etl_pack_custom_fields",
