@@ -1088,3 +1088,62 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_share"),
         "n_delta_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+_WS_K = 3
+_WS_M = 1 << 30
+
+
+@query(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ({_BUCKET_SQL.format(c="doc_id")}) % {_WS_M} + 1 AS hm
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(-LN(CAST(hm AS DOUBLE) / {_WS_M + 1}) / n_chars, 12) AS es_key
+      FROM h)
+    SELECT lang, doc_id, n_chars, rk, es_key FROM (
+      SELECT lang, doc_id, n_chars, es_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_key, doc_id) AS rk
+      FROM keyed)
+    WHERE rk <= {_WS_K}
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=3 per language, via the
+    Efraimidis-Spirakis exponential-key trick: each row draws u from a
+    content-free hash (not ``rand()``) and ranks by -ln(u)/weight; the k
+    smallest keys are a weight-proportional sample. Deterministic, so it is
+    exactly differential-testable AND retry/replay-safe — the property
+    seeded ``sample()`` cannot give (Spark re-draws per task attempt).
+
+    Scale: one projection computes keys, one per-group top-k window picks
+    winners — the same single-shuffle profile as any top-k; weights
+    (n_chars) never need normalizing, and the sample is mergeable across
+    partitions (min-k of min-ks), which is why this algorithm is THE
+    distributed weighted-sampling standard."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    hm = _bucket(F.col("doc_id")) % _WS_M + 1
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            -F.log(hm.cast("double") / F.lit(float(_WS_M + 1))) / F.col("n_chars"),
+            12,
+        ).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .select("lang", "doc_id", "n_chars", "rk", "es_key")
+    )

@@ -321,3 +321,24 @@ def test_datasheet_partitions_and_shares_sum_to_one(spark):
     for r in rows:
         assert r.min_tokens <= r.max_tokens
         assert 0 <= r.n_delta_docs <= r.n_docs
+
+
+def test_weighted_sample_prefers_heavier_docs_in_aggregate(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import _WS_K, weighted_sample_es
+
+    rows = weighted_sample_es(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert {r.lang for r in rows} == langs
+    for lang in langs:
+        lr = sorted((r for r in rows if r.lang == lang), key=lambda r: r.rk)
+        assert [r.rk for r in lr] == list(range(1, len(lr) + 1))
+        assert len(lr) <= _WS_K
+    # weight-proportional in aggregate: mean n_chars of the sample should
+    # exceed the corpus mean (heavier docs get smaller keys on average)
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean * 0.9, (sample_mean, corpus_mean)
+    # deterministic: re-run is identical
+    again = {(r.lang, r.doc_id, r.rk) for r in weighted_sample_es(spark, SF_SMOKE).collect()}
+    assert again == {(r.lang, r.doc_id, r.rk) for r in rows}
