@@ -1147,3 +1147,94 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _WS_K)
         .select("lang", "doc_id", "n_chars", "rk", "es_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (mergeable stream summary, integer-exact)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 10
+
+
+def _cms_cell_sql(term_expr: str, d: int) -> str:
+    return (
+        f"(TRY_CAST(CONCAT('0x', SUBSTRING(MD5('{d}|' || {term_expr}), 1, 15)) "
+        f"AS BIGINT)) % {_CMS_W}"
+    )
+
+
+def _cms_cell(term, d: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}|"), term)), 1, 15), 16, 10
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def _cms_oracle() -> str:
+    cells_union = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_cell_sql('term', d)} AS cell, n FROM tc"
+        for d in range(_CMS_D)
+    )
+    est_joins = "\n      ".join(
+        f"JOIN cms c{d} ON c{d}.d = {d} AND c{d}.cell = {_cms_cell_sql('t.term', d)}"
+        for d in range(_CMS_D)
+    )
+    least = "LEAST(" + ", ".join(f"c{d}.est" for d in range(_CMS_D)) + ")"
+    return f"""
+    WITH toks AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
+    tc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    cells AS (
+      {cells_union}),
+    cms AS (SELECT d, cell, SUM(n) AS est FROM cells GROUP BY d, cell),
+    top AS (SELECT term, n FROM tc
+            ORDER BY n DESC, term LIMIT {_CMS_TOPK})
+    SELECT t.term, t.n AS true_n, {least} AS est_n
+    FROM top t
+      {est_joins}
+    """
+
+
+@query("countmin_heavy_hitters", oracle=_cms_oracle())
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4, w=1024, salted-md5 rows) queried for the
+    top-10 true heavy hitters, emitting estimated next to true counts —
+    the canonical mergeable stream summary with its error made visible
+    (est >= true always; equality unless a row collides).
+
+    Scale: the sketch is d·w = 4096 cells REGARDLESS of corpus size — cell
+    counts aggregate map-side from one token explode, the whole sketch
+    broadcasts, and two sketches merge by cell-wise addition (why CMS is
+    the standard for streaming/distributed frequency estimation). The
+    salted-md5 row hashes are the same engine-portable family as the
+    MinHash pipeline, so every cell (and so every estimate) is an exact
+    integer both engines agree on."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens("text")).alias("term"))
+    tc = toks.groupBy("term").agg(F.count("*").alias("n"))
+    cells = None
+    for dep in range(_CMS_D):
+        c = tc.select(
+            F.lit(dep).alias("d"), _cms_cell(F.col("term"), dep).alias("cell"), "n"
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    cms = cells.groupBy("d", "cell").agg(F.sum("n").alias("est"))
+    top = tc.orderBy(F.col("n").desc(), "term").limit(_CMS_TOPK)
+    est = None
+    out = top.select("term", F.col("n").alias("true_n"))
+    for dep in range(_CMS_D):
+        side = cms.filter(F.col("d") == dep).select(
+            F.col("cell").alias(f"cell{dep}"), F.col("est").alias(f"est{dep}")
+        )
+        out = out.join(
+            F.broadcast(side),
+            _cms_cell(F.col("term"), dep) == F.col(f"cell{dep}"),
+        ).drop(f"cell{dep}")
+    return out.select(
+        "term",
+        "true_n",
+        F.least(*[F.col(f"est{dep}") for dep in range(_CMS_D)]).alias("est_n"),
+    )

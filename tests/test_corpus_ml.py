@@ -342,3 +342,13 @@ def test_weighted_sample_prefers_heavier_docs_in_aggregate(spark):
     # deterministic: re-run is identical
     again = {(r.lang, r.doc_id, r.rk) for r in weighted_sample_es(spark, SF_SMOKE).collect()}
     assert again == {(r.lang, r.doc_id, r.rk) for r in rows}
+
+
+def test_countmin_estimates_upper_bound_truth(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import _CMS_TOPK, countmin_heavy_hitters
+
+    rows = countmin_heavy_hitters(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= _CMS_TOPK
+    for r in rows:
+        assert r.est_n >= r.true_n, "CMS can only over-count"
+        assert r.true_n > 0
