@@ -2051,3 +2051,63 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pk").alias("min_pk"),
         F.max("pk").alias("max_pk"),
     )
+
+
+@query(
+    "range_join_binned",
+    oracle="""
+    WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+    act AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT err.event_id, COUNT(act.event_id) AS nearby_purchases
+    FROM err LEFT JOIN act
+      ON act.ts BETWEEN err.ts - INTERVAL 2 MINUTE AND err.ts + INTERVAL 2 MINUTE
+    GROUP BY err.event_id
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS time-range join — purchases within ±2 minutes of each error,
+    corpus-wide — rewritten as a covering-bin EQUI-join: each error probes
+    its own 2-minute bin plus both neighbors, the activity side buckets
+    once, and the exact band check runs as a residual on the (small)
+    per-bin candidate set.  Without this rewrite a keyless range join is a
+    broadcast-nested-loop — quadratic and fatal at 100 TB; with it, the
+    plan is a plain hash join on a uniform integer key whose fan-out is
+    bounded by 3x regardless of data size.  (When an equi key exists,
+    prefer it — see join_interval_events; this is the technique for when
+    one doesn't.)  The oracle states the naive BETWEEN semantics; binning
+    with covering neighbors is lossless, so results match exactly."""
+    bin_us = 2 * 60 * 1_000_000  # 2-minute bins in epoch-microseconds
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.unix_micros("ts").alias("err_us")
+    )
+    act = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("act_id"),
+        F.unix_micros("ts").alias("act_us"),
+        (F.unix_micros("ts") / bin_us).cast("bigint").alias("bin"),
+    )
+    probes = err.select(
+        "err_id",
+        "err_us",
+        F.explode(
+            F.array(
+                (F.col("err_us") / bin_us).cast("bigint") - 1,
+                (F.col("err_us") / bin_us).cast("bigint"),
+                (F.col("err_us") / bin_us).cast("bigint") + 1,
+            )
+        ).alias("bin"),
+    )
+    hits = (
+        probes.join(act, "bin")
+        .filter(F.abs(F.col("act_us") - F.col("err_us")) <= bin_us)
+        .groupBy("err_id")
+        .agg(F.count("act_id").alias("nearby_purchases"))
+    )
+    return (
+        err.select("err_id")
+        .join(hits, "err_id", "left")
+        .select(
+            F.col("err_id").alias("event_id"),
+            F.coalesce("nearby_purchases", F.lit(0)).alias("nearby_purchases"),
+        )
+    )

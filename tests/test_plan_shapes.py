@@ -182,3 +182,16 @@ def test_repartition_by_range_plans_range_partitioning(spark):
 
     o = load_table(spark, SF_SMOKE, "orders").repartitionByRange(8, "o_orderdate")
     assert "rangepartitioning" in _spark_plan(o).lower()
+
+
+def test_keyless_range_join_is_equi_on_bins_not_nested_loop(spark):
+    from lms_etl_pipeline_spark.plans.relational import range_join_binned
+    from tests.conftest import SF_SMOKE
+
+    df = range_join_binned(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "keyless range join must not fall back to a nested loop"
+    )
+    assert "bin" in plan and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                              or "BroadcastHashJoin" in plan)
