@@ -1,0 +1,184 @@
+"""Reusable distributed-ML operators: Lloyd k-means and PageRank.
+
+Library-surface generalizations of the oracle-checked plans in
+``plans/corpus_ml.py`` (which pin 2-iteration / 3-iteration unrolls so the
+DuckDB twin stays writable). These take ANY DataFrame, run ANY number of
+iterations, and stay fully declarative:
+
+- every iteration is a bounded set of equi-joins / broadcasts — no
+  driver-side data, no ``collect()``;
+- ``localCheckpoint`` between iterations bounds lineage, so hundreds of
+  iterations don't build a quadratic plan (the unrolled plan variants skip
+  this — 2-3 layers don't need it);
+- the same cross-engine determinism conventions as the plans: decimal sums
+  for order-independence, fixed-scale rounding before values feed the next
+  iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_dist(a, b) -> F.Column:
+    """Left-assoc squared L2 between two array<numeric> columns."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0).cast("double"), lambda acc, p: acc + p)
+
+
+def kmeans_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment.
+
+    ``points``: (id, vec) as columns ``id``, ``vec``; ``centroids``:
+    (cid, cvec).  The centroid table broadcasts (k rows); the corpus
+    streams through once — no shuffle of the points.  Ties break on the
+    lowest cid, so assignment is deterministic.
+    Returns (id, cluster, d2).
+    """
+    pairs = points.crossJoin(F.broadcast(centroids)).select(
+        "id", "cid", _sq_dist(F.col("vec"), F.col("cvec")).alias("d2")
+    )
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("cid").alias("cluster"), "d2")
+    )
+
+
+def kmeans_fit(
+    points: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    mean_scale: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means over (``id``, ``vec``) rows; returns (assignments,
+    centroids) after ``max_iter`` iterations or earlier convergence
+    (assignment fixpoint).
+
+    Deterministic end to end: init = the k lowest-id vectors (no random
+    seeds), mean updates via exact DECIMAL sums rounded at ``mean_scale``
+    (order-independent, so the result is identical under any partitioning),
+    tie-broken assignment.  Per iteration: one k-row broadcast assignment
+    pass + one posexplode/groupBy(cluster, dim) mean update — the
+    (k·dim)-group aggregate combines map-side.  ``localCheckpoint`` bounds
+    lineage so deep runs stay plannable; the convergence probe compares two
+    already-materialized label frames (cheap scalar count).
+    """
+    pts = points.select("id", "vec").localCheckpoint(eager=True)
+    w_init = Window.orderBy("id")
+    cent = (
+        pts.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for _ in range(max_iter):
+        new_assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
+        if assign is not None:
+            moved = (
+                assign.select("id", F.col("cluster").alias("_old"))
+                .join(new_assign.select("id", "cluster"), "id")
+                .filter(F.col("cluster") != F.col("_old"))
+                .count()
+            )
+            if moved == 0:
+                assign = new_assign
+                break
+        assign = new_assign
+        m = assign.join(pts, "id").select(
+            "cluster", F.posexplode("vec").alias("pos", "val")
+        )
+        c_elems = m.groupBy("cluster", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,8)")).cast("double")
+                / F.count("*"),
+                mean_scale,
+            ).alias("v")
+        )
+        cent = (
+            c_elems.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("s", lambda x: x["v"]).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign, cent
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol_scale: int = 12,
+) -> DataFrame:
+    """PageRank over a directed edge list (columns ``src``, ``dst``);
+    returns (node, pagerank).  Simplified model: no dangling-mass
+    redistribution (sinks leak; document if your graph has them).
+
+    Runs until scores reach a fixpoint AT the rounding scale (every score
+    is rounded to ``tol_scale`` decimals each iteration — which also makes
+    each iteration's output bit-deterministic under any partitioning, via
+    rounded-then-DECIMAL-summed contributions) or ``max_iter``.  Each
+    iteration: edges ⋈ scores on src (equi-join, edges keep their
+    partitioning) + a map-side-combining sum by dst.  ``localCheckpoint``
+    bounds lineage; the convergence probe joins two materialized frames.
+    """
+    sym = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .union(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    pr = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.round(F.lit(1.0) / F.col("n"), tol_scale).alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        contrib = (
+            sym.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(deg.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("outdeg"), tol_scale)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("acc"))
+        )
+        new_pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    (1 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("acc"), F.lit(0.0)),
+                    tol_scale,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            pr.select("node", F.col("pr").alias("_old"))
+            .join(new_pr, "node")
+            .filter(F.col("pr") != F.col("_old"))
+            .count()
+        )
+        pr = new_pr
+        if moved == 0:
+            break
+    return pr.select("node", F.col("pr").alias("pagerank"))
