@@ -1238,3 +1238,81 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.least(*[F.col(f"est{dep}") for dep in range(_CMS_D)]).alias("est_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup over LEARNED clusters (the paper's actual composition)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_kmeans_oracle() -> str:
+    """Chain the kmeans_lloyd oracle's assignment CTEs with the within-
+    cluster cosine dedup — the full SemDeDup pipeline in one SQL twin."""
+    return f"""
+    WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings WHERE vec_id < {_KMEANS_K}),
+    p1 AS (SELECT e.vec_id, c.cid,
+                  {_d2_sql("e.embedding", "c.cvec")} AS d2
+           FROM embeddings e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM p1) WHERE rn = 1),
+    m AS (SELECT a1.cluster,
+                 GENERATE_SUBSCRIPTS(e.embedding, 1) AS pos,
+                 UNNEST(e.embedding) AS val
+          FROM a1 JOIN embeddings e USING (vec_id)),
+    c1e AS (SELECT cluster, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(27,8))) AS DOUBLE)
+                         / COUNT(*), 6) AS v
+            FROM m GROUP BY 1, 2),
+    c1 AS (SELECT cluster AS cid, LIST(v ORDER BY pos) AS cvec
+           FROM c1e GROUP BY 1),
+    p2 AS (SELECT e.vec_id, c.cid,
+                  {_d2_sql("e.embedding", "c.cvec")} AS d2
+           FROM embeddings e CROSS JOIN c1 c),
+    a2 AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM p2) WHERE rn = 1)
+    SELECT a.vec_id, aa.cluster FROM embeddings a
+    JOIN a2 aa ON aa.vec_id = a.vec_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings b JOIN a2 bb ON bb.vec_id = b.vec_id
+      WHERE bb.cluster = aa.cluster AND b.vec_id < a.vec_id
+        AND {_cos_sql("a.embedding", "b.embedding")} > {_SEMDEDUP_TAU})
+    """
+
+
+@query("semdedup_kmeans", oracle=_semdedup_kmeans_oracle())
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup exactly as the paper composes it: cluster the embeddings
+    with k-means (the verified ``kmeans_lloyd`` 2-iteration trainer), then
+    within each LEARNED cluster drop every vector cosine-closer than τ to
+    an earlier member. ``semdedup_embedding`` anchors the dedup rule on the
+    fixture's given labels; this one proves the full pipeline — trainer and
+    dedup chained — against a single SQL twin.
+
+    Scale: clustering is k-row-broadcast linear passes; the pairwise
+    compare is bounded per learned cluster (k sized so clusters hold ~10⁴
+    vectors keeps every block tractable and embarrassingly parallel)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    a = e.select("vec_id", "embedding").join(assign, "vec_id")
+    b = a.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dup = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("b_id") < F.col("vec_id"))
+        & (vec.cosine(F.col("embedding"), F.col("b_emb")) > _SEMDEDUP_TAU),
+        "left_semi",
+    )
+    return a.join(dup.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )

@@ -352,3 +352,25 @@ def test_countmin_estimates_upper_bound_truth(spark):
     for r in rows:
         assert r.est_n >= r.true_n, "CMS can only over-count"
         assert r.true_n > 0
+
+
+def test_semdedup_kmeans_survivors_below_tau_within_learned_clusters(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _SEMDEDUP_TAU,
+        kmeans_lloyd,
+        semdedup_kmeans,
+    )
+
+    kept = semdedup_kmeans(spark, SF_SMOKE).collect()
+    assert kept
+    assign = {r.vec_id: r.cluster for r in kmeans_lloyd(spark, SF_SMOKE).collect()}
+    # survivors carry their learned cluster, and the min-id of every
+    # learned cluster always survives
+    for r in kept:
+        assert assign[r.vec_id] == r.cluster
+    by_cluster = {}
+    for vid, c in assign.items():
+        by_cluster.setdefault(c, []).append(vid)
+    kept_ids = {r.vec_id for r in kept}
+    for c, ids in by_cluster.items():
+        assert min(ids) in kept_ids

@@ -38,6 +38,7 @@ ALLOW_CROSS = {
     "cooccurrence_pmi",      # 1-row corpus-totals broadcast
     "ann_recall_eval",       # 20-row query-set broadcast x linear scan (exact leg)
     "corpus_datasheet",      # 1-row corpus-totals broadcast
+    "semdedup_kmeans",       # k-row centroid broadcast via the kmeans trainer
 }
 
 
