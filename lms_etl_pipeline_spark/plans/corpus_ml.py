@@ -1316,3 +1316,79 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(dup.select("vec_id"), "vec_id", "left_anti").select(
         "vec_id", "cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index (delta batch vs index)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_MAX_CHARS = 2000  # fixed literal bin range, versioned with the code
+
+
+@query(
+    "psi_drift_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id % 10 = {_BATCH_MOD} AS in_delta,
+             LEAST(GREATEST(
+               CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                          / {_PSI_MAX_CHARS} * {_PSI_BINS}) AS BIGINT),
+               0), {_PSI_BINS - 1}) AS bin
+      FROM documents),
+    tot AS (SELECT SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS nd,
+                   SUM(CASE WHEN in_delta THEN 0 ELSE 1 END) AS ni FROM t),
+    b AS (SELECT bin,
+                 SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS d_n,
+                 SUM(CASE WHEN in_delta THEN 0 ELSE 1 END) AS i_n
+          FROM t GROUP BY bin)
+    SELECT bin, d_n, i_n,
+           ROUND(((d_n + 1.0) / (nd + {_PSI_BINS})
+                  - (i_n + 1.0) / (ni + {_PSI_BINS}))
+                 * LN(((d_n + 1.0) / (nd + {_PSI_BINS}))
+                      / ((i_n + 1.0) / (ni + {_PSI_BINS}))), 8)
+               AS psi_term
+    FROM b CROSS JOIN tot
+    """,
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the newest delta batch and the
+    existing corpus over the document-length distribution (10 fixed bins,
+    add-one smoothed) — the standard production drift monitor; per-bin PSI
+    terms sum to the headline PSI a release gate thresholds (<0.1 stable,
+    >0.25 investigate).
+
+    Scale: one scan, one 10-group aggregate, totals as a 1-row broadcast.
+    Fixed literal bin edges (not data-derived quantiles) keep the monitor
+    comparable release-over-release AND make the whole report exact:
+    counts are integers, the smoothed ratios exact rationals, one rounded
+    ln per bin."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("doc_id") % 10 == _BATCH_MOD).alias("in_delta"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    F.col("n_chars").cast("double") / _PSI_MAX_CHARS * _PSI_BINS
+                ).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    tot = t.agg(
+        F.sum(F.when(F.col("in_delta"), 1).otherwise(0)).alias("nd"),
+        F.sum(F.when(F.col("in_delta"), 0).otherwise(1)).alias("ni"),
+    )
+    b = t.groupBy("bin").agg(
+        F.sum(F.when(F.col("in_delta"), 1).otherwise(0)).alias("d_n"),
+        F.sum(F.when(F.col("in_delta"), 0).otherwise(1)).alias("i_n"),
+    )
+    dp = (F.col("d_n") + 1.0) / (F.col("nd") + _PSI_BINS)
+    ip = (F.col("i_n") + 1.0) / (F.col("ni") + _PSI_BINS)
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "d_n",
+        "i_n",
+        F.round((dp - ip) * F.log(dp / ip), 8).alias("psi_term"),
+    )

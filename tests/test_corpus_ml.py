@@ -374,3 +374,18 @@ def test_semdedup_kmeans_survivors_below_tau_within_learned_clusters(spark):
     kept_ids = {r.vec_id for r in kept}
     for c, ids in by_cluster.items():
         assert min(ids) in kept_ids
+
+
+def test_psi_report_bins_partition_and_terms_are_finite(spark):
+    import math
+
+    from lms_etl_pipeline_spark.plans.corpus_ml import _PSI_BINS, psi_drift_report
+
+    rows = psi_drift_report(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.d_n + r.i_n for r in rows) == d.count()
+    assert {r.bin for r in rows} <= set(range(_PSI_BINS))
+    for r in rows:
+        assert math.isfinite(r.psi_term), "smoothing must prevent ln(0)"
+    # the delta is a uniform 1-in-10 slice, so drift must be small
+    assert sum(r.psi_term for r in rows) < 0.25

@@ -39,6 +39,7 @@ ALLOW_CROSS = {
     "ann_recall_eval",       # 20-row query-set broadcast x linear scan (exact leg)
     "corpus_datasheet",      # 1-row corpus-totals broadcast
     "semdedup_kmeans",       # k-row centroid broadcast via the kmeans trainer
+    "psi_drift_report",      # 1-row population-totals broadcast
 }
 
 
