@@ -1392,3 +1392,56 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i_n",
         F.round((dp - ip) * F.log(dp / ip), 8).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: language-ID confusion matrix vs labels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             LEN(LIST_FILTER(toks, x -> x IN ('the','a','an','and','of','to','is'))) AS en_hits,
+             LEN(LIST_FILTER(toks, x -> x IN ('el','la','de','que','y','los'))) AS es_hits
+      FROM t),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN en_hits > es_hits THEN 'en'
+                  WHEN es_hits > en_hits THEN 'es'
+                  WHEN en_hits > 0 THEN 'en'
+                  ELSE 'und' END AS pred_lang
+      FROM hits)
+    SELECT true_lang, pred_lang, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY true_lang), 6) AS row_frac
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic
+    (`text_language_id`) against the fixture's true labels, with per-true-
+    language row fractions — the eval every classifier-driven curation
+    filter needs before its predictions gate data (per-class recall falls
+    straight out of the diagonal).
+
+    Scale: prediction is the same narrow projection as the classifier;
+    the matrix is a |langs|²-bounded aggregate with a window over the
+    (tiny) matrix itself. Counts exact; fractions are one rounded
+    integer-ratio division."""
+    d = load_table(spark, sf_dir, "documents")
+    from lms_etl_pipeline_spark.plans.llm import text_language_id
+
+    pred = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    joined = d.select("doc_id", F.col("lang").alias("true_lang")).join(pred, "doc_id")
+    m = joined.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("true_lang")
+    return m.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("row_frac"),
+    )

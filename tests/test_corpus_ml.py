@@ -389,3 +389,16 @@ def test_psi_report_bins_partition_and_terms_are_finite(spark):
         assert math.isfinite(r.psi_term), "smoothing must prevent ln(0)"
     # the delta is a uniform 1-in-10 slice, so drift must be small
     assert sum(r.psi_term for r in rows) < 0.25
+
+
+def test_lang_confusion_rows_sum_to_corpus_and_fracs_to_one(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import lang_id_confusion
+
+    rows = lang_id_confusion(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n for r in rows) == d.count()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r.row_frac)
+    for lang, fracs in by_true.items():
+        assert abs(sum(fracs) - 1.0) < 1e-4, lang
