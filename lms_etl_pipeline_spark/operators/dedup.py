@@ -309,3 +309,65 @@ def simhash64(text_col: Column | str) -> Column:
         ).otherwise(F.lit("0")),
     )
     return F.concat_ws("", bits)
+
+
+def dedup_delta_against_index(
+    delta: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Admit only delta rows that are neither an exact canonical-fingerprint
+    duplicate of ``index`` nor an LSH-candidate with verified shingle
+    Jaccard >= ``threshold`` against it — the incremental (delta-vs-index)
+    dedup contract for continuously-ingested corpora.  Returns the admitted
+    rows of ``delta`` (all its columns).
+
+    Batch semantics are per-row against the index only (cross-set band
+    joins): a row's admission never depends on what else is in the same
+    delta, so any micro-batching of the delta yields the same admissions —
+    the property that lets a streaming foreachBatch apply this per
+    micro-batch (tested in tests/test_streaming.py).
+
+    Scale: in production the index's fingerprints and band table are
+    computed once and PERSISTED; each delta hashes itself and equi-joins
+    those stores — batch-sized work.  The shingle verify touches candidate
+    pairs only (same discipline as ``near_dup_pairs``).
+    """
+    from lms_etl_pipeline_spark.operators.text import fingerprint
+
+    fp = fingerprint(text_col)
+    ifp = index.select(fp.alias("_fp")).distinct()
+    exact_ok = delta.withColumn("_fp", fp).join(ifp, "_fp", "left_anti").drop("_fp")
+
+    d_bands = lsh_bands(with_minhash(delta, id_col, text_col, k), id_col, k, bands)
+    i_bands = lsh_bands(with_minhash(index, id_col, text_col, k), id_col, k, bands)
+    cands = (
+        d_bands.select(F.col(id_col).alias("_bdoc"), "band", "band_hash")
+        .join(
+            i_bands.select(F.col(id_col).alias("_idoc"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("_bdoc", "_idoc")
+        .distinct()
+    )
+    b_toks = delta.select(F.col(id_col).alias("_bdoc"), tokens(text_col).alias("_tb"))
+    i_toks = index.select(F.col(id_col).alias("_idoc"), tokens(text_col).alias("_ti"))
+    sh_b = F.array_distinct(shingles(F.col("_tb"), n=3))
+    sh_i = F.array_distinct(shingles(F.col("_ti"), n=3))
+    paired = (
+        cands.join(b_toks, "_bdoc")
+        .join(i_toks, "_idoc")
+        .select("_bdoc", sh_b.alias("_shb"), sh_i.alias("_shi"))
+    )
+    inter = F.size(F.array_intersect("_shb", "_shi"))
+    union = F.size(F.array_union("_shb", "_shi"))
+    near_drop = (
+        paired.filter(F.try_divide(inter, union) >= threshold)
+        .select(F.col("_bdoc").alias(id_col))
+        .distinct()
+    )
+    return exact_ok.join(near_drop, id_col, "left_anti")

@@ -744,53 +744,14 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately admitted together (they dedup in the next compaction, same
     as the reference's keyed upsert semantics). All joins are equi-joins on
     hash keys; the Jaccard verify touches candidates only."""
-    from lms_etl_pipeline_spark.operators import dedup as dd
-    from lms_etl_pipeline_spark.operators.text import shingles, tokens
+    from lms_etl_pipeline_spark.operators.dedup import dedup_delta_against_index
 
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == _BATCH_MOD
-    batch = d.filter(is_batch)
-
-    fp = tx.fingerprint("text")
-    bfp = batch.select("doc_id", "lang", fp.alias("fp"))
-    ifp = d.filter(~is_batch).select(fp.alias("fp")).distinct()
-    exact_ok = bfp.join(ifp, "fp", "left_anti").select("doc_id", "lang")
-
-    sigs = dd.with_minhash(d, "doc_id", "text", k=8)
-    # materialize the band table ONCE: the batch- and index-side filters are
-    # DIFFERENT subtrees, so left lazy the whole minhash pipeline would run
-    # twice (the self-join in near_dup_pairs gets ReusedExchange for free;
-    # a cross-set join does not). In production this is precisely the
-    # persisted band store the incremental contract assumes.
-    bands = dd.lsh_bands(sigs, "doc_id", k=8, bands=4).localCheckpoint(eager=True)
-    lb = bands.filter(F.col("doc_id") % 10 == _BATCH_MOD).select(
-        F.col("doc_id").alias("bdoc"), "band", "band_hash"
+    admitted = dedup_delta_against_index(
+        d.filter(is_batch), d.filter(~is_batch), threshold=_INC_JACCARD
     )
-    rb = bands.filter(F.col("doc_id") % 10 != _BATCH_MOD).select(
-        F.col("doc_id").alias("idoc"), "band", "band_hash"
-    )
-    cands = lb.join(rb, ["band", "band_hash"]).select("bdoc", "idoc").distinct()
-
-    # tokenize per doc (cheap, one regex split) before the join, but build
-    # the interpreted shingle arrays only for the few candidate pairs —
-    # same |candidates|-sized verify discipline as dedup.near_dup_pairs
-    b_toks = d.select(F.col("doc_id").alias("bdoc"), tokens("text").alias("_tb"))
-    i_toks = d.select(F.col("doc_id").alias("idoc"), tokens("text").alias("_ti"))
-    sh_b = F.array_distinct(shingles(F.col("_tb"), n=3))
-    sh_i = F.array_distinct(shingles(F.col("_ti"), n=3))
-    paired = (
-        cands.join(b_toks, "bdoc")
-        .join(i_toks, "idoc")
-        .select("bdoc", sh_b.alias("_shb"), sh_i.alias("_shi"))
-    )
-    inter = F.size(F.array_intersect("_shb", "_shi"))
-    union = F.size(F.array_union("_shb", "_shi"))
-    near_drop = (
-        paired.filter(F.try_divide(inter, union) >= _INC_JACCARD)
-        .select(F.col("bdoc").alias("doc_id"))
-        .distinct()
-    )
-    return exact_ok.join(near_drop, "doc_id", "left_anti").select("doc_id", "lang")
+    return admitted.select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

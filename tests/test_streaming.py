@@ -368,3 +368,46 @@ def test_stream_static_enrichment_broadcasts_the_dim(spark, tmp_path):
     assert {r.user_id for r in matched} == {0, 1, 2}
     assert {r.user_id for r in unmatched} == {3, 4}
     assert all(r.tier == f"tier{r.user_id % 2}" for r in matched)
+
+
+def test_streaming_incremental_curation_matches_batch_dedup(spark, tmp_path):
+    """End-to-end continuous-curation loop: new documents arrive as files,
+    each micro-batch dedups against the static index via foreachBatch, and
+    the union of admitted docs is IDENTICAL to the one-shot batch query —
+    the per-row-vs-index property that makes the operator safe to stream."""
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.operators.dedup import dedup_delta_against_index
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _BATCH_MOD,
+        incremental_corpus_dedup,
+    )
+    from lms_etl_pipeline_spark.sources.tables import load_table
+    from lms_etl_pipeline_spark.streaming import file_stream, run_available_now
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    index = d.filter(F.col("doc_id") % 10 != _BATCH_MOD)
+    delta = d.filter(F.col("doc_id") % 10 == _BATCH_MOD)
+
+    # land the delta as MULTIPLE files so AvailableNow splits micro-batches
+    landing = str(tmp_path / "landing")
+    delta.repartition(3).write.parquet(landing)
+
+    admitted: list = []
+
+    def curate(batch_df, batch_id):
+        kept = dedup_delta_against_index(batch_df, index)
+        admitted.extend((r.doc_id, r.lang) for r in kept.select("doc_id", "lang").collect())
+
+    stream = file_stream(spark, landing, delta.schema, max_files_per_trigger=1)
+    run_available_now(
+        stream, curate, str(tmp_path / "ckpt"), query_name="curation",
+        output_mode="append",
+    )
+
+    want = {(r.doc_id, r.lang) for r in incremental_corpus_dedup(spark, SF_SMOKE).collect()}
+    assert set(admitted) == want, (
+        f"streamed admissions diverge from batch: {len(admitted)} vs {len(want)}"
+    )
+    assert len(admitted) == len(set(admitted)), "no doc admitted twice"
