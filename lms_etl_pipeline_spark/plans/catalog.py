@@ -48,19 +48,16 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_regional_revenue",
     "q1_pricing_summary",
     "filter_project_casts",
-    "agg_collect_sorted",
     "agg_percentiles_exact",
     "set_except",
     "join_anti",
-    "join_asof_last_click",
-    "subquery_correlated",
     "lateral_topk",
+    "range_join_binned",
+    "weighted_sample_es",
     # window functions (incl. the fixed NTZ trio)
     "window_topk_per_group",
     "window_time_rolling",
     "decontaminate_ngram_overlap",
-    "window_range_between",
-    "window_ntile_percentile",
     # streaming-shaped windows + event analytics
     "events_session_window",
     "corpus_shuffle_deterministic",
@@ -69,15 +66,15 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_interpolate_linear",
     # text analysis + LLM-training-data ops
     "doc_quality_filter",
-    "text_language_id",
     "split_leakage_safe",
     "gopher_quality_rules",
-    "doc_chunk_sliding",
     "tokenize_to_vocab_ids",
     "quality_ranker_auc",
     "bm25_retrieval_topk",
     "hybrid_retrieval_rrf",
     "cooccurrence_pmi",
+    "countmin_heavy_hitters",
+    "lang_id_confusion",
     # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
     # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
     "near_dup_pairs_lsh",
@@ -90,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_lloyd",
     "embedding_int8_quantize",
     "ann_recall_eval",
+    "semdedup_kmeans",
     "pagerank_graph",
     # scalar function families past last round's cut
     "scalar_json_funcs",
@@ -104,6 +102,8 @@ _PRIORITY: tuple[str, ...] = (
     "etl_align_to_schema",
     "etl_users_pipeline_shape",
     "k_anonymity_profile",
+    "psi_drift_report",
+    "corpus_datasheet",
     # sources / sinks (CSV snapshot + ORC round trips)
     "orc_roundtrip_orders",
 )
