@@ -1406,3 +1406,54 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("row_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix assembly: budget-constrained selection
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 20_000
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, LEN({_TOKS}) AS n_toks,
+             {_BUCKET_SQL.format(c="doc_id")} AS hk
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, lang, n_toks,
+             SUM(n_toks) OVER (ORDER BY hk, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks
+      FROM t)
+    SELECT doc_id, lang, n_toks, cum_toks
+    FROM ordered WHERE cum_toks <= {_BUDGET_TOKENS}
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a training mix under a hard token budget: walk the corpus
+    in deterministic hash order (an unbiased shuffle, no ``rand()``) and
+    admit documents while the running token total stays within budget —
+    the "fill exactly N tokens" step every training-mix builder ends with.
+    Deterministic order makes the selection reproducible and auditable
+    (the cum_toks column IS the audit trail).
+
+    Scale: one projection + one global running-sum window. A single global
+    ordering is inherently one-partition at the window — at 100 TB you run
+    the same logic per (domain, shard) with per-shard budgets (the window
+    gains a partitionBy and parallelism returns); the global form here is
+    the oracle-checkable anchor of that sharded plan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens("text")).alias("n_toks"),
+        _bucket(F.col("doc_id")).alias("hk"),
+    )
+    w = Window.orderBy("hk", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        t.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= _BUDGET_TOKENS)
+        .select("doc_id", "lang", "n_toks", "cum_toks")
+    )

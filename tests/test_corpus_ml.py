@@ -402,3 +402,21 @@ def test_lang_confusion_rows_sum_to_corpus_and_fracs_to_one(spark):
         by_true.setdefault(r.true_lang, []).append(r.row_frac)
     for lang, fracs in by_true.items():
         assert abs(sum(fracs) - 1.0) < 1e-4, lang
+
+
+def test_token_budget_selection_respects_budget_and_is_prefix_closed(spark):
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _BUDGET_TOKENS,
+        token_budget_selection,
+    )
+
+    rows = sorted(
+        token_budget_selection(spark, SF_SMOKE).collect(), key=lambda r: r.cum_toks
+    )
+    assert rows, "budget must admit at least one doc"
+    assert rows[-1].cum_toks <= _BUDGET_TOKENS
+    # cum_toks is a prefix sum: each row's total = previous + its own tokens
+    prev = 0
+    for r in rows:
+        assert r.cum_toks == prev + r.n_toks
+        prev = r.cum_toks
