@@ -26,86 +26,83 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation: the Spark-4.1 NTZ-regression trio (fixed this round)
-    # enters for driver-visible certification of that regression class; five
-    # locally-certified queries get their first driver rows
-    # (agg_percentiles_exact, lateral_topk, split_leakage_safe,
-    # tokenize_to_vocab_ids, quality_ranker_auc); and the six operators NEW
-    # this round (corpus_shuffle_deterministic, bm25_retrieval_topk,
-    # semdedup_embedding, kmeans_lloyd, pagerank_graph, orc_roundtrip_orders)
-    # are driver-certified in their first round, as are the five late-round
-    # additions (hybrid_retrieval_rrf, cooccurrence_pmi,
-    # incremental_corpus_dedup, gopher_quality_rules,
-    # k_anonymity_profile).  Nineteen multi-certified
-    # entries yield their slots (q3/q8/q12, window_row_number_rank,
-    # events_sliding_window, events_tumbling_window, tfidf_cosine_pairs,
-    # multimodal_frame_sample, etl_flatten_json_props, text_token_stats,
-    # tf_idf_top_terms, minhash_signatures, dedup_exact_text,
-    # udtf_sentence_split) — all remain in the catalog and the local
-    # full-catalog gate; every operator family stays represented.
+    # Round-5 rotation — slot economy: after four rounds, 22 queries are
+    # double-certified and ~80 certified at least once, while 54
+    # oracle-backed queries have NEVER had a driver row.  Every slot spent
+    # on an already-certified query is a wasted slot, so this window keeps
+    # only (a) the flagship (driver smoke anchor), (b) events_session_window
+    # (the streaming family has no never-certified oracle-backed candidate),
+    # and (c) the four round-4 HUGEINT-red rows — now fixed via
+    # CAST(... AS BIGINT) in their oracles — which MUST stay in-window to
+    # show green driver rows.  The other 44 slots go to never-certified
+    # queries, all pre-screened: every (Spark type, DuckDB type) column
+    # pairing they emit already appears in some ever-driver-green query,
+    # and the HUGEINT gate in tools/check_oracle.py rejects the one known
+    # driver/local comparator divergence class at registration time.
+    # Everything rotated out stays in the catalog and the full-catalog gate.
     #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",
-    "q1_pricing_summary",
-    "filter_project_casts",
-    "agg_percentiles_exact",
-    "set_except",
-    "join_anti",
-    "lateral_topk",
-    "range_join_binned",
-    "weighted_sample_es",
-    # window functions (incl. the fixed NTZ trio)
-    "window_topk_per_group",
-    "window_time_rolling",
-    "decontaminate_ngram_overlap",
-    # streaming-shaped windows + event analytics
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q11_important_values",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_dormant_balances",
+    "agg_incremental_merge",
+    "etl_snapshot_diff",
+    # window functions
+    "window_lag_lead",
+    "window_running_sum",
+    "window_first_last_nth",
+    # streaming family anchor (no never-certified candidate exists)
     "events_session_window",
-    "corpus_shuffle_deterministic",
-    "events_type_pivot",
-    "events_rolling_anomaly",
-    "timeseries_interpolate_linear",
+    # scalar function families
+    "scalar_higher_order_funcs",
+    "scalar_map_funcs",
+    "variant_semi_structured",
+    "case_when_bucketing",
+    "histogram_width_bucket",
+    "text_normalize",
     # text analysis + LLM-training-data ops
-    "doc_quality_filter",
-    "split_leakage_safe",
-    "gopher_quality_rules",
-    "tokenize_to_vocab_ids",
-    "quality_ranker_auc",
-    "bm25_retrieval_topk",
-    "hybrid_retrieval_rrf",
-    "cooccurrence_pmi",
+    "text_redact_pii",
+    "token_count_bpe",
+    "stopword_removal_bigrams",
+    "doc_repetition_signals",
+    "doc_quality_score_logistic",
+    "charlm_perplexity_filter",
+    "sample_stable_per_group",
+    "lsh_recall_eval",
+    "contrastive_triplets",
+    "fuzzy_match_names",
+    "cogroup_pandas_asof",
+    # round-4 HUGEINT-red rows, oracles fixed — must re-certify green
     "countmin_heavy_hitters",
-    "lang_id_confusion",
-    # deduplication (ngram_jaccard_pairs = lossless prefix-filtered set join;
-    # agg_salted_skew = skew-path aggregation proven ≡ plain GROUP BY)
-    "near_dup_pairs_lsh",
-    "dedup_clusters",
-    "corpus_curation_pipeline",
-    "agg_salted_skew",
-    "incremental_corpus_dedup",
-    # similarity search / embeddings
-    "semdedup_embedding",
-    "kmeans_lloyd",
-    "embedding_int8_quantize",
     "ann_recall_eval",
-    "semdedup_kmeans",
-    "pagerank_graph",
-    # scalar function families past last round's cut
-    "scalar_json_funcs",
-    # Python compute surface (UDTF / grouped-agg / grouped-map)
-    "pandas_udaf_geomean",
-    "applyinpandas_group_rank",
-    # multimodal plumbing
-    "multimodal_image_decode",
-    "multimodal_join_features",
-    # reference ETL parity chain
-    "etl_pack_custom_fields",
-    "etl_align_to_schema",
-    "etl_users_pipeline_shape",
-    "k_anonymity_profile",
     "psi_drift_report",
     "corpus_datasheet",
-    # sources / sinks (CSV snapshot + ORC round trips)
-    "orc_roundtrip_orders",
+    # latent-HUGEINT rows, oracles fixed — first driver rows
+    "token_budget_selection",
+    "corpus_pack_sequences",
+    "etl_dq_violations",
+    # deduplication
+    "dedup_fingerprint",
+    "dedup_winnowing",
+    # similarity search / embeddings
+    "embedding_norm_stats",
+    "knn_filtered_exact",
+    "doc_outlier_filter_iqr",
+    # multimodal plumbing
+    "multimodal_audio_decode",
+    # reference ETL parity chain
+    "etl_rename_bulk",
+    "etl_parse_datetime_strict",
+    # sources / sinks
+    "jsonl_roundtrip_documents",
+    "curated_corpus_partitioned_write",
+    "text_sentiment_lexicon",
 )
 
 

@@ -908,8 +908,8 @@ def _ann_recall_oracle() -> str:
         WHERE q.vec_id < {_ANN_QIDS})
       WHERE rk <= {_ANN_K})
     SELECT x.q_id, COUNT(*) AS n_true,
-           COALESCE(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END), 0)
-               AS n_found,
+           CAST(COALESCE(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_found,
            CAST(COALESCE(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END), 0)
                 AS DOUBLE) / COUNT(*) AS recall
     FROM exact x LEFT JOIN approx a ON a.q_id = x.q_id AND a.n_id = x.n_id
@@ -1001,13 +1001,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS total_docs, SUM(n_toks) AS total_toks FROM t)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS n_tokens,
-           SUM(n_chars) AS n_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            MIN(n_toks) AS min_tokens,
            MAX(n_toks) AS max_tokens,
            ROUND(CAST(SUM(n_toks) AS DOUBLE)
                  / (SELECT total_toks FROM tot), 6) AS token_share,
-           SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS n_delta_docs
+           CAST(SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delta_docs
     FROM t GROUP BY lang
     """,
 )
@@ -1153,7 +1154,7 @@ def _cms_oracle() -> str:
     cms AS (SELECT d, cell, SUM(n) AS est FROM cells GROUP BY d, cell),
     top AS (SELECT term, n FROM tc
             ORDER BY n DESC, term LIMIT {_CMS_TOPK})
-    SELECT t.term, t.n AS true_n, {least} AS est_n
+    SELECT t.term, t.n AS true_n, CAST({least} AS BIGINT) AS est_n
     FROM top t
       {est_joins}
     """
@@ -1303,7 +1304,7 @@ _PSI_MAX_CHARS = 2000  # fixed literal bin range, versioned with the code
                  SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS d_n,
                  SUM(CASE WHEN in_delta THEN 0 ELSE 1 END) AS i_n
           FROM t GROUP BY bin)
-    SELECT bin, d_n, i_n,
+    SELECT bin, CAST(d_n AS BIGINT) AS d_n, CAST(i_n AS BIGINT) AS i_n,
            ROUND(((d_n + 1.0) / (nd + {_PSI_BINS})
                   - (i_n + 1.0) / (ni + {_PSI_BINS}))
                  * LN(((d_n + 1.0) / (nd + {_PSI_BINS}))
@@ -1424,8 +1425,9 @@ _BUDGET_TOKENS = 20_000
       FROM documents),
     ordered AS (
       SELECT doc_id, lang, n_toks,
-             SUM(n_toks) OVER (ORDER BY hk, doc_id
-                               ROWS UNBOUNDED PRECEDING) AS cum_toks
+             CAST(SUM(n_toks) OVER (ORDER BY hk, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_toks
       FROM t)
     SELECT doc_id, lang, n_toks, cum_toks
     FROM ordered WHERE cum_toks <= {_BUDGET_TOKENS}

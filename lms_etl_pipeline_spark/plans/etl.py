@@ -290,7 +290,7 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'nonpositive_price', COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)
     UNION ALL
     SELECT 'dup_orderkey',
-           COALESCE(SUM(n - 1), 0)
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
     FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
     UNION ALL
     SELECT 'bad_status', COUNT(*) FROM orders

@@ -886,7 +886,7 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // 4096 AS pack_id
+           CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id
     FROM runs
     """,
 )

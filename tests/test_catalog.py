@@ -76,6 +76,29 @@ def test_query_builds_and_columns_match_oracle(spark, duck, name):
         assert sorted(df.columns) == sorted(duck_cols), name
 
 
+def test_hugeint_gate_fires_on_deliberate_offender(duck):
+    """The round-4 driver-red class: DuckDB widens SUM(integer) to HUGEINT
+    (int128), which the driver's hasher mismatches against Spark BIGINT even
+    at equal values.  The gate must detect the class structurally."""
+    from tools.check_oracle import hugeint_columns
+
+    rel = duck.sql("SELECT SUM(i) AS s FROM range(10) t(i)")
+    assert hugeint_columns(rel) == ["s"]
+    rel_ok = duck.sql("SELECT CAST(SUM(i) AS BIGINT) AS s FROM range(10) t(i)")
+    assert hugeint_columns(rel_ok) == []
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_emits_no_hugeint(duck, name):
+    """No registered oracle may emit HUGEINT — binding only, no execution."""
+    from tools.check_oracle import hugeint_columns
+
+    rel = duck.sql(ORACLES[name])
+    assert hugeint_columns(rel) == [], (
+        f"{name}: CAST the integer aggregate(s) to BIGINT"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

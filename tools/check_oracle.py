@@ -29,6 +29,22 @@ def _norm_cell(v):
     return v
 
 
+def hugeint_columns(rel) -> list[str]:
+    """Columns of a DuckDB relation whose type is int128 (HUGEINT).
+
+    The external driver hashes DuckDB cells by native type and int128
+    mismatches Spark's BIGINT even at equal values, while our fetchall()
+    comparator normalizes int128 -> Python int and is blind to the class.
+    Every integer aggregate in an oracle must be CAST(... AS BIGINT);
+    this makes the defect structurally detectable at gate time.
+    """
+    return [
+        c
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if "HUGEINT" in t
+    ]
+
+
 def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
     problems: list[str] = []
     s_cols = sorted(spark_df.columns)
@@ -87,10 +103,16 @@ def main() -> int:
                 print(f"  ~ {name}: rows-only ({cnt} rows)")
                 n_rows_only += 1
                 continue
-            cur = con.execute(oracles[name])
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
-            problems = compare(name, sdf, duck_rows, duck_cols)
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            problems = [
+                f"oracle emits driver-unsafe HUGEINT in column {c!r} "
+                f"(CAST the aggregate to BIGINT)"
+                for c in hugeint_columns(rel)
+            ]
+            duck_rows = rel.fetchall()
+            if not problems:
+                problems = compare(name, sdf, duck_rows, duck_cols)
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
         if problems:
