@@ -69,6 +69,13 @@ def kmeans_fit(
     (k·dim)-group aggregate combines map-side.  ``localCheckpoint`` bounds
     lineage so deep runs stay plannable; the convergence probe compares two
     already-materialized label frames (cheap scalar count).
+
+    Consistency contract: the returned assignments are always computed
+    against the returned centroids — on a max_iter exit a final assignment
+    pass runs against the last centroid update (the convergent exit is
+    already consistent).  A cluster that loses every member keeps its
+    previous centroid (no silent k-shrink), matching the common
+    "keep empty centroids" Lloyd variant.
     """
     pts = points.select("id", "vec").localCheckpoint(eager=True)
     w_init = Window.orderBy("id")
@@ -79,6 +86,7 @@ def kmeans_fit(
         .localCheckpoint(eager=True)
     )
     assign = None
+    converged = False
     for _ in range(max_iter):
         new_assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
         if assign is not None:
@@ -90,6 +98,7 @@ def kmeans_fit(
             )
             if moved == 0:
                 assign = new_assign
+                converged = True
                 break
         assign = new_assign
         m = assign.join(pts, "id").select(
@@ -102,15 +111,21 @@ def kmeans_fit(
                 mean_scale,
             ).alias("v")
         )
-        cent = (
+        cent_new = (
             c_elems.groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
             .select(
                 F.col("cluster").alias("cid"),
                 F.transform("s", lambda x: x["v"]).alias("cvec"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Empty clusters keep their previous centroid so k never shrinks.
+        cent = cent_new.unionByName(
+            cent.join(cent_new.select("cid"), "cid", "left_anti")
+        ).localCheckpoint(eager=True)
+    if not converged:
+        # max_iter exit: re-assign so assignments match the final centroids.
+        assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
     return assign, cent
 
 
@@ -132,7 +147,10 @@ def pagerank(
     partitioning) + a map-side-combining sum by dst.  ``localCheckpoint``
     bounds lineage; the convergence probe joins two materialized frames.
     """
-    sym = edges.select("src", "dst").localCheckpoint(eager=True)
+    # Deduplicate parallel edges to match the oracle-checked plan twin
+    # pagerank_graph (which applies .distinct()); without this, duplicate
+    # (src, dst) rows would silently compute edge-weighted PageRank.
+    sym = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         sym.select(F.col("src").alias("node"))
         .union(sym.select(F.col("dst").alias("node")))

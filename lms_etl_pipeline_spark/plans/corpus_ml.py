@@ -1185,7 +1185,6 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = c if cells is None else cells.unionByName(c)
     cms = cells.groupBy("d", "cell").agg(F.sum("n").alias("est"))
     top = tc.orderBy(F.col("n").desc(), "term").limit(_CMS_TOPK)
-    est = None
     out = top.select("term", F.col("n").alias("true_n"))
     for dep in range(_CMS_D):
         side = cms.filter(F.col("d") == dep).select(

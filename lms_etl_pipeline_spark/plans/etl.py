@@ -236,10 +236,18 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the checked plan — proving the hop is lossless AND optimizer-visible,
     not just byte-preserving. Oracle runs on the parquet original: equality
     holds iff the ORC round trip changed nothing."""
+    from pathlib import Path
+
     from lms_etl_pipeline_spark.functions.numeric import dec_sum
 
     o = load_table(spark, sf_dir, "orders")
-    path = "/root/repo/.scratch/orders_orc"
+    # Scratch sink scoped by fixture dir (concurrent runs against different
+    # SFs don't race) and rooted at the package location, not a literal path.
+    path = str(
+        Path(__file__).resolve().parents[2]
+        / ".scratch"
+        / f"orders_orc_{Path(sf_dir).name}"
+    )
     o.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import subprocess
 import sys
 import time
+from pathlib import Path
 
 STEPS = lambda sf_dir: [  # noqa: E731
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
@@ -35,7 +36,7 @@ def main() -> int:
     for name, cmd in STEPS(sf_dir):
         print(f"== preflight: {name} ==", flush=True)
         t = time.time()
-        rc = subprocess.call(cmd, cwd="/root/repo")
+        rc = subprocess.call(cmd, cwd=str(Path(__file__).resolve().parents[1]))
         print(f"== {name}: {'OK' if rc == 0 else f'FAILED rc={rc}'} "
               f"({time.time() - t:.1f}s) ==", flush=True)
         if rc != 0:
