@@ -20,13 +20,21 @@ Measurement discipline (round-2 advisories):
   hash-slot arrays were being optimized away);
 - each query runs ``BENCH_REPS`` times (default 2) and reports the MIN —
   this box shows ±25% run-to-run variance, and min-take tames it so
-  round-over-round deltas mean something.
+  round-over-round deltas mean something;
+- the three queries that drifted upward in round 4 with no plan change
+  (``dedup_embedding_cosine``, ``knn_cosine_exact``, ``minhash_signatures``)
+  take an extra rep, and every headline query's **normalized optimized-plan
+  fingerprint** is emitted alongside its timing — a round-over-round timing
+  delta with an unchanged fingerprint is noise by construction, one with a
+  changed fingerprint names the plan diff.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -47,6 +55,26 @@ HEADLINE = (
     "dedup_embedding_cosine",
     "corpus_curation_pipeline",
 )
+
+# Watched for drift in round 4 (+11–19% with no plan change landed): one
+# extra rep so min-take has three samples against the box's ±25% variance.
+EXTRA_REPS = {
+    "dedup_embedding_cosine": 3,
+    "knn_cosine_exact": 3,
+    "minhash_signatures": 3,
+}
+
+
+def plan_fingerprint(df) -> str:
+    """12-hex digest of the optimized logical plan with volatile tokens
+    (expression IDs, plan IDs, scratch paths) stripped — stable across
+    sessions iff the plan shape is unchanged."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+[L]?", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"file:[^\s,\]]+", "file:", s)
+    s = re.sub(r"\blambda [A-Za-z_]+_\d+", "lambda x_", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
 def main() -> int:
@@ -82,14 +110,16 @@ def main() -> int:
     force_eval(qs["flagship_regional_revenue"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(max(reps, EXTRA_REPS.get(name, 0))):
             t0 = time.perf_counter()
             force_eval(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        plans[name] = plan_fingerprint(fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +130,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plan_hashes": plans,
             }
         )
     )
