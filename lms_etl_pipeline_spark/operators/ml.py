@@ -56,6 +56,7 @@ def kmeans_fit(
     k: int,
     max_iter: int = 10,
     mean_scale: int = 6,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means over (``id``, ``vec``) rows; returns (assignments,
     centroids) after ``max_iter`` iterations or earlier convergence
@@ -76,6 +77,10 @@ def kmeans_fit(
     already consistent).  A cluster that loses every member keeps its
     previous centroid (no silent k-shrink), matching the common
     "keep empty centroids" Lloyd variant.
+
+    Pass a dict as ``stats`` to receive ``{"iterations": n, "converged":
+    bool}`` — scale tests assert convergence happened and lineage stayed
+    bounded without re-deriving the loop count.
     """
     pts = points.select("id", "vec").localCheckpoint(eager=True)
     w_init = Window.orderBy("id")
@@ -87,7 +92,9 @@ def kmeans_fit(
     )
     assign = None
     converged = False
+    n_iter = 0
     for _ in range(max_iter):
+        n_iter += 1
         new_assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
         if assign is not None:
             moved = (
@@ -126,6 +133,8 @@ def kmeans_fit(
     if not converged:
         # max_iter exit: re-assign so assignments match the final centroids.
         assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
+    if stats is not None:
+        stats.update(iterations=n_iter, converged=converged)
     return assign, cent
 
 
@@ -134,6 +143,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol_scale: int = 12,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``);
     returns (node, pagerank).  Simplified model: no dangling-mass
@@ -164,6 +174,8 @@ def pagerank(
         .select("node", F.round(F.lit(1.0) / F.col("n"), tol_scale).alias("pr"))
         .localCheckpoint(eager=True)
     )
+    n_iter = 0
+    converged = False
     for _ in range(max_iter):
         contrib = (
             sym.join(pr.withColumnRenamed("node", "src"), "src")
@@ -197,6 +209,10 @@ def pagerank(
             .count()
         )
         pr = new_pr
+        n_iter += 1
         if moved == 0:
+            converged = True
             break
+    if stats is not None:
+        stats.update(iterations=n_iter, converged=converged)
     return pr.select("node", F.col("pr").alias("pagerank"))

@@ -61,3 +61,52 @@ def test_kmeans_assign_empty_centroid_set_is_rejected_gracefully(spark):
     pts = spark.createDataFrame([(0, [1.0])], "id LONG, vec ARRAY<DOUBLE>")
     cent = spark.createDataFrame([], "cid LONG, cvec ARRAY<DOUBLE>")
     assert kmeans_assign(pts, cent).count() == 0
+
+
+def test_iterative_operators_scale_evidence_sf01(spark):
+    """Convergence-at-scale evidence (round-4 verdict #7): at sf0.1 both
+    general-iteration operators (a) converge strictly before max_iter,
+    (b) finish inside a wall-clock bound, and (c) return results whose
+    lineage is checkpoint-bounded — the optimized plan is a handful of
+    lines over a LogicalRDD leaf, not max_iter chained joins — so the
+    open-ended loops are certified plannable at depth, not only at
+    sf-tiny."""
+    import time
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+
+    def plan_lines(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+
+    t0 = time.time()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    kstats: dict = {}
+    # empirically converges at iteration ~31 on this fixture; 45 leaves
+    # headroom while still proving strictly-before-max_iter convergence
+    assign, cent = kmeans_fit(emb, k=8, max_iter=45, stats=kstats)
+    assert kstats["converged"], kstats
+    assert kstats["iterations"] < 45, kstats
+    assert assign.count() == emb.count()
+    assert cent.count() == 8  # empty-cluster guard keeps k stable
+    # checkpoint-bounded lineage: the result plan must not embed the loop
+    assert len(plan_lines(assign)) <= 5, "\n".join(plan_lines(assign))
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pstats: dict = {}
+    pr = pagerank(edges, max_iter=40, tol_scale=9, stats=pstats)
+    assert pstats["converged"], pstats
+    assert pstats["iterations"] < 40, pstats
+    assert abs(pr.agg(F.sum("pagerank")).collect()[0][0]) > 0
+    assert len(plan_lines(pr)) <= 5, "\n".join(plan_lines(pr))
+
+    elapsed = time.time() - t0
+    assert elapsed < 300, f"iterative ops took {elapsed:.0f}s at sf0.1"
