@@ -64,12 +64,10 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_map_funcs",
     "variant_semi_structured",
     "case_when_bucketing",
-    "histogram_width_bucket",
     "text_normalize",
     # text analysis + LLM-training-data ops
     "text_redact_pii",
     "token_count_bpe",
-    "stopword_removal_bigrams",
     "doc_repetition_signals",
     "doc_quality_score_logistic",
     "charlm_perplexity_filter",
@@ -78,6 +76,14 @@ _PRIORITY: tuple[str, ...] = (
     "contrastive_triplets",
     "fuzzy_match_names",
     "cogroup_pandas_asof",
+    # NEW round-5 training-mix operators — driver-certified in their first
+    # round (each exact vs oracle at sf0.001/0.01/0.1 locally)
+    "bpe_pair_merges",
+    "domain_cap_filter",
+    "score_calibration_bins",
+    "curriculum_phases",
+    "mixture_temperature_weights",
+    "intra_doc_dedup",
     # round-4 HUGEINT-red rows, oracles fixed — must re-certify green
     "countmin_heavy_hitters",
     "ann_recall_eval",
@@ -93,16 +99,12 @@ _PRIORITY: tuple[str, ...] = (
     # similarity search / embeddings
     "embedding_norm_stats",
     "knn_filtered_exact",
-    "doc_outlier_filter_iqr",
     # multimodal plumbing
     "multimodal_audio_decode",
     # reference ETL parity chain
-    "etl_rename_bulk",
     "etl_parse_datetime_strict",
     # sources / sinks
-    "jsonl_roundtrip_documents",
     "curated_corpus_partitioned_write",
-    "text_sentiment_lexicon",
 )
 
 
