@@ -243,17 +243,27 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     10⁴×10⁴ blocks, embarrassingly parallel, no global shuffle beyond the
     one cluster-key partition."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select("vec_id", "label", "embedding")
+    # per-row norms below the join: 1 interpreted fold per compared pair
+    a = e.select(
+        "vec_id", "label", "embedding", vec.norm(F.col("embedding")).alias("_na")
+    )
     b = e.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
         F.col("embedding").alias("b_emb"),
+        vec.norm(F.col("embedding")).alias("_nb"),
     )
     dup = a.join(
         b,
         (F.col("label") == F.col("b_label"))
         & (F.col("b_id") < F.col("vec_id"))
-        & (vec.cosine(F.col("embedding"), F.col("b_emb")) > _SEMDEDUP_TAU),
+        & (
+            F.try_divide(
+                vec.dot(F.col("embedding"), F.col("b_emb")),
+                F.col("_na") * F.col("_nb"),
+            )
+            > _SEMDEDUP_TAU
+        ),
         "left_semi",
     )
     return a.join(dup.select("vec_id"), "vec_id", "left_anti").select(
@@ -539,17 +549,26 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = bm25_retrieval_topk(spark, sf_dir).filter(F.col("qid") < _RRF_QIDS)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _RRF_QIDS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        vec.norm(F.col("embedding")).alias("_nq"),
     )
-    n = e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("n_emb"))
+    n = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("n_emb"),
+        vec.norm(F.col("embedding")).alias("_nn"),
+    )
     dense_pairs = (
         F.broadcast(q)
         .crossJoin(n)
         .filter(F.col("doc_id") != F.col("qid"))
+        # per-row norms below the join (1 fold per pair, not 3)
         .select(
             "qid",
             "doc_id",
-            vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+            F.try_divide(
+                vec.dot(F.col("q_emb"), F.col("n_emb")), F.col("_nq") * F.col("_nn")
+            ).alias("cosine"),
         )
     )
     wd = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("doc_id"))
@@ -945,17 +964,26 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "n_id")
         )
 
-    q = e.filter(F.col("vec_id") < _ANN_QIDS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # Norms precomputed once per row below the joins (1 interpreted fold
+    # per candidate pair instead of 3; bit-identical output).
+    pair_cos = F.try_divide(
+        vec.dot(F.col("q_emb"), F.col("n_emb")), F.col("_nq") * F.col("_nn")
     )
-    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    q = e.filter(F.col("vec_id") < _ANN_QIDS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        vec.norm(F.col("embedding")).alias("_nq"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        vec.norm(F.col("embedding")).alias("_nn"),
+    )
     exact = topk(
         F.broadcast(q)
         .crossJoin(n)
         .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id", "n_id", vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine")
-        )
+        .select("q_id", "n_id", pair_cos.alias("cosine"))
     )
     bucketed = e.select(
         "vec_id",
@@ -963,17 +991,21 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.hyperplane_bucket(F.col("embedding"), HYPERPLANES).alias("bucket"),
     )
     qb = bucketed.filter(F.col("vec_id") < _ANN_QIDS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        vec.norm(F.col("embedding")).alias("_nq"),
+        "bucket",
     )
     nb = bucketed.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "bucket"
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        vec.norm(F.col("embedding")).alias("_nn"),
+        "bucket",
     )
     approx = topk(
         qb.join(nb, "bucket")
         .filter(F.col("n_id") != F.col("q_id"))
-        .select(
-            "q_id", "n_id", vec.cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine")
-        )
+        .select("q_id", "n_id", pair_cos.alias("cosine"))
     )
     found = exact.join(
         approx.withColumn("_hit", F.lit(1)), ["q_id", "n_id"], "left"
@@ -1261,17 +1293,28 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors keeps every block tractable and embarrassingly parallel)."""
     e = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
-    a = e.select("vec_id", "embedding").join(assign, "vec_id")
+    # per-row norms below the join: 1 interpreted fold per compared pair
+    a = (
+        e.select("vec_id", "embedding", vec.norm(F.col("embedding")).alias("_na"))
+        .join(assign, "vec_id")
+    )
     b = a.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cluster"),
         F.col("embedding").alias("b_emb"),
+        F.col("_na").alias("_nb"),
     )
     dup = a.join(
         b,
         (F.col("cluster") == F.col("b_cluster"))
         & (F.col("b_id") < F.col("vec_id"))
-        & (vec.cosine(F.col("embedding"), F.col("b_emb")) > _SEMDEDUP_TAU),
+        & (
+            F.try_divide(
+                vec.dot(F.col("embedding"), F.col("b_emb")),
+                F.col("_na") * F.col("_nb"),
+            )
+            > _SEMDEDUP_TAU
+        ),
         "left_semi",
     )
     return a.join(dup.select("vec_id"), "vec_id", "left_anti").select(
