@@ -49,10 +49,8 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_values",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
     "q22_dormant_balances",
     "agg_incremental_merge",
-    "etl_snapshot_diff",
     # window functions
     "window_lag_lead",
     "window_running_sum",
@@ -63,8 +61,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_higher_order_funcs",
     "scalar_map_funcs",
     "variant_semi_structured",
-    "case_when_bucketing",
-    "text_normalize",
     # text analysis + LLM-training-data ops
     "text_redact_pii",
     "token_count_bpe",
@@ -84,6 +80,10 @@ _PRIORITY: tuple[str, ...] = (
     "curriculum_phases",
     "mixture_temperature_weights",
     "intra_doc_dedup",
+    "prefix_dup_candidates",
+    "source_reputation",
+    "dataset_mix_allocation",
+    "packing_efficiency",
     # round-4 HUGEINT-red rows, oracles fixed — must re-certify green
     "countmin_heavy_hitters",
     "ann_recall_eval",

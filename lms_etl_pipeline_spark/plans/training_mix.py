@@ -1,10 +1,12 @@
 """Training-mix assembly operators (round 5): the curriculum/mixing layer
 that sits between a curated corpus and a training run.
 
-Six ops a large-scale LLM-data pipeline runs after curation and before
+Ten ops a large-scale LLM-data pipeline runs after curation and before
 tokenization — BPE merge-table seeding, per-domain caps, scorer
-calibration, curriculum phasing, temperature-scaled mixture weights, and
-intra-document dedup.  All are native-DataFrame plans (no UDFs), each with
+calibration, curriculum phasing, temperature-scaled mixture weights,
+intra-document dedup, shared-prefix duplicate classes, per-source
+reputation cards, budgeted mix allocation, and packing-efficiency
+audits.  All are native-DataFrame plans (no UDFs), each with
 an exact DuckDB oracle twin; cross-engine float determinism follows the
 repo convention (fixed-scale DECIMAL sums, ROUND at a fixed scale on
 emitted floats).
@@ -316,4 +318,233 @@ def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sents.alias("n_sents"),
         n_uniq.alias("n_uniq"),
         F.round(F.lit(1.0) - n_uniq.cast("double") / n_sents, 6).alias("dup_ratio"),
+    )
+
+
+_PREFIX_TOKENS = 16
+_ALLOC_BUDGET = 50_000
+_PACK_BUDGET = 4096
+
+
+@query(
+    "prefix_dup_candidates",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(LIST_SLICE({_TOKS}, 1, {_PREFIX_TOKENS}), ' '))
+                 AS prefix_key
+      FROM documents WHERE LEN({_TOKS}) >= {_PREFIX_TOKENS})
+    SELECT prefix_key,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM t GROUP BY prefix_key HAVING COUNT(*) > 1
+    """,
+)
+def prefix_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate candidates: documents whose first {16} tokens
+    hash identically — the boilerplate/mirror-page prefilter (template
+    intros, scraped headers, truncation twins) that exact-fingerprint dedup
+    misses because the TAILS differ.  Emits each colliding prefix class
+    with its size and the canonical survivor (min doc_id).
+
+    Scale: one map-only projection to a 128-bit key + one hash aggregate —
+    the same uniform-shuffle posture as exact dedup; no pairwise compare
+    anywhere.  Classes feed a bounded within-class verify (the LSH
+    family's job), exactly like band buckets do."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    t = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, _PREFIX_TOKENS))).alias(
+            "prefix_key"
+        ),
+    ).filter(F.size(toks) >= _PREFIX_TOKENS)
+    return (
+        t.groupBy("prefix_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "source_reputation",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS toks, n_chars FROM documents),
+    f AS (
+      SELECT source, n_chars,
+             LEN(toks) AS n_toks,
+             CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr
+      FROM t WHERE LEN(toks) > 0)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(ttr, 8) AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ttr,
+           ROUND(CAST(SUM(CASE WHEN n_chars BETWEEN 200 AND 1500
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS len_ok_rate
+    FROM f GROUP BY source
+    """,
+)
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reputation card: document/token volume, mean lexical
+    diversity, and the fraction of docs inside the healthy length band —
+    the signals a crawl pipeline aggregates per domain to set source-level
+    sampling rates (and to kill scraper-broken domains wholesale) before
+    any per-document filter runs.
+
+    Scale: one |sources|-group hash aggregate over a linear scan, map-side
+    combining; ratios of exact ints and a fixed-scale DECIMAL mean per
+    repo determinism convention."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    f = d.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_toks"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    ).filter(F.col("n_toks") > 0)
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.round("ttr", 8).cast("decimal(18,8)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_ttr"),
+        F.round(
+            F.sum(
+                F.when(F.col("n_chars").between(200, 1500), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("len_ok_rate"),
+    )
+
+
+@query(
+    "dataset_mix_allocation",
+    oracle=f"""
+    WITH l AS (
+      SELECT lang, CAST(SUM(LEN({_TOKS})) AS BIGINT) AS n_toks
+      FROM documents GROUP BY lang),
+    s AS (
+      SELECT lang, n_toks,
+             ROUND(CAST(n_toks AS DOUBLE) / SUM(n_toks) OVER (), 8) AS share
+      FROM l),
+    p AS (
+      SELECT lang, n_toks,
+             CAST(ROUND(POWER(share, {_MIX_ALPHA}), 12) AS DECIMAL(28,12))
+                 AS pw
+      FROM s),
+    w AS (
+      SELECT lang, n_toks,
+             ROUND(CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE), 8)
+                 AS weight
+      FROM p)
+    SELECT lang, n_toks,
+           CAST(FLOOR(weight * {_ALLOC_BUDGET}) AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(FLOOR(weight * {_ALLOC_BUDGET}) AS DOUBLE)
+                 / n_toks, 6) AS epochs
+    FROM w
+    """,
+)
+def dataset_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the temperature mixture into an executable allocation: given a
+    {50k}-token training budget, each language's token grant
+    (floor(weight x budget)) and the epoch count that grant implies over
+    its available pool — the table that decides whether a tail language
+    will be over-epoched (epochs >> 1 = memorization risk) before a run
+    is launched.  Composes the verified mixture_temperature_weights
+    arithmetic; budget is a versioned constant.
+
+    Scale: identical posture to its parent — one |langs|-group aggregate
+    plus |langs|-row window arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    l = d.groupBy("lang").agg(
+        F.sum(F.size(tx.tokens("text"))).cast("long").alias("n_toks")
+    )
+    w_all = Window.partitionBy()
+    s = l.select(
+        "lang",
+        "n_toks",
+        F.round(
+            F.col("n_toks").cast("double") / F.sum("n_toks").over(w_all), 8
+        ).alias("share"),
+    )
+    p = s.select(
+        "lang",
+        "n_toks",
+        F.round(F.pow("share", F.lit(_MIX_ALPHA)), 12)
+        .cast("decimal(28,12)")
+        .alias("pw"),
+    )
+    w = p.select(
+        "lang",
+        "n_toks",
+        F.round(
+            F.col("pw").cast("double") / F.sum("pw").over(w_all).cast("double"), 8
+        ).alias("weight"),
+    )
+    alloc = F.floor(F.col("weight") * _ALLOC_BUDGET).cast("long")
+    return w.select(
+        "lang",
+        "n_toks",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("n_toks"), 6).alias("epochs"),
+    )
+
+
+@query(
+    "packing_efficiency",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, LEN({_TOKS}) AS n_tokens FROM documents),
+    runs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t),
+    packs AS (
+      SELECT lang,
+             CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+             n_tokens
+      FROM runs)
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS used_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill_ratio
+    FROM packs GROUP BY lang, pack_id
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste audit over corpus_pack_sequences' assignment: per
+    (lang, pack), the document count, tokens used, and fill ratio against
+    the {4096}-token budget — the metric that tells a training team how
+    much context window the first-fit packer wastes (and whether a
+    smarter packer is worth it; fill_ratio can exceed 1.0 exactly where
+    first-fit overflows by its at-most-one-document contract).
+
+    Scale: the same per-lang running-sum window as the packer itself, then
+    one (lang, pack) hash aggregate — nothing new shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tx.tokens("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packs = t.select(
+        "lang",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("long")
+        .alias("pack_id"),
+        "n_tokens",
+    )
+    return packs.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("used_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / _PACK_BUDGET, 6).alias(
+            "fill_ratio"
+        ),
     )

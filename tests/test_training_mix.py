@@ -60,3 +60,45 @@ def test_bpe_pair_merges_topk_shape(spark):
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(len(r.pair.split(" ")) == 2 for r in rows)
+
+
+def test_prefix_dup_classes_are_real_collisions(spark):
+    df = QUERIES["prefix_dup_candidates"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(r.n_docs >= 2 for r in rows)
+    # the canonical survivor must be a member-minimum, hence unique per class
+    assert len({r.prefix_key for r in rows}) == len(rows)
+
+
+def test_source_reputation_rates_bounded(spark):
+    rows = QUERIES["source_reputation"](spark, SF_SMOKE).collect()
+    assert rows, "documents fixture has sources"
+    for r in rows:
+        assert 0.0 <= r.len_ok_rate <= 1.0
+        assert 0.0 < r.mean_ttr <= 1.0
+        assert r.n_tokens >= r.n_docs  # every counted doc has >= 1 token
+
+
+def test_dataset_mix_allocation_respects_budget(spark):
+    rows = QUERIES["dataset_mix_allocation"](spark, SF_SMOKE).collect()
+    # floor() per language can only under-spend the budget, never over
+    assert sum(r.alloc_tokens for r in rows) <= 50_000
+    for r in rows:
+        assert abs(r.epochs - r.alloc_tokens / r.n_toks) < 1e-6
+
+
+def test_packing_efficiency_matches_packer(spark):
+    eff = QUERIES["packing_efficiency"](spark, SF_SMOKE)
+    packs = QUERIES["corpus_pack_sequences"](spark, SF_SMOKE)
+    got = {
+        (r.lang, r.pack_id): r.n_docs
+        for r in eff.collect()
+    }
+    want = {
+        (r.lang, r.pack_id): c
+        for (r, c) in (
+            (row, row.n) for row in packs.groupBy("lang", "pack_id").count()
+            .withColumnRenamed("count", "n").collect()
+        )
+    }
+    assert got == want  # the audit aggregates exactly the packer's output
