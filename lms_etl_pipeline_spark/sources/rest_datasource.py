@@ -31,7 +31,13 @@ import urllib.parse
 import urllib.request
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 DEFAULT_PAGE_SIZE = 500
 
@@ -124,8 +130,89 @@ class RestApiReader(DataSourceReader):
             yield tuple(row.get(f) for f in fields)
 
 
+class RestApiStreamReader(SimpleDataSourceStreamReader):
+    """Incremental REST polling as a Structured Streaming source.
+
+    This is the reference pipeline's ingestion semantics — poll the LMS
+    collection endpoint on a schedule, land only what's new
+    (`/root/reference/src/lms_to_s3_lambda.py`'s timer-driven fetch) —
+    re-expressed as a first-class streaming source: offsets are row
+    positions in the collection, each microbatch covers
+    ``[start, min(total, start + max_rows_per_batch))``, and replay
+    (``readBetweenOffsets``) re-fetches the exact range, so checkpoint
+    recovery is deterministic PROVIDED the collection is append-only with
+    a stable order (the same contract limit/offset pagination itself
+    assumes; a compacting API needs a cursor param instead).
+
+    Scale posture: the simple stream reader fetches on the driver by
+    design (Spark distributes the prefetched batch to executors);
+    ``max_rows_per_batch`` bounds each trigger so backlog catch-up is
+    incremental instead of one unbounded poll.  The partitioned
+    executor-parallel path stays the batch reader above — the streaming
+    reader's job is the offset ledger, not bulk throughput.
+    """
+
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.base_url = options["base_url"]
+        self.endpoint = options["endpoint"]
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.rows_key = options.get("rows_key", "users")
+        self.total_key = options.get("total_key", "totalItems")
+        self.timeout = float(options.get("timeout", "30"))
+        self.max_rows = int(options.get("max_rows_per_batch", "10000"))
+        self.headers = {"Content-Type": "application/json"}
+        if options.get("api_key"):
+            self.headers["x-api-key"] = options["api_key"]
+        if options.get("token"):
+            self.headers["Authorization"] = f"Bearer {options['token']}"
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _fetch_range(self, lo: int, hi: int) -> Iterator[tuple]:
+        fields = [f.name for f in self.schema.fields]
+        off = lo
+        while off < hi:
+            limit = min(self.page_size, hi - off)
+            doc = _fetch(
+                self.base_url,
+                self.endpoint,
+                {"limit": limit, "offset": off},
+                self.headers,
+                self.timeout,
+            )
+            rows = doc.get(self.rows_key, [])
+            if not rows:
+                return  # collection shrank below hi — stop rather than spin
+            for row in rows[: hi - off]:
+                yield tuple(row.get(f) for f in fields)
+            off += len(rows)
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        meta = _fetch(
+            self.base_url,
+            self.endpoint,
+            {"limit": 1, "offset": 0},
+            self.headers,
+            self.timeout,
+        )
+        total = int(meta.get(self.total_key, 0))
+        hi = min(total, lo + self.max_rows)
+        if hi <= lo:
+            return [], start
+        # materialized, not a generator: Spark pickles the prefetched batch
+        # to ship it to executors
+        return list(self._fetch_range(lo, hi)), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return list(self._fetch_range(int(start["offset"]), int(end["offset"])))
+
+
 class RestApiDataSource(DataSource):
-    """``format("rest_api")`` — partitioned, filter-pushing REST scans."""
+    """``format("rest_api")`` — partitioned, filter-pushing REST scans
+    (batch) and offset-ledgered incremental polling (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -139,3 +226,6 @@ class RestApiDataSource(DataSource):
 
     def reader(self, schema) -> RestApiReader:
         return RestApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> RestApiStreamReader:
+        return RestApiStreamReader(schema, self.options)

@@ -126,3 +126,47 @@ def test_schema_is_mandatory(registered, api):
         registered.read.format("rest_api").option("base_url", api).option(
             "endpoint", "/users"
         ).load().collect()
+
+def test_streaming_rest_source_incremental_across_runs(registered, api, tmp_path):
+    """The reference's poll-and-land ingestion as a Structured Streaming
+    source: run 1 drains the collection via availableNow; rows appended to
+    the API afterwards are picked up by run 2 FROM THE SAME CHECKPOINT —
+    proving the offset ledger advances and replays deterministically."""
+    ckpt = str(tmp_path / "rest_stream_ckpt")
+    out = str(tmp_path / "rest_stream_out")
+
+    def run_once():
+        df = (
+            registered.readStream.format("rest_api")
+            .schema("id BIGINT, firstName STRING, departmentId STRING")
+            .option("base_url", api)
+            .option("endpoint", "/users")
+            .option("page_size", "10")
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    added = [
+        {"id": 1000 + i, "firstName": f"late{i}", "departmentId": "D9"}
+        for i in range(5)
+    ]
+    try:
+        run_once()
+        got1 = registered.read.parquet(out)
+        assert got1.count() == N_USERS
+        # the API gains rows between polls (append-only contract)
+        USERS.extend(added)
+        run_once()
+        got2 = registered.read.parquet(out)
+        assert got2.count() == N_USERS + 5  # ONLY the delta landed again
+        late = {r.firstName for r in got2.filter(F.col("departmentId") == "D9").collect()}
+        assert late == {f"late{i}" for i in range(5)}
+    finally:
+        del USERS[N_USERS:]  # restore module fixture state for other tests
