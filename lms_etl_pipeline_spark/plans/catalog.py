@@ -65,10 +65,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_redact_pii",
     "token_count_bpe",
     "doc_repetition_signals",
-    "doc_quality_score_logistic",
     "charlm_perplexity_filter",
     "sample_stable_per_group",
-    "lsh_recall_eval",
     "contrastive_triplets",
     "fuzzy_match_names",
     "cogroup_pandas_asof",
@@ -84,6 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_reputation",
     "dataset_mix_allocation",
     "packing_efficiency",
+    "scd2_history_build",
+    "events_sessionize_gap",
     # round-4 HUGEINT-red rows, oracles fixed — must re-certify green
     "countmin_heavy_hitters",
     "ann_recall_eval",

@@ -9,7 +9,7 @@ a single DataFrame chain the way the production entry point would.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -394,4 +394,44 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o.price") != F.col("n.price"))
         )
         .select(F.coalesce(F.col("o.key"), F.col("n.key")).alias("key"), change.alias("change"))
+    )
+
+
+@query(
+    "scd2_history_build",
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history from a change log: per
+    entity, each recorded change becomes a version row with a
+    [valid_from, valid_to) interval (valid_to = next change's timestamp,
+    NULL = current) — the warehouse-standard temporal table the reference's
+    overwrite-style RDS loader (/root/reference/src/s3_to_rds_lambda.py
+    ON CONFLICT upsert) discards history instead of building.  An as-of
+    lookup is then a range probe on (user_id, valid_from, valid_to).
+
+    Scale: one window partitioned by the entity key — shuffle on user_id,
+    two window functions in a single pass, no self-join (the naive SCD2
+    build joins each change to the next; lead() is that join for free).
+    Determinism: (ts, event_id) is a unique order key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

@@ -10,7 +10,7 @@ execution chosen by the source.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.plans.catalog import query
@@ -184,3 +184,63 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "view", "purchase", "signup", "error")
     ]
     return e.groupBy("user_id").agg(*aggs)
+
+
+_GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > {_GAP_MICROS}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM o)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start,
+           MAX(ts) AS t_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by the 30-minute-inactivity gap rule with
+    EXPLICIT session ids: a session starts where the gap to the previous
+    event exceeds the threshold; the id is the running count of session
+    starts — the classic web-analytics assignment, and the batch twin of
+    ``events_session_window`` (whose built-in ``session_window`` emits
+    merged intervals but no stable per-session key to join facts back to).
+
+    Scale: two windows over ONE partitioning (user_id) — Catalyst plans a
+    single shuffle and sorts once; then a (user, session) hash aggregate.
+    Gap compare in integer microseconds (``unix_micros``/``EPOCH_US``),
+    deterministic via the unique (ts, event_id) order key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > _GAP_MICROS), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_s").over(wc).cast("long").alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )

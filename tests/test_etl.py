@@ -76,3 +76,23 @@ def test_parse_datetime_strict_format(spark):
     assert out[0].d is not None and out[0].d.month == 3
     assert out[1].d is None  # ISO input coerces to NULL under the US format
     assert out[2].d is None
+
+
+def test_scd2_intervals_chain_without_gaps(spark):
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    df = entrymod.queries()["scd2_history_build"](spark, SF_SMOKE)
+    # exactly one current row per entity
+    cur = df.filter(F.col("is_current")).groupBy("user_id").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    # each non-current version's valid_to equals the next version's valid_from
+    a = df.select("user_id", "version", "valid_to", "is_current")
+    b = df.select(
+        "user_id",
+        (F.col("version") - 1).alias("version"),
+        F.col("valid_from").alias("next_from"),
+    )
+    j = a.filter(~F.col("is_current")).join(b, ["user_id", "version"])
+    assert j.filter(F.col("valid_to") != F.col("next_from")).count() == 0

@@ -411,3 +411,30 @@ def test_streaming_incremental_curation_matches_batch_dedup(spark, tmp_path):
         f"streamed admissions diverge from batch: {len(admitted)} vs {len(want)}"
     )
     assert len(admitted) == len(set(admitted)), "no doc admitted twice"
+
+
+def test_sessionize_gap_rule_properties(spark):
+    """Explicit-id gap sessionization: within a session consecutive events
+    are <= 30 min apart; across consecutive sessions the boundary gap is
+    > 30 min (checked per user via the session summary intervals)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    df = entrymod.queries()["events_sessionize_gap"](spark, SF_SMOKE)
+    a = df.select("user_id", "session_id", "t_end")
+    b = df.select(
+        "user_id",
+        (F.col("session_id") - 1).alias("session_id"),
+        F.col("t_start").alias("next_start"),
+    )
+    j = a.join(b, ["user_id", "session_id"])
+    gap_us = F.unix_micros("next_start") - F.unix_micros("t_end")
+    assert j.filter(gap_us <= 30 * 60 * 1_000_000).count() == 0
+    # session ids are dense from 1 per user
+    agg = df.groupBy("user_id").agg(
+        F.min("session_id").alias("lo"),
+        F.max("session_id").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
