@@ -97,8 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_fingerprint",
     "dedup_winnowing",
     # similarity search / embeddings
-    "embedding_norm_stats",
-    "knn_filtered_exact",
+    "funnel_conversion",
+    "retention_cohorts",
     # multimodal plumbing
     "multimodal_audio_decode",
     # reference ETL parity chain

@@ -244,3 +244,109 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t_start"),
         F.max("ts").alias("t_end"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a stage
+    only with an event STRICTLY AFTER their previous stage's earliest
+    completion — the product-analytics conversion report (and the query
+    shape behind every "where do users drop off" dashboard).  The
+    strict-sequencing complement of ``events_funnel_conversion``, whose
+    milestone rollup checks click->purchase ordering inside one aggregate
+    but cannot express a 3+ stage strictly-after chain.
+
+    Scale: three (user_id)-keyed aggregates chained by equi-joins — every
+    shuffle is on the same key, so Catalyst/AQE reuses the partitioning;
+    no window over the full event stream, no per-user Python.  Stage
+    frames shrink monotonically (each joins the previous survivors)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(df, n, name):
+        return df.agg(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+    return stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
+        stage(p, 3, "purchase")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN f ON f.user_id = e.user_id)
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM a GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day, and
+    for each (cohort, day-offset) cell the count of cohort members active
+    that day — THE growth-analytics table (D1/D7/D30 retention reads
+    straight off it).
+
+    Scale: one (user)-keyed min-aggregate for cohort assignment, an
+    equi-join back (same key, partitioning reused), a per-(user, day)
+    distinct, then the final small aggregate — all hash-partitioned
+    shuffles on well-distributed keys, no windows, no skew hazard."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
+        F.count("*").alias("n_users")
+    )
