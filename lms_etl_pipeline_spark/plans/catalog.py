@@ -65,11 +65,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_redact_pii",
     "token_count_bpe",
     "doc_repetition_signals",
-    "charlm_perplexity_filter",
     "sample_stable_per_group",
-    "contrastive_triplets",
-    "fuzzy_match_names",
     "cogroup_pandas_asof",
+    "triangle_count_cooccur",
+    "event_type_itemsets",
+    "winsorize_event_values",
     # NEW round-5 training-mix operators — driver-certified in their first
     # round (each exact vs oracle at sf0.001/0.01/0.1 locally)
     "bpe_pair_merges",

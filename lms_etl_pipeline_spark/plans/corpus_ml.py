@@ -1501,3 +1501,103 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_toks") <= _BUDGET_TOKENS)
         .select("doc_id", "lang", "n_toks", "cum_toks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph + co-occurrence analytics over the events stream (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count_cooccur",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT user_id, event_type,
+             TIME_BUCKET(INTERVAL '5 minutes', ts) AS hb
+      FROM events),
+    e AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM m a JOIN m b
+        ON a.event_type = b.event_type AND a.hb = b.hb
+       AND a.user_id < b.user_id)
+    SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT a FROM e
+            UNION SELECT DISTINCT b FROM e)) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def triangle_count_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the user co-activity graph (users who acted in
+    the same 5-minute x event-type cell are adjacent): the standard graph
+    clustering-coefficient numerator, used on corpus link/citation graphs
+    as a community-structure quality signal next to PageRank.
+
+    Scale: the canonical distributed triangle algorithm — orient every
+    edge low-id -> high-id (kills double counting AND bounds the join fan-
+    out by out-degree), then wedges = edges ⋈ edges on the middle node and
+    triangles = wedges ⋈ edges on the closing pair: all EQUI-joins that
+    hash-partition on node ids.  Co-occurrence edges come from per-cell
+    self-pairing (same bounded-cell pattern as the LSH band join), never
+    an all-users cross join; the 5-minute cell keeps cells sparse."""
+    e_ = load_table(spark, sf_dir, "events")
+    m = e_.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("_h"),
+        (F.floor(F.minute("ts") / 5) * 5).alias("_m5"),
+    ).distinct()
+    a = m.select("user_id", "event_type", "_h", "_m5")
+    b = m.select(
+        F.col("user_id").alias("b_user"), "event_type", "_h", "_m5"
+    )
+    edges = (
+        a.join(b, ["event_type", "_h", "_m5"])
+        .filter(F.col("user_id") < F.col("b_user"))
+        .select(F.col("user_id").alias("a"), F.col("b_user").alias("b"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("a").alias("n")).union(
+        edges.select(F.col("b").alias("n"))
+    ).distinct()
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tris.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+@query(
+    "event_type_itemsets",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           COUNT(*) AS n_users
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY t1, t2
+    """,
+)
+def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise itemset support: for every event-type pair, how many users
+    exhibit BOTH — the support-counting core of association-rule mining
+    (market-basket over behavior types; lift/confidence derive from this
+    table plus the unary counts in ``events_type_pivot``).
+
+    Scale: distinct (user, type) first — the stream collapses to at most
+    |users| x |types| rows — then a self-equi-join on user_id (both sides
+    hash-partition on the same key) and a |types|²-bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    a = u.select("user_id", F.col("event_type").alias("t1"))
+    b = u.select("user_id", F.col("event_type").alias("t2"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -2111,3 +2111,42 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nearby_purchases", F.lit(0)).alias("nearby_purchases"),
         )
     )
+
+
+@query(
+    "winsorize_event_values",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             ROUND(QUANTILE_CONT(value, 0.05), 6) AS lo,
+             ROUND(QUANTILE_CONT(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp each event's measure into its event
+    type's [p5, p95] band — the standard outlier-robust pre-aggregation
+    treatment (metric pipelines winsorize before averaging so one bot
+    session can't move the mean).  Clamp bounds are the ROUNDED exact
+    percentiles on both engines, so the comparison is knife-edge-free.
+
+    Scale: one |types|-group exact-percentile aggregate (t-digest
+    ``approx_percentile`` is the 100 TB drop-in, same plan shape), then the
+    tiny bounds table broadcasts back onto a map-only clamp projection —
+    the fact stream never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    return e.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6).alias(
+            "value_w"
+        ),
+    )

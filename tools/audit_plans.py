@@ -40,6 +40,7 @@ ALLOW_CROSS = {
     "corpus_datasheet",      # 1-row corpus-totals broadcast
     "semdedup_kmeans",       # k-row centroid broadcast via the kmeans trainer
     "psi_drift_report",      # 1-row population-totals broadcast
+    "triangle_count_cooccur",  # 1-row x 1-row x 1-row stat-combine broadcast
 }
 
 
