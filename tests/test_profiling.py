@@ -1,0 +1,253 @@
+"""Behavioral invariants for plans/profiling.py (round-5b ops).
+
+Value-level cross-engine equality is covered by tools/check_oracle.py;
+these pin the semantic contracts a hash comparison can't express —
+Bloom's no-false-negative guarantee, PCA's variance-maximizing direction,
+MAD's robustness to the outliers it flags, etc.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def test_bloom_probe_never_false_negative(spark):
+    df = QUERIES["bloom_filter_probe"](spark, SF_SMOKE)
+    # the defining Bloom guarantee: exact member => bloom member
+    misses = df.filter(F.col("exact_member") & ~F.col("bloom_member")).count()
+    assert misses == 0
+    # n_hit is bounded by k
+    assert df.agg(F.max("n_hit")).collect()[0][0] <= 4
+    assert df.agg(F.min("n_hit")).collect()[0][0] >= 0
+
+
+def test_bloom_probe_covers_every_delta_doc(spark):
+    df = QUERIES["bloom_filter_probe"](spark, SF_SMOKE)
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_delta = docs.filter(F.col("doc_id") % 10 == 7).count()
+    assert df.count() == n_delta
+    assert df.select("doc_id").distinct().count() == n_delta
+
+
+# ------------------------------------------------------- duplicated spans
+
+
+def test_dup_ngram_spans_literal_frame(spark):
+    # doc 1 and 2 share one 8-gram ("a b c d e f g h"); doc 3 is unique.
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " tail1 x y z"),
+        (2, "head1 " + shared),
+        (3, "q w e r t u i o p"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in _dup_spans_on(spark, df).collect()}
+    # doc1: positions 1..8 covered (8 of 12 tokens)
+    assert out[1].n_dup_pos == 8 and out[1].n_toks == 12
+    # doc2: the shared gram starts at position 2 -> 8 of 9 covered
+    assert out[2].n_dup_pos == 8 and out[2].n_toks == 9
+    # doc3: nothing repeated corpus-wide
+    assert out[3].n_dup_pos == 0
+    assert abs(out[1].dup_frac - round(8 / 12, 6)) < 1e-9
+
+
+def _dup_spans_on(spark, docs_df):
+    """Run the dup_ngram_spans plan body against a literal documents frame."""
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    name = "___dup_span_lit"
+    docs_df.createOrReplaceTempView(name)
+    orig = P.load_table
+    try:
+        P.load_table = lambda s, d, t: s.table(name)
+        return P.dup_ngram_spans(spark, "ignored")
+    finally:
+        P.load_table = orig
+
+
+# ------------------------------------------------------------- entropy
+
+
+def test_token_entropy_extremes(spark):
+    rows = [(1, "x x x x x x x x"), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.sources.tables as tables
+
+    df.createOrReplaceTempView("___ent_lit")
+    orig = P.load_table
+    try:
+        P.load_table = lambda s, d, t: s.table("___ent_lit")
+        out = {r.doc_id: r for r in P.token_entropy_filter(spark, "x").collect()}
+    finally:
+        P.load_table = orig
+    assert out[1].entropy_bits == 0.0 and out[1].low_entropy
+    assert abs(out[2].entropy_bits - 3.0) < 1e-9 and not out[2].low_entropy
+
+
+# ---------------------------------------------------------------- zipf
+
+
+def test_zipf_fit_recovers_exact_powerlaw(spark):
+    # build a corpus whose token counts are exactly n_r = 2^(10-r') so the
+    # log-log points are perfectly collinear: slope = -ln 2 per ln-rank unit
+    # is NOT linear in ln(rank) — instead craft counts n_r = C / r so the
+    # fit is exactly -1.
+    toks = []
+    C = 2520  # lcm(1..10): C/r integral for every r, counts exactly ∝ 1/r
+    for r in range(1, 11):
+        toks += [f"w{r:02d}"] * (C // r)
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___zipf_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___zipf_lit")
+        row = P.zipf_slope_fit(spark, "x").collect()[0]
+    finally:
+        P.load_table = orig
+    assert row.n_terms == 10
+    assert abs(row.slope - (-1.0)) < 1e-6
+
+
+# ----------------------------------------------------------------- PCA
+
+
+def test_pca_power_iteration_unit_norm_and_dominant_axis(spark):
+    row = QUERIES["pca_power_iteration"](spark, SF_SMOKE).collect()
+    assert len(row) == 64
+    nrm = math.sqrt(sum(r.loading**2 for r in row))
+    assert abs(nrm - 1.0) < 1e-3  # rounded loadings, unit up to rounding
+    assert all(r.eigval_est == row[0].eigval_est for r in row)
+    assert row[0].eigval_est > 0
+
+
+def test_pca_recovers_planted_direction(spark):
+    # synthetic cloud stretched along dim 1 (index 0): variance 100 vs 1
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 10 if j == 0 else 1) for j in range(64)], 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___pca_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___pca_lit")
+        out = P.pca_power_iteration(spark, "x").collect()
+    finally:
+        P.load_table = orig
+    by_dim = {r.dim: abs(r.loading) for r in out}
+    assert by_dim[1] > 0.9  # dominant axis found
+    assert all(v < 0.3 for d, v in by_dim.items() if d != 1)
+
+
+# ------------------------------------------------------------ assoc rules
+
+
+def test_assoc_rules_identities(spark):
+    rows = QUERIES["assoc_rules_confidence"](spark, SF_SMOKE).collect()
+    assert rows, "expected rules above min-support"
+    for r in rows:
+        assert 0 < r.confidence <= 1
+        assert r.n_ab <= r.n_ante and r.n_ab <= r.n_cons
+        # lift symmetry: lift(a->b) == lift(b->a)
+    lifts = {(r.antecedent, r.consequent): r.lift for r in rows}
+    for (a, b), v in lifts.items():
+        if (b, a) in lifts:
+            assert abs(v - lifts[(b, a)]) < 1e-9
+
+
+# --------------------------------------------------------------- histogram
+
+
+def test_equidepth_bins_are_balanced_and_ordered(spark):
+    rows = sorted(
+        QUERIES["equidepth_histogram"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    assert len(rows) == 10
+    counts = [r.n_orders for r in rows]
+    assert max(counts) - min(counts) <= 1  # equi-depth
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # bins partition the axis in order
+
+
+# --------------------------------------------------------------------- MAD
+
+
+def test_mad_is_robust_to_planted_outliers(spark):
+    # 99 inliers at value ~10, 5 extreme outliers: MAD threshold must flag
+    # exactly the outliers, while remaining itself small
+    rows = [(i, "t", 10.0 + (i % 7) * 0.1) for i in range(99)]
+    rows += [(100 + i, "t", 1e6) for i in range(5)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___mad_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___mad_lit")
+        out = P.mad_robust_outliers(spark, "x").collect()[0]
+    finally:
+        P.load_table = orig
+    assert out.n == 104
+    assert out.n_outliers == 5
+    assert out.mad < 1  # threshold unpolluted by the 1e6 values
+
+
+# --------------------------------------------------------------------- ABC
+
+
+def test_abc_classes_are_contiguous_and_ordered(spark):
+    rows = sorted(
+        QUERIES["abc_pareto_classification"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.rk,
+    )
+    classes = [r.abc_class for r in rows]
+    # A block, then B block, then C block — no interleaving
+    assert classes == sorted(classes)
+    assert classes[0] == "A" and classes[-1] == "C"
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+# --------------------------------------------------------------------- RFM
+
+
+def test_rfm_quartiles_and_segment_code(spark):
+    df = QUERIES["rfm_segmentation"](spark, SF_SMOKE)
+    rows = df.collect()
+    for col in ("r_q", "f_q", "m_q"):
+        qs = df.groupBy(col).count().collect()
+        vals = {r[col] for r in qs}
+        assert vals == {1, 2, 3, 4}
+        counts = [r["count"] for r in qs]
+        assert max(counts) - min(counts) <= 1
+    for r in rows:
+        assert r.segment == f"{r.r_q}{r.f_q}{r.m_q}"
+    # best recency quartile really is more recent than the worst
+    import statistics
+
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.r_q, []).append(r.recency_days)
+    assert statistics.mean(by_q[1]) < statistics.mean(by_q[4])

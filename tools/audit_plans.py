@@ -41,6 +41,9 @@ ALLOW_CROSS = {
     "semdedup_kmeans",       # k-row centroid broadcast via the kmeans trainer
     "psi_drift_report",      # 1-row population-totals broadcast
     "triangle_count_cooccur",  # 1-row x 1-row x 1-row stat-combine broadcast
+    "assoc_rules_confidence",  # 1-row distinct-user-count broadcast (lift denominator)
+    "pca_power_iteration",   # 1-row norm broadcast per unrolled iteration (d-row v table is an equi-join)
+    "rfm_segmentation",      # 1-row anchor-date (max order date) broadcast
 }
 
 
