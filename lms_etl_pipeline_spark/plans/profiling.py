@@ -56,10 +56,13 @@ from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.functions.numeric import dec_sum
 from lms_etl_pipeline_spark.plans.catalog import query
-from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _bucket
+from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _G3, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS, EMB_DIM
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.sources.tables import load_table
+
+#: DuckDB twin of tx.fingerprint (md5 of the sorted distinct-token set).
+_FP_SQL = f"MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_TOKS})), ' '))"
 
 #: delta-batch convention shared with corpus_ml (doc_id % 10 == 7 = newest).
 _BATCH_MOD = 7
@@ -911,4 +914,303 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_q",
         "m_q",
         F.concat("r_q", "f_q", "m_q").alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplicate overlap matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH fp AS (SELECT DISTINCT source, {_FP_SQL} AS f FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    exact-duplicate content fingerprints they share — the signal that tells
+    a curation team two crawls/feeds are mirroring each other (and that
+    per-source dedup alone is insufficient).  Uses the same content
+    fingerprint as ``dedup_fingerprint``, so the matrix is the pairwise
+    roll-up of those duplicate groups.
+
+    Scale: the distinct (source, fingerprint) projection collapses the
+    corpus before any join; the self-join is an EQUI-join on the
+    fingerprint (uniform 128-bit key, no skew); output is bounded by
+    |sources|².  A fingerprint shared by s sources contributes C(s,2)
+    pairs — bounded by the square of the replication factor, not corpus
+    size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source", tx.fingerprint("text").alias("f")
+    ).distinct()
+    a = fp.select(F.col("source").alias("src_a"), "f")
+    b = fp.select(F.col("source").alias("src_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size histogram (count-of-counts over dup groups)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH g AS (SELECT {_FP_SQL} AS f, COUNT(*) AS sz FROM documents GROUP BY 1)
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+    FROM g GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of exact-duplicate groups (count-of-counts over
+    content fingerprints) with the per-size removable-row count — the
+    one-page answer to "how much does dedup save us, and is it a few huge
+    clusters or a long tail?"  ``n_removable = n_docs - n_clusters`` is the
+    rows a keep-one-per-cluster pass deletes.
+
+    Scale: two map-side-combining hash aggregates (fingerprint, then
+    size) — the second input is already collapsed to one row per distinct
+    fingerprint; no joins, no windows.  The same shape as TPC-H Q13's
+    count-of-counts, pointed at the dedup ledger.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(tx.fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.count("*").alias("sz"))
+    )
+    return g.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).cast("bigint").alias("n_removable"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (hour-of-day) profile + residuals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_seasonal_profile",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             EXTRACT(HOUR FROM ts) AS hod
+      FROM events),
+    prof AS (
+      SELECT event_type, hod,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                 AS raw_mean
+      FROM e GROUP BY event_type, hod)
+    SELECT e.event_id, e.event_type, CAST(e.hod AS BIGINT) AS hod, e.value,
+           ROUND(p.raw_mean, 6) AS seasonal_mean,
+           ROUND(e.value - ROUND(p.raw_mean, 6), 6) AS residual
+    FROM e JOIN prof p USING (event_type, hod)
+    """,
+)
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, additive hour-of-day model: per (event_type,
+    hour) seasonal mean and per-event residual value − seasonal(type, hour)
+    — the de-seasonalization step before any anomaly threshold is applied
+    to diurnal metrics (the calendar twin of ``events_rolling_anomaly``'s
+    rolling window).
+
+    Determinism: the seasonal mean is an exact DECIMAL sum / count rounded
+    at scale 6 BEFORE the residual subtraction, so residuals are identical
+    doubles on both engines.
+
+    Scale: one map-side-combining aggregate on the bounded
+    (type × 24-hour) key, broadcast back onto the events in a map-only
+    join — events are scanned twice, shuffled never.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type", "value", F.hour("ts").alias("hod")
+    )
+    prof = e.groupBy("event_type", "hod").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("seasonal_mean")
+    )
+    return e.join(F.broadcast(prof), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        F.col("hod").cast("bigint").alias("hod"),
+        "value",
+        "seasonal_mean",
+        F.round(F.col("value") - F.col("seasonal_mean"), 6).alias("residual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source quantile normalization of a score column
+# --------------------------------------------------------------------------
+
+
+@query(
+    "score_quantile_normalize",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) AS pr
+    FROM documents
+    """,
+)
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a per-document score WITHIN each
+    source: PERCENT_RANK over (source, score) — the transform that makes
+    quality scores comparable ACROSS sources whose raw score scales differ
+    (a prerequisite for any global quality threshold on a mixed corpus;
+    CCNet normalizes per-language the same way).
+
+    Determinism: PERCENT_RANK over a deterministic total order (score,
+    doc_id) is exact rational (rank-1)/(n-1) — the single emitted double
+    is rounded.
+
+    Scale: one window partitioned BY THE NORMALIZATION KEY (source) —
+    a single shuffle on a bounded-cardinality key; no global ordering.
+    Skewed mega-sources sort within their partition only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-distribution-matching resample
+# --------------------------------------------------------------------------
+
+_MATCH_BINS = 10
+
+
+@query(
+    "length_match_resample",
+    oracle=f"""
+    WITH binned AS (
+      SELECT doc_id, source,
+             NTILE({_MATCH_BINS}) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents),
+    src_n AS (SELECT source, COUNT(*) AS ns FROM binned GROUP BY source),
+    ranked AS (
+      SELECT b.doc_id, b.source, b.decile, s.ns,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.source, b.decile
+               ORDER BY {_BUCKET_SQL.format(c="b.doc_id")}, b.doc_id) AS rk
+      FROM binned b JOIN src_n s USING (source))
+    SELECT doc_id, source, decile
+    FROM ranked
+    WHERE rk * {_MATCH_BINS} <= ns + {_MATCH_BINS} - 1
+    """,
+)
+def length_match_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching resample: cap every source's contribution to
+    each corpus-wide length decile at ceil(|source| / {10}) documents,
+    chosen in deterministic hash order — flattening each source's length
+    profile toward the corpus deciles (the covariate-balancing trick used
+    when one feed is all-tweets and another all-books).  The keep rule
+    ``rk·B ≤ ns+B-1`` is exact-integer ceil(ns/B) — no float rates, no
+    seeded sampling, retry-safe.
+
+    Scale: the decile assignment is a global NTILE over (length, id) —
+    profile-sized here; at 100 TB swap in approx_percentile bin edges
+    (the documented ``equidepth_histogram`` scale path).  Everything else
+    is one aggregate + one window partitioned by (source, decile) — the
+    selection key itself, so skew self-heals at the rank filter exactly
+    like ``domain_cap_filter``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nt = Window.orderBy("n_chars", "doc_id")
+    binned = d.select(
+        "doc_id", "source", F.ntile(_MATCH_BINS).over(nt).alias("decile")
+    )
+    src_n = binned.groupBy("source").agg(F.count("*").alias("ns"))
+    w = Window.partitionBy("source", "decile").orderBy(
+        _bucket(F.col("doc_id")), "doc_id"
+    )
+    return (
+        binned.join(F.broadcast(src_n), "source")
+        .select(
+            "doc_id", "source", "decile", "ns",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") * _MATCH_BINS <= F.col("ns") + (_MATCH_BINS - 1))
+        .select("doc_id", "source", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty rate (corpus redundancy growth curve)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_G3} AS g FROM documents),
+    sh AS (SELECT doc_id, UNNEST(g) AS s FROM t),
+    first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc < sh.doc_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc < sh.doc_id THEN 0 ELSE 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM sh JOIN first_seen f USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    3-gram shingles whose FIRST corpus occurrence (by doc_id order) is this
+    document — the redundancy-growth curve data engineers plot to decide
+    when additional crawl of a source stops adding information (novelty
+    decays toward 0 as a source saturates).
+
+    Scale: one explode to (doc, shingle), a map-side-combining MIN per
+    shingle (term-keyed, uniform), and an equi-join back on the shingle —
+    the same linear inverted-index shape as the dedup family; no pairwise
+    comparisons anywhere.  Streaming twin: keep ``first_seen`` as the
+    persisted state store and the novelty of each new batch is
+    batch-sized work (the ``incremental_corpus_dedup`` posture).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles(tx.tokens("text"), 3))).alias("s"),
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") < F.col("doc_id"), 0).otherwise(1)
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
     )

@@ -251,3 +251,100 @@ def test_rfm_quartiles_and_segment_code(spark):
     for r in rows:
         by_q.setdefault(r.r_q, []).append(r.recency_days)
     assert statistics.mean(by_q[1]) < statistics.mean(by_q[4])
+
+
+# ------------------------------------------------- cross-source overlap
+
+
+def test_source_overlap_matrix_symmetric_canonical(spark):
+    rows = QUERIES["source_overlap_matrix"](spark, SF_SMOKE).collect()
+    assert rows, "fixtures plant cross-source duplicates"
+    for r in rows:
+        assert r.src_a < r.src_b  # canonical direction only, no diagonal
+        assert r.n_shared_fp >= 1
+
+
+def test_cluster_size_histogram_accounts_for_all_docs(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = QUERIES["dedup_cluster_size_histogram"](spark, SF_SMOKE).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == r.n_docs - r.n_clusters
+
+
+# ------------------------------------------------------ seasonal profile
+
+
+def test_seasonal_residuals_center_per_cell(spark):
+    df = QUERIES["timeseries_seasonal_profile"](spark, SF_SMOKE)
+    # residuals sum to ~0 within every (type, hour) cell by construction
+    worst = (
+        df.groupBy("event_type", "hod")
+        .agg(F.abs(F.sum("residual")).alias("s"), F.count("*").alias("n"))
+        .agg(F.max(F.col("s") / F.col("n")))
+        .collect()[0][0]
+    )
+    assert worst < 1e-3  # mean residual per cell ~ rounding noise only
+
+
+# ------------------------------------------------- quantile normalization
+
+
+def test_quantile_normalize_range_and_monotone(spark):
+    df = QUERIES["score_quantile_normalize"](spark, SF_SMOKE)
+    mm = df.agg(F.min("pr"), F.max("pr")).collect()[0]
+    assert mm[0] == 0.0 and mm[1] == 1.0
+    # within a source, pr must be monotone in (n_chars, doc_id) order
+    rows = sorted(
+        df.filter(F.col("source") == "src0").collect(),
+        key=lambda r: (r.n_chars, r.doc_id),
+    )
+    prs = [r.pr for r in rows]
+    assert prs == sorted(prs)
+
+
+# --------------------------------------------------- length-match resample
+
+
+def test_length_match_caps_per_cell(spark):
+    import math
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    df = QUERIES["length_match_resample"](spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src_n = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    cells = df.groupBy("source", "decile").count().collect()
+    for c in cells:
+        assert c["count"] <= math.ceil(src_n[c.source] / 10)
+    # idempotent-deterministic: re-running yields the identical selection
+    a = {(r.doc_id) for r in df.collect()}
+    b = {(r.doc_id) for r in QUERIES["length_match_resample"](spark, SF_SMOKE).collect()}
+    assert a == b
+
+
+# --------------------------------------------------------- novelty rate
+
+
+def test_novelty_first_doc_is_fully_novel_and_dup_is_not(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # exact dup of doc 1
+        (3, "zeta eta theta iota kappa"),        # all-new content
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___nov_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___nov_lit")
+        out = {r.doc_id: r for r in P.ngram_novelty_rate(spark, "x").collect()}
+    finally:
+        P.load_table = orig
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
