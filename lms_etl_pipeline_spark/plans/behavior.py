@@ -1,0 +1,349 @@
+"""Behavioral / recommender analytics plans (round 5b widening).
+
+Four composites product-analytics and recommendation teams run daily that
+were not yet first-class:
+
+- **item-item collaborative filtering** (``item_cooccurrence_cf``) — parts
+  scored similar by customer co-purchase cosine, top-k per item: the
+  classic "customers who bought X also bought" candidate generator
+  (Amazon-style item-based CF over binary incidence vectors);
+- **Markov transition matrix** (``event_transition_matrix``) — per-user
+  event-type transition counts + row-normalized probabilities: the
+  behavioral flow map behind path analysis and next-action prediction;
+- **cohort LTV curve** (``cohort_ltv_curve``) — cumulative purchase value
+  by acquisition cohort and day offset, with per-user LTV: the
+  growth-finance twin of the retention triangle;
+- **funnel time-to-convert** (``funnel_time_to_convert``) — per-user
+  stage-gap durations for the strict view→click→purchase funnel, in exact
+  epoch-microsecond integers.
+
+Reference parity note: the reference (`/root/reference/src/lms_to_s3_lambda.py`,
+`src/s3_to_rds_lambda.py`) is a 2-file pandas ETL with no analytics layer;
+these extend the driver-mandated SURVEY.md §2.12 engine surface.
+
+Determinism: counts/durations are exact integers, money goes through
+exact DECIMAL sums (``functions/numeric.py``), emitted ratios are single
+rounded double divisions of identical exact operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+_CF_BASKET_CAP = 50   # drop power-customers above this many distinct parts
+_CF_MIN_COOC = 3      # minimum co-purchase support for a candidate pair
+_CF_TOPK = 5
+
+
+@query(
+    "item_cooccurrence_cf",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    sz AS (SELECT o_custkey, COUNT(*) AS basket FROM cp GROUP BY o_custkey),
+    kept AS (
+      SELECT cp.o_custkey, cp.l_partkey FROM cp
+      JOIN sz ON sz.o_custkey = cp.o_custkey AND sz.basket <= {_CF_BASKET_CAP}),
+    item_n AS (SELECT l_partkey, COUNT(*) AS n FROM kept GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+      FROM kept a JOIN kept b
+        ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_CF_MIN_COOC}),
+    directed AS (
+      SELECT p1 AS item, p2 AS other, n_ab FROM pairs
+      UNION ALL SELECT p2, p1, n_ab FROM pairs),
+    scored AS (
+      SELECT d.item, d.other, CAST(d.n_ab AS BIGINT) AS n_ab,
+             ROUND(CAST(d.n_ab AS DOUBLE) / SQRT(CAST(na.n AS DOUBLE) * nb.n), 6)
+                 AS cosine
+      FROM directed d
+      JOIN item_n na ON na.l_partkey = d.item
+      JOIN item_n nb ON nb.l_partkey = d.other),
+    ranked AS (
+      SELECT item, other, n_ab, cosine,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY cosine DESC, other) AS rk
+      FROM scored)
+    SELECT item, other, n_ab, cosine, rk FROM ranked WHERE rk <= {_CF_TOPK}
+    """,
+)
+def item_cooccurrence_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering: for every part, the top-{5}
+    most-similar parts by customer co-purchase cosine
+    n_ab / sqrt(n_a·n_b) over binary customer-incidence vectors — the
+    "customers who bought X also bought" candidate generator
+    (Linden et al. 2003, item-to-item CF).
+
+    Scale: pairing is an EQUI-join of baskets on the customer key, so work
+    is Σ basket², not catalog²; the basket cap (≤ {50} distinct parts,
+    power-customers dropped — the standard CF hygiene rule, documented
+    semantics not an approximation) makes per-key work O(cap²)-bounded so
+    no customer can quadratically dominate a partition.  Min-support
+    prunes the pair table before the similarity join; per-item top-k is a
+    window on the ITEM key.  The item_n side joins are broadcastable
+    (catalog-sized).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    sz = cp.groupBy("o_custkey").agg(F.count("*").alias("basket"))
+    kept = cp.join(
+        sz.filter(F.col("basket") <= _CF_BASKET_CAP).select("o_custkey"),
+        "o_custkey",
+    )
+    item_n = kept.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = kept.select("o_custkey", F.col("l_partkey").alias("p1"))
+    b = kept.select("o_custkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o_custkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _CF_MIN_COOC)
+    )
+    directed = pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("other"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("item"), F.col("p1").alias("other"), "n_ab"
+        )
+    )
+    na = item_n.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("other"), F.col("n").alias("nb"))
+    scored = (
+        directed.join(F.broadcast(na), "item")
+        .join(F.broadcast(nb), "other")
+        .select(
+            "item",
+            "other",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), "other")
+    return scored.select(
+        "item", "other", "n_ab", "cosine", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _CF_TOPK)
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+    totals AS (SELECT prev_type, SUM(n) AS row_n FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           ROUND(CAST(t.n AS DOUBLE) / tt.row_n, 6) AS p
+    FROM trans t JOIN totals tt USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    ordered (previous event type → next event type) pair, the transition
+    count and row-normalized probability — the behavioral flow map behind
+    path analysis, "next best action" features, and anomaly detection on
+    session shape.
+
+    Determinism: the sequence order is (ts, event_id) — a total order —
+    so LAG is deterministic; counts exact; p is one rounded division.
+
+    Scale: one window partitioned on user_id (the natural event-stream
+    partitioning — single shuffle), a map-side-combining count on the
+    bounded |types|² key space, and a broadcast row-total join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    csize AS (SELECT cohort_day, COUNT(*) AS cohort_users
+              FROM f GROUP BY cohort_day),
+    pur AS (
+      SELECT f.cohort_day,
+             DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             COUNT(*) AS n_purchases,
+             SUM(CAST(e.value AS DECIMAL(18,6))) AS rev_dec
+      FROM events e JOIN f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_day, day_offset, n_purchases,
+             SUM(rev_dec) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                                ROWS UNBOUNDED PRECEDING) AS cum_dec,
+             rev_dec
+      FROM pur)
+    SELECT c.cohort_day, CAST(c.day_offset AS BIGINT) AS day_offset,
+           CAST(c.n_purchases AS BIGINT) AS n_purchases,
+           CAST(ROUND(c.rev_dec, 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(c.cum_dec, 4) AS DOUBLE) AS cum_revenue,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           ROUND(CAST(ROUND(c.cum_dec, 4) AS DOUBLE) / s.cohort_users, 6)
+               AS ltv_per_user
+    FROM cum c JOIN csize s USING (cohort_day)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users bucketed by first-activity day,
+    then per (cohort, day-offset) purchase count, revenue, running
+    cumulative revenue, and cumulative LTV per cohort member — the
+    growth-finance table payback-period decisions read from (the money
+    twin of ``retention_cohorts``).
+
+    Determinism: revenue is summed in exact DECIMAL, the running total is
+    a window over the exact decimal, and both are rounded once at scale 4
+    before the double cast; ltv divides that identical double by an exact
+    integer.
+
+    Scale: cohort assignment is one user-keyed min-aggregate joined back
+    on the same key (partitioning reused); the curve aggregate is keyed by
+    (cohort_day, offset) — bounded by days², not events; the running sum
+    windows over the CURVE table (report-sized), not the event stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    csize = f.groupBy("cohort_day").agg(F.count("*").alias("cohort_users"))
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), "cohort_day").alias("day_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("rev_dec"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pur.select(
+        "cohort_day",
+        "day_offset",
+        "n_purchases",
+        "rev_dec",
+        F.sum("rev_dec").over(w).alias("cum_dec"),
+    )
+    return cum.join(F.broadcast(csize), "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        F.round("rev_dec", 4).cast("double").alias("revenue"),
+        F.round("cum_dec", 4).cast("double").alias("cum_revenue"),
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.round(
+            F.round("cum_dec", 4).cast("double") / F.col("cohort_users"), 6
+        ).alias("ltv_per_user"),
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT p.user_id,
+           EPOCH_US(c.t2) - EPOCH_US(v.t1) AS us_view_to_click,
+           EPOCH_US(p.t3) - EPOCH_US(c.t2) AS us_click_to_purchase,
+           EPOCH_US(p.t3) - EPOCH_US(v.t1) AS us_total
+    FROM p JOIN c ON c.user_id = p.user_id JOIN v ON v.user_id = p.user_id
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for full-funnel users: per user completing the
+    strict view→click→purchase sequence, the stage-gap durations in exact
+    epoch microseconds — the latency distribution behind "how long does
+    conversion take" and funnel-SLA dashboards (detail-table complement of
+    ``funnel_conversion``'s stage counts).
+
+    Determinism: all columns are integer microsecond differences of
+    exact MIN timestamps — no floats anywhere.
+
+    Scale: identical chained user-keyed aggregate shape as
+    ``funnel_conversion`` (one partitioning reused end-to-end); the final
+    three-way join is on the same user key and frames only shrink.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        p.join(c, "user_id")
+        .join(v, "user_id")
+        .select(
+            "user_id",
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias(
+                "us_view_to_click"
+            ),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias(
+                "us_click_to_purchase"
+            ),
+            (F.unix_micros("t3") - F.unix_micros("t1")).alias("us_total"),
+        )
+    )

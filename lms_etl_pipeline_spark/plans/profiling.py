@@ -1214,3 +1214,67 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostic
+# --------------------------------------------------------------------------
+
+_SKEW_TOPN = 20
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+    WITH k AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys FROM k),
+    top AS (
+      SELECT l_orderkey, n, ROW_NUMBER() OVER (ORDER BY n DESC, l_orderkey)
+                 AS rk
+      FROM k ORDER BY n DESC, l_orderkey LIMIT {_SKEW_TOPN})
+    SELECT t.l_orderkey, CAST(t.n AS BIGINT) AS n, t.rk,
+           tot.total, tot.n_keys,
+           ROUND(CAST(t.n AS DOUBLE) / tot.total, 6) AS share
+    FROM top t, tot
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the top-{20} heaviest l_orderkey values
+    with their row share of the table, plus total rows and distinct-key
+    count — the pre-join audit that decides whether a key needs salting
+    (``operators/skew.py``) or AQE skew-join before the shuffle is paid.
+    A healthy uniform key shows share ≈ total/n_keys/total; a hot key
+    shows up immediately.
+
+    Scale: one map-side-combining count per key, a top-{20}
+    TakeOrderedAndProject (never a global sort), and a 1-row totals
+    broadcast — the diagnostic costs one linear scan regardless of table
+    size, which is the point: it must be cheap enough to run BEFORE every
+    expensive join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    top = (
+        k.orderBy(F.col("n").desc(), "l_orderkey")
+        .limit(_SKEW_TOPN)
+        .select(
+            "l_orderkey",
+            F.col("n").cast("bigint").alias("n"),
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "l_orderkey"))
+            .alias("rk"),
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "l_orderkey",
+        "n",
+        "rk",
+        "total",
+        "n_keys",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )

@@ -44,6 +44,7 @@ ALLOW_CROSS = {
     "assoc_rules_confidence",  # 1-row distinct-user-count broadcast (lift denominator)
     "pca_power_iteration",   # 1-row norm broadcast per unrolled iteration (d-row v table is an equi-join)
     "rfm_segmentation",      # 1-row anchor-date (max order date) broadcast
+    "key_skew_profile",      # 1-row totals (row count, n_keys) broadcast
 }
 
 
