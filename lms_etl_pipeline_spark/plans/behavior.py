@@ -347,3 +347,100 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("t3") - F.unix_micros("t1")).alias("us_total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (2 unrolled iterations)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hits_hubs_authorities",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    a1 AS (SELECT dst AS node, CAST(COUNT(*) AS DOUBLE) AS a FROM edges
+           GROUP BY dst),
+    a1n AS (SELECT node, a / (SELECT SUM(CAST(a AS DECIMAL(38,12))) FROM a1)
+                AS a FROM a1),
+    h1 AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(a1n.a AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM edges e JOIN a1n ON a1n.node = e.dst GROUP BY e.src),
+    h1n AS (SELECT node, h / (SELECT CAST(SUM(CAST(h AS DECIMAL(38,12)))
+                                     AS DOUBLE) FROM h1) AS h FROM h1),
+    a2 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(h1n.h AS DECIMAL(38,12))) AS DOUBLE) AS a
+      FROM edges e JOIN h1n ON h1n.node = e.src GROUP BY e.dst),
+    a2n AS (SELECT node, a / (SELECT CAST(SUM(CAST(a AS DECIMAL(38,12)))
+                                     AS DOUBLE) FROM a2) AS a FROM a2)
+    SELECT node, 'hub' AS role, ROUND(h, 8) AS score FROM h1n
+    UNION ALL
+    SELECT node, 'authority', ROUND(a, 8) FROM a2n
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities over the bipartite
+    customer→supplier order-flow graph, two unrolled iterations with L1
+    normalization: authority ← Σ hub over in-edges, hub ← Σ authority over
+    out-edges.  The mutually-reinforcing-centrality complement of
+    ``pagerank_graph`` (same edge table, different fixpoint) — the signal
+    web-curation stacks compute next to PageRank for spam/quality triage.
+
+    Determinism: iteration sums and the L1 normalizers are DECIMAL(38,12)-
+    cast (order-independent); each normalization is one double division of
+    identical operands; emitted scores rounded at scale 8.
+
+    Scale: one iteration = edges ⋈ scores equi-join on one endpoint +
+    map-side-combining sum on the other — edges partition once per
+    direction and iterations reuse it; normalizers are 1-row broadcasts.
+    Unrolled fixed iterations keep it a single declarative plan (the
+    open-ended variant would localCheckpoint per iteration like
+    ``operators/ml.py``).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    a1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("double").alias("a")
+    )
+    s_a1 = a1.agg(F.sum(F.col("a").cast("decimal(38,12)")).alias("s"))
+    a1n = a1.crossJoin(F.broadcast(s_a1)).select(
+        "node", (F.col("a") / F.col("s")).alias("a")
+    )
+    h1 = (
+        edges.join(a1n.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(dec(F.col("a")).alias("h"))
+    )
+    s_h1 = h1.agg(dec(F.col("h")).alias("s"))
+    h1n = h1.crossJoin(F.broadcast(s_h1)).select(
+        "node", (F.col("h") / F.col("s")).alias("h")
+    )
+    a2 = (
+        edges.join(h1n.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(dec(F.col("h")).alias("a"))
+    )
+    s_a2 = a2.agg(dec(F.col("a")).alias("s"))
+    a2n = a2.crossJoin(F.broadcast(s_a2)).select(
+        "node", (F.col("a") / F.col("s")).alias("a")
+    )
+    hubs = h1n.select(
+        "node", F.lit("hub").alias("role"), F.round("h", 8).alias("score")
+    )
+    auths = a2n.select(
+        "node", F.lit("authority").alias("role"), F.round("a", 8).alias("score")
+    )
+    return hubs.unionByName(auths)

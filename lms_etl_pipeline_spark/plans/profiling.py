@@ -1278,3 +1278,180 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection on the hourly event-rate series
+# --------------------------------------------------------------------------
+
+_CUSUM_H = 3.0  # alarm threshold in global-sigma units
+
+
+@query(
+    "cusum_changepoints",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT CAST(SUM(CAST(n_events AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n_events * n_events AS DECIMAL(28,4))) AS DOUBLE)
+                 AS s2,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM hourly),
+    params AS (
+      SELECT ROUND(s1 / m, 6) AS mu,
+             ROUND(SQRT((s2 - s1 * s1 / m) / (m - 1)), 6) AS sigma
+      FROM stats),
+    cusum AS (
+      SELECT h.hour, CAST(h.n_events AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(h.n_events - p.mu AS DECIMAL(28,6)))
+                        OVER (ORDER BY h.hour ROWS UNBOUNDED PRECEDING), 4)
+                  AS DOUBLE) AS s,
+             p.mu, p.sigma
+      FROM hourly h, params p)
+    SELECT hour, n_events, s AS cusum, mu, sigma,
+           ABS(s) > {_CUSUM_H} * sigma AS alarm
+    FROM cusum
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event-rate series: the
+    cumulative sum of deviations from the global mean rate, alarmed when
+    it drifts beyond {3}·sigma — the classic sequential drift detector
+    (Page 1954) that catches slow rate shifts a per-point z-score misses
+    (the level-shift complement of ``events_rolling_anomaly``).
+
+    Determinism: hourly counts are exact integers; mu/sigma are rounded at
+    scale 6 BEFORE the deviations, each deviation is one identical double
+    cast to DECIMAL(28,6), and the running sum is an exact decimal window
+    over a deterministic hour order — order-fixed on both engines; the
+    alarm compares the ROUNDed cusum against sigma-derived threshold built
+    from identical doubles.
+
+    Scale: events collapse to the HOURLY aggregate first (map-side
+    combining on the hour key); stats are a 1-row broadcast; the running
+    sum windows over the hour-count table (calendar-sized, not
+    event-sized).  For multi-year series, partition the window by
+    (series, year) with carried offsets — the documented two-stage
+    prefix-sum pattern.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events")
+    )
+    stats = hourly.agg(
+        F.sum(F.col("n_events").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum((F.col("n_events") * F.col("n_events")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("s2"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    params = stats.select(
+        F.round(F.col("s1") / F.col("m"), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m"))
+                / (F.col("m") - 1)
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    # ROUND in the DECIMAL domain, then one exact cast out: decimal→double
+    # conversion of a scale-4 value is a single exact-int divide on both
+    # engines, whereas rounding after the double cast can straddle a
+    # half-tie by one ulp across engines.
+    cusum = (
+        hourly.crossJoin(F.broadcast(params))
+        .select(
+            "hour",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("n_events") - F.col("mu")).cast("decimal(28,6)")
+                ).over(w),
+                4,
+            )
+            .cast("double")
+            .alias("s"),
+            "mu",
+            "sigma",
+        )
+    )
+    return cusum.select(
+        "hour",
+        "n_events",
+        F.col("s").alias("cusum"),
+        "mu",
+        "sigma",
+        (F.abs("s") > F.lit(_CUSUM_H) * F.col("sigma")).alias("alarm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Generic column profiler (df.describe as a first-class relational op)
+# --------------------------------------------------------------------------
+
+#: (column, numeric-projection SQL or None) — timestamps profile as epoch-µs.
+_PROFILE_COLS = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", None),
+    ("o_totalprice", "o_totalprice"),
+    ("o_orderdate", "EPOCH_US(o_orderdate)"),
+    ("o_orderpriority", None),
+)
+
+
+@query(
+    "table_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {f"CAST(MIN({num}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"}
+               AS min_num,
+           {f"CAST(MAX({num}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"}
+               AS max_num
+    FROM orders"""
+        for c, num in _PROFILE_COLS
+    ),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over the orders table: per column, row count, null
+    count, exact distinct count, and numeric min/max (timestamps as epoch
+    microseconds; free-text columns profile counts only) — the
+    data-profiling primitive behind catalog statistics, DQ baselines, and
+    schema-drift monitors, long-form so it unions across tables.
+
+    Scale: one scan; per-column aggregates are map-side combining and the
+    exact COUNT(DISTINCT) per column expands rows |cols|-fold in one
+    hash aggregate (Spark's multi-distinct expand) — at 100 TB swap exact
+    distinct for HLL (``agg_approx_count_distinct`` anchor) column by
+    column; min/max/null-counts stay exact either way.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c, num in _PROFILE_COLS:
+        # fixtures store TIMESTAMP_NTZ; session TZ is UTC, so the cast to
+        # TIMESTAMP reads the same wall-clock instant DuckDB's EPOCH_US sees
+        num_col = (
+            F.unix_micros(F.col(c).cast("timestamp")) if num and "EPOCH" in num
+            else (F.col(c).cast("double") if num else F.lit(None).cast("double"))
+        )
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.count("*") - F.count(c)).cast("bigint").alias("n_null"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(num_col).cast("double").alias("min_num"),
+                F.max(num_col).cast("double").alias("max_num"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

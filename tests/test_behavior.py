@@ -122,3 +122,21 @@ def test_key_skew_profile_shape(spark):
     assert all(r.total == total and r.n_keys == n_keys for r in rows)
     assert sum(r.share for r in rows) <= 1.0 + 1e-6
     assert abs(rows[0].share - round(rows[0].n / total, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_scores_normalized_and_role_split(spark):
+    df = QUERIES["hits_hubs_authorities"](spark, SF_SMOKE)
+    rows = df.collect()
+    hubs = [r for r in rows if r.role == "hub"]
+    auths = [r for r in rows if r.role == "authority"]
+    assert hubs and auths
+    # L1-normalized per role (rounded scores still sum to ~1)
+    assert abs(sum(r.score for r in hubs) - 1.0) < 1e-4
+    assert abs(sum(r.score for r in auths) - 1.0) < 1e-4
+    # bipartite: hubs are customers, authorities suppliers
+    assert all(r.node.startswith("c") for r in hubs)
+    assert all(r.node.startswith("s") for r in auths)
+    assert all(r.score >= 0 for r in rows)

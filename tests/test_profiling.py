@@ -348,3 +348,60 @@ def test_novelty_first_doc_is_fully_novel_and_dup_is_not(spark):
     assert out[1].novelty == 1.0
     assert out[2].novelty == 0.0
     assert out[3].novelty == 1.0
+
+
+# --------------------------------------------------------------- CUSUM
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    import datetime as dt
+
+    # 48 hours at rate 10, then 24 hours at rate 30: the cumulative sum
+    # must alarm after the shift and stay quiet well before it
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(72):
+        rate = 10 if h < 48 else 30
+        for k in range(rate):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=k), 1, "t", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___cusum_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___cusum_lit")
+        out = sorted(P.cusum_changepoints(spark, "x").collect(), key=lambda r: r.hour)
+    finally:
+        P.load_table = orig
+    assert len(out) == 72
+    # the changepoint estimate is the V-vertex of the cusum curve: with a
+    # global mean straddling both regimes, S_t decreases until the shift
+    # and increases after — argmin lands on the last pre-shift hour
+    vertex = min(out, key=lambda r: r.cusum)
+    assert vertex.hour.hour == 23 and (vertex.hour - out[0].hour).days == 1
+    assert any(r.alarm for r in out)            # the drift is alarmed
+    assert not out[0].alarm and not out[1].alarm  # but not from hour one
+    assert abs(out[-1].cusum) < 1e-6            # S_n returns to ~0 by design
+
+
+def test_table_profile_orders_matches_direct_aggregates(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = {r.col_name: r for r in QUERIES["table_profile_orders"](spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    n = o.count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n
+        assert 1 <= r.n_distinct <= n
+    assert rows["o_orderstatus"].min_num is None  # text columns: counts only
+    assert rows["o_totalprice"].min_num <= rows["o_totalprice"].max_num

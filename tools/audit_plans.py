@@ -45,6 +45,8 @@ ALLOW_CROSS = {
     "pca_power_iteration",   # 1-row norm broadcast per unrolled iteration (d-row v table is an equi-join)
     "rfm_segmentation",      # 1-row anchor-date (max order date) broadcast
     "key_skew_profile",      # 1-row totals (row count, n_keys) broadcast
+    "hits_hubs_authorities",  # 1-row L1-normalizer broadcast per iteration
+    "cusum_changepoints",    # 1-row (mu, sigma) broadcast onto the hourly series
 }
 
 
