@@ -37,19 +37,31 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` on the same key (NULLs when none).
+    """For each left row, attach the single nearest right row on the same
+    key: ``direction='backward'`` (default) takes the latest right row with
+    ``right_ts <= left_ts``; ``direction='forward'`` takes the EARLIEST
+    right row with ``right_ts >= left_ts`` (NULLs when none) — the same
+    two directions pandas ``merge_asof`` exposes.  Forward is the
+    "next scheduled event / next state change" lookup (time-to-next-action,
+    next-maintenance-window), backward the "latest state as of" lookup.
 
     ``value_cols`` are the right-side payload columns to carry (default:
     all non-key, non-ts right columns).  ``tolerance`` (an INTERVAL string,
-    e.g. ``'30 days'``) drops matches older than ``left_ts - tolerance`` —
-    the pandas ``merge_asof`` contract.  A payload column whose name
-    collides with a left column is emitted as ``{name}_right`` (pandas
-    ``merge_asof`` suffix behavior); payloads are aliased to ``__r_`` names
-    *at select time* so the schema-alignment NULL padding below can never
-    clobber them.
+    e.g. ``'30 days'``) drops matches farther than ``tolerance`` from
+    ``left_ts`` in the match direction — the pandas ``merge_asof``
+    contract.  A payload column whose name collides with a left column is
+    emitted as ``{name}_right`` (pandas ``merge_asof`` suffix behavior);
+    payloads are aliased to ``__r_`` names *at select time* so the
+    schema-alignment NULL padding below can never clobber them.
+
+    Both directions are the same union–sort–window idiom (one shuffle on
+    the key); forward simply scans the per-key timeline in DESCENDING
+    order so "last state seen" means "nearest future state".
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -84,10 +96,13 @@ def asof_join(
     unioned = r_tagged.unionByName(l_tagged)
 
     # state rows sort before probe rows at equal ts => a right row at
-    # exactly left_ts matches (<= semantics)
+    # exactly left_ts matches (<=/>= inclusive semantics in either direction)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__match_ts", F.last(F.when(F.col(_SIDE) == 0, F.col("__ts")), ignorenulls=True).over(w))
@@ -99,7 +114,11 @@ def asof_join(
 
     out = filled.filter(F.col(_SIDE) == 1)
     if tolerance is not None:
-        within = F.col("__match_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        within = (
+            F.col("__match_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("__match_ts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+        )
         for c in value_cols:
             out = out.withColumn(f"__r_{c}", F.when(within, F.col(f"__r_{c}")))
         out = out.withColumn("__match_ts", F.when(within, F.col("__match_ts")))

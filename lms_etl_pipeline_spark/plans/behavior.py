@@ -444,3 +444,118 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit("authority").alias("role"), F.round("a", 8).alias("score")
     )
     return hubs.unionByName(auths)
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join: time to next action
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_next_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS asof_ts, p.purchase_id
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the same user's EARLIEST
+    purchase at-or-after it — the "time to next action" primitive
+    (conversion-latency attribution, next-maintenance-window lookup),
+    completing the as-of family next to the backward
+    ``join_asof_last_click``.
+
+    Implementation is the same union–sort–window idiom
+    (``operators.temporal.asof_join``) scanning the per-key timeline
+    DESCENDING: one shuffle on user_id, no range-candidate explosion.
+    The right side is deduped on (key, ts) with MIN(event_id) so ties are
+    deterministic on both engines.
+    """
+    from lms_etl_pipeline_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_id"],
+        direction="forward",
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-D Pareto front (skyline)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pareto_front_2d",
+    oracle="""
+    WITH per_price AS (
+      SELECT o_totalprice, MAX(o_orderdate) AS dmax
+      FROM orders GROUP BY o_totalprice),
+    ranked AS (
+      SELECT o_totalprice, dmax,
+             MAX(dmax) OVER (ORDER BY o_totalprice
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS mprev
+      FROM per_price)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN ranked r ON r.o_totalprice = o.o_totalprice
+    WHERE NOT (COALESCE(r.mprev >= o.o_orderdate, FALSE)
+               OR r.dmax > o.o_orderdate)
+    """,
+)
+def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front (skyline operator): the non-dominated orders under
+    (minimize price, maximize recency) — an order is dominated if another
+    is at most as expensive AND at least as recent, strictly better in one.
+    The classic multi-criteria shortlist ("cheapest-and-freshest") that
+    SQL engines without a SKYLINE keyword express exactly this way.
+
+    Implementation: collapse to one row per distinct price (MAX date),
+    one running-max window over the price-ordered summary gives the best
+    date among STRICTLY cheaper rows, and dominance is two exact
+    comparisons — O(n log n) total, versus the naive quadratic
+    self-join.  Determinism: raw-value comparisons only, no arithmetic.
+
+    Scale: the window runs over the DISTINCT-PRICE summary, not the order
+    table; at 100 TB the summary is still value-domain-sized, and the
+    running max parallelizes with the documented two-stage prefix pattern
+    (per-range partials + offset join).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_price = o.groupBy("o_totalprice").agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    w = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_price.select(
+        "o_totalprice", "dmax", F.max("dmax").over(w).alias("mprev")
+    )
+    dominated = F.coalesce(
+        F.col("mprev") >= F.col("o_orderdate"), F.lit(False)
+    ) | (F.col("dmax") > F.col("o_orderdate"))
+    return (
+        o.join(ranked, "o_totalprice")
+        .filter(~dominated)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -1455,3 +1455,119 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Exactly-checkable SimHash near-dup pairs (md5 hash family)
+# --------------------------------------------------------------------------
+
+_SH_BITS = 16
+_SH_HAM = 2  # near-dup threshold; 3 blocks guarantee recall by pigeonhole
+
+_SH_H = "TRY_CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 15)) AS BIGINT)"
+_SH_SIG = " + ".join(
+    f"CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS)
+)
+_SH_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN ({_SH_H} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SH_BITS)
+)
+
+
+@query(
+    "simhash_exact_pairs",
+    oracle=f"""
+    WITH tok_t AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT({_TOKS})) AS tok FROM documents),
+    sums AS (
+      SELECT doc_id,
+             {_SH_SUMS}
+      FROM tok_t GROUP BY doc_id),
+    sig_t AS (SELECT doc_id, {_SH_SIG} AS sig FROM sums),
+    blocks AS (
+      SELECT doc_id, 0 AS blk, sig & 63 AS v FROM sig_t
+      UNION ALL SELECT doc_id, 1, (sig >> 6) & 31 FROM sig_t
+      UNION ALL SELECT doc_id, 2, (sig >> 11) & 31 FROM sig_t),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.v = r.v
+      WHERE l.doc_id < r.doc_id)
+    SELECT c.a, c.b,
+           CAST(BIT_COUNT(XOR(sa.sig, sb.sig)) AS BIGINT) AS hamming
+    FROM cands c
+    JOIN sig_t sa ON sa.doc_id = c.a
+    JOIN sig_t sb ON sb.doc_id = c.b
+    WHERE BIT_COUNT(XOR(sa.sig, sb.sig)) <= {_SH_HAM}
+    """,
+)
+def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs with an ENGINE-PORTABLE hash family:
+    {16}-bit signatures from per-token md5 bit votes (weight 1 per distinct
+    token), candidate pairs from 3-block banding (pigeonhole: any pair at
+    Hamming ≤ {2} shares a block — lossless recall), verified with
+    BIT_COUNT(XOR).  This is the exactly-differential-testable twin of the
+    xxhash64-based ``dedup_simhash`` (rows-only by hash family): same
+    algorithm, oracle-checkable end to end, so the SimHash family gets a
+    value-level anchor the way minhash has ``near_dup_pairs_lsh``.
+
+    Scale: signature build is one explode + a {16}-way conditional
+    map-side-combining sum per doc (one pass, no joins); candidate
+    generation is an EQUI-join on (block, value) — never all-pairs; the
+    verify join touches candidates only.  Identical posture to the LSH
+    band join, with a 3-block banding guarantee instead of probabilistic
+    recall.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("tok")
+    )
+    h = _bucket(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(_SH_BITS)
+            ],
+            F.lit(0),
+        ).alias("sig"),
+    )
+    blocks = (
+        sig.select("doc_id", F.lit(0).alias("blk"), F.col("sig").bitwiseAND(F.lit(63)).alias("v"))
+        .unionByName(
+            sig.select(
+                "doc_id",
+                F.lit(1).alias("blk"),
+                F.shiftright("sig", 6).bitwiseAND(F.lit(31)).alias("v"),
+            )
+        )
+        .unionByName(
+            sig.select(
+                "doc_id",
+                F.lit(2).alias("blk"),
+                F.shiftright("sig", 11).bitwiseAND(F.lit(31)).alias("v"),
+            )
+        )
+    )
+    l = blocks.select(F.col("doc_id").alias("a"), "blk", "v")
+    r = blocks.select(F.col("doc_id").alias("b"), "blk", "v")
+    cands = (
+        l.join(r, ["blk", "v"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .filter(ham <= _SH_HAM)
+        .select("a", "b", ham.cast("bigint").alias("hamming"))
+    )

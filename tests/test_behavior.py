@@ -140,3 +140,99 @@ def test_hits_scores_normalized_and_role_split(spark):
     assert all(r.node.startswith("c") for r in hubs)
     assert all(r.node.startswith("s") for r in auths)
     assert all(r.score >= 0 for r in rows)
+
+
+# ------------------------------------------------------- forward as-of
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from lms_etl_pipeline_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 3, 1)
+    left = spark.createDataFrame(
+        [(i, 1, base + dt.timedelta(minutes=7 * i)) for i in range(12)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1, base + dt.timedelta(minutes=11 * i)) for i in range(8)],
+        ["rid", "user_id", "ts"],
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["rid"], direction="forward",
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp[["ts", "rid"]], on="ts", direction="forward"
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(out["rid"].fillna(-1)) == list(exp["rid"].fillna(-1))
+    # inclusive: a right row at exactly left_ts matches itself
+    eq = out[out.event_id == 0].iloc[0]
+    assert eq.rid == 100
+
+
+def test_asof_forward_tolerance_bounds_lookahead(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from lms_etl_pipeline_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 3, 1)
+    left = spark.createDataFrame([(1, 1, base)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(9, 1, base + dt.timedelta(days=40))], ["rid", "user_id", "ts"]
+    )
+    near = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                     value_cols=["rid"], direction="forward").collect()[0]
+    far = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["rid"], direction="forward",
+                    tolerance="30 days").collect()[0]
+    assert near.rid == 9
+    assert far.rid is None  # beyond the 30-day lookahead window
+
+
+def test_join_asof_next_purchase_is_future_and_nearest(spark):
+    df = QUERIES["join_asof_next_purchase"](spark, SF_SMOKE)
+    rows = df.filter(F.col("purchase_id").isNotNull()).collect()
+    assert rows
+    for r in rows:
+        assert r.asof_ts >= r.ts  # strictly a FUTURE (or same-instant) match
+
+
+# ------------------------------------------------------------- skyline
+
+
+def test_pareto_front_is_mutually_non_dominated(spark):
+    rows = QUERIES["pareto_front_2d"](spark, SF_SMOKE).collect()
+    assert rows
+    pts = [(r.o_totalprice, r.o_orderdate) for r in rows]
+    for i, (p1, d1) in enumerate(pts):
+        for j, (p2, d2) in enumerate(pts):
+            if i != j:
+                dominates = (p2 <= p1 and d2 >= d1) and (p2 < p1 or d2 > d1)
+                assert not dominates
+
+
+def test_pareto_front_brute_force_equivalence(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    pts = [(r.o_orderkey, r.o_totalprice, r.o_orderdate) for r in orders]
+    expected = set()
+    for k1, p1, d1 in pts:
+        dominated = any(
+            (p2 <= p1 and d2 >= d1) and (p2 < p1 or d2 > d1)
+            for _, p2, d2 in pts
+        )
+        if not dominated:
+            expected.add(k1)
+    got = {r.o_orderkey for r in QUERIES["pareto_front_2d"](spark, SF_SMOKE).collect()}
+    assert got == expected

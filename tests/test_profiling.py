@@ -405,3 +405,27 @@ def test_table_profile_orders_matches_direct_aggregates(spark):
         assert 1 <= r.n_distinct <= n
     assert rows["o_orderstatus"].min_num is None  # text columns: counts only
     assert rows["o_totalprice"].min_num <= rows["o_totalprice"].max_num
+
+
+# ------------------------------------------------------- exact SimHash
+
+
+def test_simhash_exact_pairs_finds_dups_and_bounds_hamming(spark):
+    rows = QUERIES["simhash_exact_pairs"](spark, SF_SMOKE).collect()
+    assert rows, "fixtures plant near/exact duplicates"
+    for r in rows:
+        assert r.a < r.b
+        assert 0 <= r.hamming <= 2
+    # exact text duplicates must appear at hamming 0
+    from lms_etl_pipeline_spark.sources.tables import load_table
+    import collections
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    by_text = collections.defaultdict(list)
+    for d in docs:
+        by_text[d.text].append(d.doc_id)
+    got = {(r.a, r.b) for r in rows}
+    for ids in by_text.values():
+        ids.sort()
+        for i in range(len(ids) - 1):
+            assert (ids[i], ids[i + 1]) in got or len(ids) == 1
