@@ -1571,3 +1571,354 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= _SH_HAM)
         .select("a", "b", ham.cast("bigint").alias("hamming"))
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LEN({_TOKS}) AS words,
+             GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1) AS sents,
+             LEN(REGEXP_EXTRACT_ALL(text, '[aeiouyAEIOUY]+')) AS sylls
+      FROM documents)
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sents AS BIGINT) AS sents, CAST(sylls AS BIGINT) AS sylls,
+           ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                 - 84.6 * (CAST(sylls AS DOUBLE) / words), 4) AS flesch
+    FROM t WHERE words > 0
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document: 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words), with sentences counted as
+    terminal-punctuation runs and syllables approximated as vowel groups
+    (the standard regex surrogate; documented heuristic, deterministic).
+    The readability gate curation teams run next to the Gopher rules —
+    kids-content filters, textbook-style selection, "too-hard" triage.
+
+    Determinism: all three counts are exact integers from identical RE2-
+    compatible regexes; the score is three IEEE ops on identical doubles,
+    rounded.  Scale: shuffle-free map-only projection, whole-stage
+    codegen'd — the cheapest possible per-doc op.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(tx.tokens("text"))
+    sents = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+    sylls = F.regexp_count("text", F.lit("[aeiouyAEIOUY]+"))
+    return d.filter(words > 0).select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        sents.cast("bigint").alias("sents"),
+        sylls.cast("bigint").alias("sylls"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sents)
+            - F.lit(84.6) * (sylls.cast("double") / words),
+            4,
+        ).alias("flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation matrix (exact-decimal moment sums)
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND((n * s_{a}_{b} - s_{a} * s_{b})
+                 / SQRT((n * s_{a}_{a} - s_{a} * s_{a})
+                        * (n * s_{b}_{b} - s_{b} * s_{b})), 6) AS corr
+    FROM moments"""
+
+
+@query(
+    "correlation_matrix",
+    oracle=(
+        "WITH moments AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        + ", ".join(
+            f"CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS s_{c}"
+            for c in _CORR_COLS
+        )
+        + ", "
+        + ", ".join(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,8))) AS DOUBLE) AS s_{a}_{b}"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i:]
+        )
+        + " FROM lineitem)"
+        + "\nUNION ALL".join(
+            _corr_sql(a, b)
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1 :]
+        )
+    ),
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem numeric measures, via
+    the closed-form moment sums (n·Sxy − SxSy)/√((n·Sxx−Sx²)(n·Syy−Sy²)) —
+    the feature-redundancy screen every modeling pipeline runs before
+    training (and the statistic engines expose as CORR, here made
+    cross-engine-exact instead of float-order-dependent).
+
+    Determinism: every moment is an exact DECIMAL sum of per-row IEEE
+    products (order-independent); each correlation is identical double
+    arithmetic rounded at scale 6 — unlike built-in CORR, whose streaming
+    accumulation is partition-order-dependent.
+
+    Scale: ONE map-side-combining aggregate computes all {4 + 10} moments
+    in a single scan; the matrix assembly is row construction over a 1-row
+    frame.  No shuffle beyond the scalar aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias(f"s_{c}")
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,8)"))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    outs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            num = F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            outs.append(
+                m.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num / den, 6).alias("corr"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS regression (closed form)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ols_regression_by_group",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+                 AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n, 6)
+               AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def ols_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extended price against
+    quantity (slope, intercept, R²) from closed-form moment sums — the
+    grouped-regression primitive engines expose as REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2, here cross-engine-exact via DECIMAL moments
+    instead of order-dependent streaming accumulators.
+
+    Scale: one map-side-combining aggregate per group key computes all six
+    moments in a single scan; the fit is per-group scalar arithmetic.
+    The same shape fits millions of group keys — moments are mergeable, so
+    partial aggregation and AQE skew handling apply as to any hash agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6)
+        .alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "benford_digit_test",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents),
+    obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT o.digit, CAST(o.n AS BIGINT) AS n,
+           ROUND(CAST(o.n AS DOUBLE) / t.total, 6) AS obs_share,
+           ROUND(LOG10(1.0 + 1.0 / o.digit), 6) AS exp_share,
+           ROUND(POWER(CAST(o.n AS DOUBLE) / t.total
+                       - ROUND(LOG10(1.0 + 1.0 / o.digit), 6), 2)
+                 / ROUND(LOG10(1.0 + 1.0 / o.digit), 6), 6) AS chi2_term
+    FROM obs o, tot t
+    """,
+)
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1+1/d) share per leading digit plus the per-digit χ²
+    contribution — the classic fraud/fabrication screen on financial
+    columns (synthetic or tampered values drift from the Benford curve).
+
+    Determinism: the leading digit goes through exact integer cents and
+    INTEGER→string (never double formatting); shares divide exact counts;
+    the expected share is rounded at scale 6 BEFORE the χ² arithmetic so
+    a last-ulp libm LOG10 difference can never surface.
+
+    Scale: one map-only digit projection + a 9-key map-side-combining
+    count + a 1-row total broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    exp_share = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    obs_share = F.col("n").cast("double") / F.col("total")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(obs_share, 6).alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.round(F.pow(obs_share - exp_share, 2) / exp_share, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration coefficient
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(12,2))) AS r
+      FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, l_suppkey) AS i FROM rev),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS DOUBLE) AS total,
+             CAST(SUM(i * r) AS DOUBLE) AS weighted
+      FROM ranked)
+    SELECT n AS n_suppliers,
+           CAST(ROUND(SUM(r), 4) AS DOUBLE) AS total_rev,
+           ROUND(2.0 * (SELECT weighted FROM s)
+                 / ((SELECT n FROM s) * (SELECT total FROM s))
+                 - (CAST((SELECT n FROM s) AS DOUBLE) + 1)
+                   / (SELECT n FROM s), 6) AS gini
+    FROM rev, s
+    GROUP BY n
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration:
+    G = 2·Σᵢ i·xᵢ / (n·Σ xᵢ) − (n+1)/n over ascending-sorted revenues —
+    the one-number inequality metric platform teams track for marketplace
+    concentration and corpus teams for source-domination (0 = uniform,
+    →1 = winner-take-all; complements `source_reputation`/
+    `domain_cap_filter` with a headline number).
+
+    Determinism: revenues and the rank-weighted sum stay in EXACT decimal
+    (rank is an exact integer; i·xᵢ is a decimal product), ordering has a
+    total tie-break, and the final G is one rounded double expression.
+
+    Scale: the sort/rank runs over the SUPPLIER-sized aggregate, not
+    lineitem; at catalog scale the rank is a global window — swap in the
+    two-stage prefix-rank (per-range counts + offset) like the other
+    report-window plans.  Output is one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+        ).alias("r")
+    )
+    w = Window.orderBy("r", "l_suppkey")
+    ranked = rev.select("r", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("r")).cast("double").alias("weighted"),
+        F.round(F.sum("r"), 4).cast("double").alias("total_rev"),
+    )
+    return s.select(
+        F.col("n").alias("n_suppliers"),
+        "total_rev",
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -429,3 +429,97 @@ def test_simhash_exact_pairs_finds_dups_and_bounds_hamming(spark):
         ids.sort()
         for i in range(len(ids) - 1):
             assert (ids[i], ids[i + 1]) in got or len(ids) == 1
+
+
+# --------------------------------------------------------- readability
+
+
+def test_flesch_orders_simple_before_complex(spark):
+    rows = [
+        (1, "The cat sat. The dog ran. It was fun."),
+        (2, "Nevertheless, extraordinarily convoluted administrative "
+            "bureaucratization invariably necessitates incomprehensible "
+            "organizational restructuring."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___flesch_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___flesch_lit")
+        out = {r.doc_id: r for r in P.text_readability_flesch(spark, "x").collect()}
+    finally:
+        P.load_table = orig
+    assert out[1].flesch > 80           # simple prose reads easy
+    assert out[2].flesch < out[1].flesch - 50  # dense prose scores far lower
+
+
+# -------------------------------------------------- correlation / OLS
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = QUERIES["correlation_matrix"](spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).toPandas()
+    for r in rows:
+        expected = np.corrcoef(li[r.col_a], li[r.col_b])[0, 1]
+        assert abs(r.corr - expected) < 1e-6
+        assert -1 <= r.corr <= 1
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = {r.l_returnflag: r for r in QUERIES["ols_regression_by_group"](spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp.l_quantity, grp.l_extendedprice, 1)
+        assert abs(rows[flag].slope - slope) < 1e-4
+        assert abs(rows[flag].intercept - intercept) < 1e-2
+        assert 0 <= rows[flag].r2 <= 1
+
+
+# ------------------------------------------------------------- Benford
+
+
+def test_benford_shares_sum_to_one_and_chi2_nonneg(spark):
+    rows = QUERIES["benford_digit_test"](spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.exp_share for r in rows) - 1.0) < 1e-3
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------- Gini
+
+
+def test_gini_bounds_and_known_values(spark):
+    row = QUERIES["gini_concentration"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.gini < 1
+    # literal check: perfectly equal revenues -> G == 0
+    df = spark.createDataFrame(
+        [(1, s, 1, 1, 100.0, 0.0) for s in range(1, 9)],
+        ["l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
+         "l_extendedprice", "l_discount"],
+    )
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___gini_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___gini_lit")
+        flat = P.gini_concentration(spark, "x").collect()[0]
+    finally:
+        P.load_table = orig
+    assert abs(flat.gini) < 1e-9

@@ -47,6 +47,7 @@ ALLOW_CROSS = {
     "key_skew_profile",      # 1-row totals (row count, n_keys) broadcast
     "hits_hubs_authorities",  # 1-row L1-normalizer broadcast per iteration
     "cusum_changepoints",    # 1-row (mu, sigma) broadcast onto the hourly series
+    "benford_digit_test",    # 1-row digit-count total broadcast
 }
 
 
