@@ -1922,3 +1922,132 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Max token run-length (degenerate-repetition QA)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "max_token_runlength",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, UNNEST(g.i) AS i,
+             toks[UNNEST(g.i)] AS tok
+      FROM t, LATERAL (SELECT RANGE(1, LEN(toks) + 1) AS i) g),
+    runs AS (
+      SELECT doc_id, i, tok,
+             CASE WHEN LAG(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok
+                  THEN 0 ELSE 1 END AS brk
+      FROM pos),
+    segs AS (
+      SELECT doc_id, tok,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM runs),
+    seg_len AS (
+      SELECT doc_id, COUNT(*) AS run_len FROM segs GROUP BY doc_id, seg)
+    SELECT t.doc_id, CAST(LEN(t.toks) AS BIGINT) AS n_toks,
+           CAST(COALESCE(m.max_run, 0) AS BIGINT) AS max_run,
+           COALESCE(m.max_run, 0) >= 8 AS degenerate
+    FROM t LEFT JOIN (SELECT doc_id, MAX(run_len) AS max_run
+                      FROM seg_len GROUP BY doc_id) m USING (doc_id)
+    """,
+)
+def max_token_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-token run per document — the degenerate-
+    repetition detector ("the the the the …") that catches both broken
+    scrapers and model-generated loop text; flagged at run ≥ 8 (the
+    synthetic-data QA gate next to ``doc_repetition_signals``'s n-gram
+    fractions, which normalize away exactly this adjacency structure).
+
+    Implementation is a single shuffle-free ``aggregate`` fold over the
+    token array (state = (prev, run, best) carried left-to-right), so the
+    whole operator is a map-only projection — the oracle computes the
+    identical quantity with the LAG/running-sum segmentation idiom,
+    pinning that the fold equals the relational formulation.
+
+    Scale: no explode, no window, no shuffle — per-row array fold in the
+    JVM; the cheapest shape for a per-doc sequence statistic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    def step(acc, tok):
+        run = F.when(tok == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            tok.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+    max_run = F.aggregate(toks, init, step, lambda acc: acc["best"])
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        max_run.cast("bigint").alias("max_run"),
+        (max_run >= 8).alias("degenerate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language
+# --------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             LEN({_TOKS}) AS words,
+             LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_RE}')) AS bpe_toks,
+             n_chars
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(bpe_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(bpe_toks) AS DOUBLE) / SUM(words), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(bpe_toks), 6)
+               AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility card per language: BPE-ish tokens per whitespace
+    word and characters per token — the efficiency metric (mT5/XLM-R
+    papers) that tells a training team which languages pay a token tax
+    under the current tokenizer and need vocab rebalancing (reads straight
+    into ``mixture_temperature_weights`` decisions).
+
+    Determinism: all counts exact integers from identical RE2-compatible
+    regexes; two rounded divisions.  Scale: shuffle-free per-doc counting
+    folded into one map-side-combining aggregate on the bounded lang key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(tx.tokens("text")).alias("words"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "bpe_toks"
+        ),
+        "n_chars",
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("n_words"),
+        F.sum("bpe_toks").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("bpe_toks").cast("double") / F.sum("words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("bpe_toks"), 6
+        ).alias("chars_per_token"),
+    )

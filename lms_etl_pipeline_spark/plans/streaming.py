@@ -350,3 +350,87 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
         F.count("*").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark loss curve (batch-checkable watermark sizing)
+# --------------------------------------------------------------------------
+
+_WM_DELAYS_MIN = (1, 5, 10, 30)
+
+
+@query(
+    "watermark_loss_curve",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS max_seen
+      FROM events),
+    d AS (SELECT UNNEST(ARRAY{list(_WM_DELAYS_MIN)}) AS delay_min),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+    SELECT d.delay_min,
+           CAST(SUM(CASE WHEN s.max_seen IS NOT NULL
+                     AND s.ts < s.max_seen - TO_MINUTES(d.delay_min)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN s.max_seen IS NOT NULL
+                          AND s.ts < s.max_seen - TO_MINUTES(d.delay_min)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS drop_rate
+    FROM seq s, d
+    GROUP BY d.delay_min
+    """,
+)
+def watermark_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing curve: for each candidate watermark delay, how many
+    events would be DROPPED as too-late (event time older than the running
+    max event time minus the delay), with arrival order played by event_id
+    (the fixture's ingestion sequence — documented proxy, same convention
+    as the streaming runtime tests).  This is the batch-checkable answer
+    to the streaming operator's first production question — "what
+    watermark keeps loss under X?" — computed BEFORE committing a
+    streaming job to a delay (the planning twin of the runtime
+    ``withWatermark`` tests in ``streaming/``).
+
+    Determinism: the running max is a window over a total order; lateness
+    per (event, delay) is an exact timestamp comparison; counts exact.
+
+    Scale: ONE running-max window over the arrival order (the same sort a
+    streaming replay would do), then a {4}-way delay explode of a 3-column
+    projection and a map-side-combining count per delay — the event table
+    is never joined to itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seq = e.select(
+        "event_id", "ts", F.max("ts").over(w).alias("max_seen")
+    )
+    tot = e.agg(F.count("*").cast("bigint").alias("total"))
+    delays = F.explode(
+        F.array(*[F.lit(m) for m in _WM_DELAYS_MIN])
+    ).alias("delay_min")
+    exploded = seq.select("ts", "max_seen", delays)
+    late = F.when(
+        F.col("max_seen").isNotNull()
+        & (
+            F.col("ts")
+            < F.col("max_seen")
+            - F.col("delay_min") * F.expr("INTERVAL 1 MINUTE")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        exploded.groupBy("delay_min")
+        .agg(F.sum(late).cast("bigint").alias("n_dropped"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "delay_min",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("total"), 6
+            ).alias("drop_rate"),
+        )
+    )

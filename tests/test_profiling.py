@@ -523,3 +523,39 @@ def test_gini_bounds_and_known_values(spark):
     finally:
         P.load_table = orig
     assert abs(flat.gini) < 1e-9
+
+
+# -------------------------------------------------------- run-length
+
+
+def test_max_runlength_literal_frames(spark):
+    rows = [
+        (1, "a a a a a a a a b"),       # run of 8 -> degenerate
+        (2, "a b a b a b a b"),         # run of 1
+        (3, "x x x y y z"),             # run of 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___run_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___run_lit")
+        out = {r.doc_id: r for r in P.max_token_runlength(spark, "x").collect()}
+    finally:
+        P.load_table = orig
+    assert out[1].max_run == 8 and out[1].degenerate
+    assert out[2].max_run == 1 and not out[2].degenerate
+    assert out[3].max_run == 3
+
+
+# ----------------------------------------------------------- fertility
+
+
+def test_tokenizer_fertility_identities(spark):
+    rows = QUERIES["tokenizer_fertility"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility >= 1.0  # BPE-ish regex splits punctuation off words
+        assert r.chars_per_token > 0
+        assert r.n_bpe_tokens >= r.n_words

@@ -438,3 +438,18 @@ def test_sessionize_gap_rule_properties(spark):
         F.count("*").alias("n"),
     )
     assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_watermark_loss_curve_monotone(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        entrymod.queries()["watermark_loss_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.delay_min,
+    )
+    assert [r.delay_min for r in rows] == [1, 5, 10, 30]
+    drops = [r.n_dropped for r in rows]
+    # a longer watermark delay can only drop FEWER events
+    assert drops == sorted(drops, reverse=True)
+    assert all(0 <= r.drop_rate <= 1 for r in rows)

@@ -48,6 +48,7 @@ ALLOW_CROSS = {
     "hits_hubs_authorities",  # 1-row L1-normalizer broadcast per iteration
     "cusum_changepoints",    # 1-row (mu, sigma) broadcast onto the hourly series
     "benford_digit_test",    # 1-row digit-count total broadcast
+    "watermark_loss_curve",  # 1-row event-total broadcast (drop-rate denominator)
 }
 
 
