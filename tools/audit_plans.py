@@ -49,6 +49,7 @@ ALLOW_CROSS = {
     "cusum_changepoints",    # 1-row (mu, sigma) broadcast onto the hourly series
     "benford_digit_test",    # 1-row digit-count total broadcast
     "watermark_loss_curve",  # 1-row event-total broadcast (drop-rate denominator)
+    "gdpr_erasure_cascade",  # 1-row cohort-size broadcast onto 1-row per-table counts
 }
 
 
