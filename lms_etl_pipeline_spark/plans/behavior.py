@@ -559,3 +559,192 @@ def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~dominated)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+# --------------------------------------------------------------------------
+# A/B test lift report
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_lift_report",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN TRY_CAST(CONCAT('0x',
+                    SUBSTRING(MD5(CONCAT('ab1|', CAST(user_id AS VARCHAR))),
+                              1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events),
+    per_user AS (
+      SELECT a.user_id, a.variant,
+             COALESCE(p.spend, CAST(0 AS DECIMAL(18,6))) AS spend
+      FROM assign a LEFT JOIN (
+        SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS spend
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+      ON a.user_id = p.user_id),
+    cells AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(spend) AS DOUBLE) AS s1,
+             CAST(SUM(spend * spend) AS DOUBLE) AS s2
+      FROM per_user GROUP BY variant),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 'A' THEN s1 END) AS s1_a,
+        MAX(CASE WHEN variant = 'A' THEN s2 END) AS s2_a,
+        MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 'B' THEN s1 END) AS s1_b,
+        MAX(CASE WHEN variant = 'B' THEN s2 END) AS s2_b
+      FROM wide_src),
+    wide_src AS (SELECT * FROM cells)
+    SELECT n_a, n_b,
+           ROUND(s1_a / n_a, 6) AS mean_a,
+           ROUND(s1_b / n_b, 6) AS mean_b,
+           ROUND(s1_b / n_b / (s1_a / n_a) - 1, 6) AS lift,
+           ROUND((s1_b / n_b - s1_a / n_a)
+                 / SQRT(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a
+                        + ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b), 4)
+               AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on a CONTINUOUS metric: users
+    deterministically hash-assigned to two arms (salted md5 — the
+    reproducible, engine-portable bucketing experimentation platforms use
+    instead of rand()), per-arm mean purchase spend per user, relative
+    lift, and the Welch two-sample z statistic — the growth-team
+    experiment report (here a synthetic A/A split, so lift ≈ 0 and |z|
+    small, exactly what an A/A sanity run should show; a binary
+    conversion readout is degenerate on these fixtures because every
+    user purchases).
+
+    Determinism: per-user spend and both moment sums are exact DECIMAL;
+    means/variances/z are IEEE arithmetic over identical doubles, rounded.
+
+    Scale: one user-keyed aggregate + a 2-key rollup of decimal moments
+    (mergeable, map-side combining) — no windows, no skew exposure
+    beyond the user key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assign = e.select("user_id").distinct().select(
+        "user_id", F.when(bucket == 0, "A").otherwise("B").alias("variant")
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+    )
+    per_user = assign.join(spend, "user_id", "left").select(
+        "variant",
+        F.coalesce("spend", F.lit(0).cast("decimal(18,6)")).alias("spend"),
+    )
+    cells = per_user.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("spend").cast("double").alias("s1"),
+        F.sum(F.col("spend") * F.col("spend")).cast("double").alias("s2"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("s2_b"),
+    )
+    ma = F.col("s1_a") / F.col("n_a")
+    mb = F.col("s1_b") / F.col("n_b")
+    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb / ma - 1, 6).alias("lift"),
+        F.round(
+            (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 4
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Share-of-parent rollup (ratio_to_report)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region_name, nation_name,
+           CAST(ROUND(rev_dec, 4) AS DOUBLE) AS revenue,
+           ROUND(CAST(rev_dec AS DOUBLE)
+                 / CAST(SUM(rev_dec) OVER (PARTITION BY region_name)
+                        AS DOUBLE), 6) AS share_of_region
+    FROM rev
+    """,
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent contribution analysis (the RATIO_TO_REPORT idiom):
+    each nation's revenue as a fraction of its region's total — the
+    hierarchy-percentage view every BI drill-down renders next to the raw
+    rollup (`agg_rollup` gives the totals; this gives the mix).
+
+    Determinism: revenue stays in exact DECIMAL through the group AND the
+    window sum; the share is one double division of exact operands.
+
+    Scale: dimension joins broadcast (customer→nation→region);
+    the window partitions BY THE PARENT KEY over the nation-sized
+    aggregate — bounded rows, bounded partitions, one fact shuffle total.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("region_name")
+    return rev.select(
+        "region_name",
+        "nation_name",
+        F.round("rev_dec", 4).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )

@@ -2051,3 +2051,136 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("bpe_toks"), 6
         ).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximum inner-product search (MIPS) and pairwise-cosine calibration
+# --------------------------------------------------------------------------
+
+from lms_etl_pipeline_spark.operators import vectors as vec  # noqa: E402
+
+_MIPS_QUERIES = 5
+_MIPS_K = 5
+
+
+@query(
+    "knn_dot_product_mips",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < {_MIPS_QUERIES}),
+    pairs AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             ROUND({vec.dot_sql('e.embedding', 'q.embedding', EMB_DIM)}, 6)
+                 AS dot
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.vec_id),
+    ranked AS (
+      SELECT q_id, n_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, n_id ASC) AS rk
+      FROM pairs)
+    SELECT q_id, n_id, rk, dot FROM ranked WHERE rk <= {_MIPS_K}
+    """,
+)
+def knn_dot_product_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS): exact top-{5} by RAW dot
+    product per query vector — the retrieval metric recommendation scorers
+    and learned-sparse models use (unlike cosine, magnitude matters, so
+    high-norm items rank up; the metric twin of ``knn_cosine_exact`` that
+    norm-normalization would erase).
+
+    Determinism: the left-assoc double fold equals the oracle's explicit
+    left-assoc sum chain bit-for-bit (the ``operators.vectors`` contract);
+    ranking ties break on the id.
+
+    Scale: bounded {5}-row query-set broadcast × one linear corpus scan —
+    embarrassingly parallel, no N²; the approximate path at scale is the
+    same IVF/LSH bucketing as cosine after the standard MIPS-to-cosine
+    augmentation (append sqrt(M²-‖x‖²) as an extra dim), documented here
+    as the composition route.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MIPS_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(vec.dot(F.col("embedding"), F.col("q_emb")), 6).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("n_id").asc())
+    return pairs.select(
+        "q_id", "n_id", F.row_number().over(w).alias("rk"), "dot"
+    ).filter(F.col("rk") <= _MIPS_K)
+
+
+_PAIR_BOUND = 200
+_PAIR_THRESH = 0.4
+
+
+@query(
+    "embedding_pairwise_stats",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_PAIR_BOUND}),
+    pairs AS (
+      SELECT ROUND(({vec.dot_sql('a.embedding', 'b.embedding', EMB_DIM)})
+                 / (SQRT({vec.dot_sql('a.embedding', 'a.embedding', EMB_DIM)})
+                    * SQRT({vec.dot_sql('b.embedding', 'b.embedding', EMB_DIM)})),
+                 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos,
+           MIN(cosine) AS min_cos, MAX(cosine) AS max_cos,
+           CAST(SUM(CASE WHEN cosine >= {_PAIR_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_thresh,
+           ROUND(CAST(SUM(CASE WHEN cosine >= {_PAIR_THRESH} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_above_thresh
+    FROM pairs
+    """,
+)
+def embedding_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution card over a bounded id-range sample:
+    mean/min/max cosine and the fraction of pairs above the SemDeDup
+    threshold — the calibration read a team takes BEFORE picking a
+    semantic-dedup cutoff (if 30% of random pairs exceed your threshold,
+    the threshold deletes the corpus).  Same bounded-anchor discipline as
+    ``dedup_embedding_cosine``: the quadratic compare is an explicit
+    {200}-row sample, never corpus-wide; the production estimator samples
+    pairs per IVF cell.
+
+    Determinism: each rounded cosine is DECIMAL-cast before the cross-row
+    mean sum; counts exact; min/max compare identical rounded doubles.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PAIR_BOUND
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        vec.dot(F.col("ea"), F.col("eb"))
+        / (vec.norm(F.col("ea")) * vec.norm(F.col("eb"))),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b).filter(F.col("a") < F.col("b")).select(cos.alias("cosine"))
+    )
+    above = F.when(F.col("cosine") >= _PAIR_THRESH, 1).otherwise(0)
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cosine").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos"),
+        F.min("cosine").alias("min_cos"),
+        F.max("cosine").alias("max_cos"),
+        F.sum(above).cast("bigint").alias("n_above_thresh"),
+        F.round(F.sum(above).cast("double") / F.count("*"), 6).alias(
+            "frac_above_thresh"
+        ),
+    )

@@ -236,3 +236,23 @@ def test_pareto_front_brute_force_equivalence(spark):
             expected.add(k1)
     got = {r.o_orderkey for r in QUERIES["pareto_front_2d"](spark, SF_SMOKE).collect()}
     assert got == expected
+
+
+# ----------------------------------------------------------- A/B test
+
+
+def test_ab_test_aa_split_reads_null(spark):
+    row = QUERIES["ab_test_lift_report"](spark, SF_SMOKE).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    # hash split is an A/A test: no real effect, so |z| must be small
+    assert abs(row.z_stat) < 3.0
+    assert abs(row.lift) < 0.5
+    assert row.mean_a > 0 and row.mean_b > 0
+
+
+def test_share_of_parent_sums_to_one_per_region(spark):
+    df = QUERIES["share_of_parent_rollup"](spark, SF_SMOKE)
+    sums = df.groupBy("region_name").agg(F.sum("share_of_region").alias("s")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-4

@@ -559,3 +559,43 @@ def test_tokenizer_fertility_identities(spark):
         assert r.fertility >= 1.0  # BPE-ish regex splits punctuation off words
         assert r.chars_per_token > 0
         assert r.n_bpe_tokens >= r.n_words
+
+
+# ----------------------------------------------------------------- MIPS
+
+
+def test_mips_differs_from_cosine_and_is_exact_topk(spark):
+    mips = QUERIES["knn_dot_product_mips"](spark, SF_SMOKE)
+    rows = mips.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rk)
+        dots = [r.dot for r in rs]
+        assert dots == sorted(dots, reverse=True)
+        assert len(rs) == 5
+    # brute-force check one query id against numpy
+    import numpy as np
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    q0 = emb[0]
+    scored = sorted(
+        ((float(np.dot(v, q0)), k) for k, v in emb.items() if k != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = [r.n_id for r in sorted(per_q[0], key=lambda r: r.rk)]
+    assert got == [k for _, k in scored]
+
+
+def test_embedding_pairwise_stats_bounds(spark):
+    row = QUERIES["embedding_pairwise_stats"](spark, SF_SMOKE).collect()[0]
+    assert row.n_pairs == 199 * 200 // 2 or row.n_pairs > 0  # bounded sample
+    assert -1 <= row.min_cos <= row.mean_cos <= row.max_cos <= 1
+    assert 0 <= row.frac_above_thresh <= 1
+    assert row.n_above_thresh <= row.n_pairs

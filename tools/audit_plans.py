@@ -50,6 +50,8 @@ ALLOW_CROSS = {
     "benford_digit_test",    # 1-row digit-count total broadcast
     "watermark_loss_curve",  # 1-row event-total broadcast (drop-rate denominator)
     "gdpr_erasure_cascade",  # 1-row cohort-size broadcast onto 1-row per-table counts
+    "knn_dot_product_mips",  # 5-row query-set broadcast x linear scan (MIPS twin of knn_cosine_exact)
+    "embedding_pairwise_stats",  # bounded 200-row id-range all-pairs calibration anchor
 }
 
 
