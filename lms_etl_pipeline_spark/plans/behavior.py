@@ -748,3 +748,136 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_region"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling active users (DAU / WAU / MAU)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "active_users_rolling",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    wau AS (
+      SELECT dd.d, COUNT(DISTINCT ud.user_id) AS wau
+      FROM days dd JOIN ud
+        ON ud.d <= dd.d AND ud.d > dd.d - 7
+      GROUP BY dd.d),
+    mau AS (
+      SELECT dd.d, COUNT(DISTINCT ud.user_id) AS mau
+      FROM days dd JOIN ud
+        ON ud.d <= dd.d AND ud.d > dd.d - 30
+      GROUP BY dd.d),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d)
+    SELECT d AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau, CAST(mau.mau AS BIGINT) AS mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN wau USING (d) JOIN mau USING (d)
+    """,
+)
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement counters: per calendar day, the distinct active
+    users that day (DAU), over the trailing 7 days (WAU), the trailing 30
+    (MAU), and DAU/MAU stickiness — THE growth dashboard row.  Windowed
+    COUNT(DISTINCT) has no native frame form, so each (user, day)
+    activity row is exploded to the bounded set of trailing windows it
+    feeds — the standard distributed rewrite.
+
+    Determinism: all counts exact integers over date arithmetic;
+    stickiness is one rounded division.
+
+    Scale: the distinct collapse shrinks events to (user, day); the
+    explode fans that by ≤ 7 and ≤ 30 (constant factors, NOT data-sized);
+    the per-day distinct is a map-side-combining aggregate on the day
+    key.  Events themselves are scanned once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    def trailing(n: int, name: str) -> DataFrame:
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), n - 1))
+            ).alias("day"),
+        ).distinct()
+        days = ud.select(F.col("d").alias("day")).distinct()
+        return (
+            fan.join(days, "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint").alias(name))
+        )
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top event trigram paths
+# --------------------------------------------------------------------------
+
+_PATH_TOPN = 15
+
+
+@query(
+    "event_trigram_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events)
+    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path LIMIT {_PATH_TOPN}
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{15} three-step behavior paths (event-type trigrams along each
+    user's timeline) — the path-analysis view behind "what do users do
+    right before purchasing", one level deeper than
+    ``event_transition_matrix``'s first-order pairs.
+
+    Determinism: the timeline order (ts, event_id) is total; counts exact;
+    deterministic tie-break (count desc, path asc).
+
+    Scale: one window partitioned on user_id (two LEADs share the single
+    sort), a map-side-combining count on the bounded |types|³ key space,
+    and a TakeOrderedAndProject top-k — never a global sort of paths.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPN)
+    )

@@ -256,3 +256,23 @@ def test_share_of_parent_sums_to_one_per_region(spark):
     assert sums
     for r in sums:
         assert abs(r.s - 1.0) < 1e-4
+
+
+# ------------------------------------------------------- active users
+
+
+def test_active_users_invariants(spark):
+    rows = QUERIES["active_users_rolling"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau  # trailing windows nest
+        assert 0 < r.stickiness <= 1
+
+
+def test_event_trigram_paths_shape(spark):
+    rows = QUERIES["event_trigram_paths"](spark, SF_SMOKE).collect()
+    assert len(rows) == 15
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r.path.split(" > ")) == 3
