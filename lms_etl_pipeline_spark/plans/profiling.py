@@ -2184,3 +2184,172 @@ def embedding_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_above_thresh"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(18,4)) AS wt,
+             SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag) AS total_w
+      FROM lineitem),
+    hit AS (
+      SELECT l_returnflag, l_extendedprice, total_w,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cumw, l_orderkey, l_linenumber) AS rk
+      FROM w WHERE cumw * 2 >= total_w)
+    SELECT l_returnflag, l_extendedprice AS weighted_median,
+           CAST(ROUND(total_w, 4) AS DOUBLE) AS total_weight
+    FROM hit WHERE rk = 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: per return flag, the price at which half the
+    total QUANTITY mass sits at-or-below — the volume-weighted central
+    price (a different and usually more honest answer than the row-median
+    ``agg_percentiles_exact`` gives, since a 50-unit line should count 50
+    times).  The "first row where 2·cum ≥ total" rule is the textbook
+    lower weighted median.
+
+    Determinism: weights and running totals stay in exact DECIMAL with a
+    total sort order (price, orderkey, linenumber), and the halfway test
+    is an exact decimal comparison — no interpolation, no float knife
+    edge; the median itself is a raw value passthrough.
+
+    Scale: one window partitioned BY THE GROUP KEY (single shuffle, sort
+    within group); the group count bounds output.  For extreme groups the
+    two-pass quantile (histogram bins then exact within the hit bin)
+    drops in — same discipline as the equi-depth profiler.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(18,4)")
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(wt).over(wcum).alias("cumw"),
+        F.sum(wt).over(wall).alias("total_w"),
+    )
+    hit_w = Window.partitionBy("l_returnflag").orderBy(
+        "cumw", "l_orderkey", "l_linenumber"
+    )
+    return (
+        w.filter(F.col("cumw") * 2 >= F.col("total_w"))
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median"),
+            F.round("total_w", 4).cast("double").alias("total_weight"),
+            F.row_number().over(hit_w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# SymSpell spelling-variant pairs (deletion-neighborhood equi-join)
+# --------------------------------------------------------------------------
+
+_SYM_MIN_LEN = 4  # skip ultra-short tokens (1-deletes collide trivially)
+
+
+@query(
+    "spelling_variants_symspell",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents) x
+      GROUP BY tok HAVING LENGTH(tok) >= {_SYM_MIN_LEN}),
+    dels AS (
+      SELECT tok, freq,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(tok) + 1),
+                    i -> SUBSTRING(tok, 1, i - 1)
+                         || SUBSTRING(tok, i + 1, LENGTH(tok)))) AS variant
+      FROM vocab),
+    keys AS (
+      SELECT tok, freq, variant AS k FROM dels
+      UNION ALL SELECT tok, freq, tok FROM vocab),
+    cands AS (
+      SELECT DISTINCT l.tok AS a, r.tok AS b,
+             ANY_VALUE(l.freq) AS freq_a, ANY_VALUE(r.freq) AS freq_b
+      FROM keys l JOIN keys r ON l.k = r.k AND l.tok < r.tok
+      GROUP BY l.tok, r.tok)
+    SELECT a, b, CAST(freq_a AS BIGINT) AS freq_a,
+           CAST(freq_b AS BIGINT) AS freq_b
+    FROM cands WHERE LEVENSHTEIN(a, b) = 1
+    """,
+)
+def spelling_variants_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant pairs at edit distance exactly 1, found with the
+    SymSpell deletion-neighborhood trick: every vocab token emits its
+    1-deletion variants plus itself as join keys, tokens sharing a key
+    are candidates, and a Levenshtein check confirms — the vocab-
+    normalization / typo-mining pass that runs over a crawl before
+    frequency thresholds (a rare token one edit from a frequent one is a
+    typo; the freq columns give the correction direction).
+
+    Scale: candidate generation is an EQUI-join on the deletion key —
+    never all-pairs over the vocabulary (the SymSpell insight: distance-1
+    pairs must share a deletion key, so recall is lossless); the key fan
+    is Σ token-length per DISTINCT token, corpus-size-independent once
+    the vocab aggregate collapses.  Levenshtein runs on candidates only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("tok") >= _SYM_MIN_LEN)
+    )
+    i = F.explode(F.sequence(F.lit(1), F.length("tok")))
+    dels = vocab.select(
+        "tok",
+        "freq",
+        i.alias("i"),
+    ).select(
+        "tok",
+        "freq",
+        F.concat(
+            F.expr("substring(tok, 1, i - 1)"),
+            F.expr("substring(tok, i + 1, length(tok))"),
+        ).alias("k"),
+    )
+    keys = dels.unionByName(
+        vocab.select("tok", "freq", F.col("tok").alias("k"))
+    )
+    l = keys.select(F.col("tok").alias("a"), F.col("freq").alias("freq_a"), "k")
+    r = keys.select(F.col("tok").alias("b"), F.col("freq").alias("freq_b"), "k")
+    cands = (
+        l.join(r, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.any_value("freq_a").alias("freq_a"),
+            F.any_value("freq_b").alias("freq_b"),
+        )
+    )
+    return cands.filter(F.levenshtein("a", "b") == 1).select(
+        "a",
+        "b",
+        F.col("freq_a").cast("bigint").alias("freq_a"),
+        F.col("freq_b").cast("bigint").alias("freq_b"),
+    )

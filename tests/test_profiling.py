@@ -599,3 +599,80 @@ def test_embedding_pairwise_stats_bounds(spark):
     assert -1 <= row.min_cos <= row.mean_cos <= row.max_cos <= 1
     assert 0 <= row.frac_above_thresh <= 1
     assert row.n_above_thresh <= row.n_pairs
+
+
+# ------------------------------------------------------ weighted median
+
+
+def test_weighted_median_literal_frame(spark):
+    # weights: price 1.0 w=1, price 2.0 w=1, price 3.0 w=10 -> half of 12
+    # is 6, first cum >= 6 is price 3.0 (the mass sits there)
+    rows = [
+        (1, 1, 1.0, 1.0),
+        (2, 1, 1.0, 2.0),
+        (3, 1, 10.0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    ).withColumn("l_returnflag", F.lit("X"))
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___wmed_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___wmed_lit")
+        out = P.weighted_median_price(spark, "x").collect()
+    finally:
+        P.load_table = orig
+    assert len(out) == 1
+    assert out[0].weighted_median == 3.0
+    assert out[0].total_weight == 12.0
+
+
+def test_weighted_median_reduces_to_plain_with_unit_weights(spark):
+    # with all weights 1 the weighted median equals the lower median
+    rows = [(k, 1, 1.0, float(k)) for k in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    ).withColumn("l_returnflag", F.lit("Y"))
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___wmed_lit2")
+    try:
+        P.load_table = lambda s, d, t: s.table("___wmed_lit2")
+        out = P.weighted_median_price(spark, "x").collect()[0]
+    finally:
+        P.load_table = orig
+    assert out.weighted_median == 3.0
+
+
+# ------------------------------------------------------------- SymSpell
+
+
+def test_symspell_finds_planted_typo_and_only_distance_one(spark):
+    rows = [
+        (1, "transformer architecture models attention"),
+        (2, "transformes architecture attention"),   # typo of transformer
+        (3, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___sym_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___sym_lit")
+        out = P.spelling_variants_symspell(spark, "x").collect()
+    finally:
+        P.load_table = orig
+    pairs = {(r.a, r.b) for r in out}
+    assert ("transformer", "transformes") in pairs or (
+        "transformes",
+        "transformer",
+    ) in pairs
+    # verify every emitted pair really is edit distance 1
+    import difflib
+
+    for r in out:
+        assert abs(len(r.a) - len(r.b)) <= 1
