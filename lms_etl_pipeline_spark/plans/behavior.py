@@ -1,7 +1,7 @@
 """Behavioral / recommender analytics plans (round 5b widening).
 
-Four composites product-analytics and recommendation teams run daily that
-were not yet first-class:
+Composites product-analytics and recommendation teams run daily that
+were not yet first-class.  The first wave:
 
 - **item-item collaborative filtering** (``item_cooccurrence_cf``) — parts
   scored similar by customer co-purchase cosine, top-k per item: the
@@ -16,6 +16,10 @@ were not yet first-class:
 - **funnel time-to-convert** (``funnel_time_to_convert``) — per-user
   stage-gap durations for the strict view→click→purchase funnel, in exact
   epoch-microsecond integers.
+
+Later waves in this module: HITS hubs/authorities, forward as-of join,
+2-D Pareto front, A/B experiment readout, share-of-parent rollup,
+DAU/WAU/MAU rolling counters, and top event-trigram paths.
 
 Reference parity note: the reference (`/root/reference/src/lms_to_s3_lambda.py`,
 `src/s3_to_rds_lambda.py`) is a 2-file pandas ETL with no analytics layer;

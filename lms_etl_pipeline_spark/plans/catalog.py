@@ -41,6 +41,14 @@ _PRIORITY: tuple[str, ...] = (
     # driver/local comparator divergence class at registration time.
     # Everything rotated out stays in the catalog and the full-catalog gate.
     #
+    # Round-6 rotation candidates (round-5b additions, all locally exact at
+    # sf0.001/0.01/0.1 but never driver-certified): bloom_filter_probe,
+    # dup_ngram_spans, simhash_exact_pairs, pca_power_iteration,
+    # item_cooccurrence_cf, cdc_apply_changelog, fk_integrity_audit,
+    # watermark_loss_curve, weighted_median_price, active_users_rolling,
+    # correlation_matrix, gini_concentration, spelling_variants_symspell,
+    # hits_hubs_authorities, join_asof_next_purchase, pareto_front_2d.
+    #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",
     "q4_order_priority",

@@ -1,8 +1,9 @@
 """Distribution profiling, probabilistic membership, and OLAP-composite
 plans (round 5b widening).
 
-Ten operators a production data platform runs for corpus QA, membership
-indexing, and behavioral reporting that were not yet first-class:
+Operators a production data platform runs for corpus QA, membership
+indexing, statistics, and profiling that were not yet first-class.
+The first wave:
 
 - **Bloom-filter membership probe** (``bloom_filter_probe``) — the mergeable
   bitmap sketch every incremental-ingest pipeline consults before paying for
@@ -35,6 +36,14 @@ indexing, and behavioral reporting that were not yet first-class:
   tiered A/B/C by cumulative revenue share with exact-decimal thresholds;
 - **RFM segmentation** (``rfm_segmentation``) — recency/frequency/monetary
   quartile codes per customer, the standard behavioral-cohort cut.
+
+Later waves in this module: cross-source overlap matrix, dedup-savings
+histogram, seasonal profile, quantile normalization, distribution-matching
+resample, n-gram novelty, CUSUM changepoints, column profiler, exact
+SimHash pairs, Flesch readability, correlation matrix, grouped OLS,
+Benford audit, Gini coefficient, token run-length QA, tokenizer fertility,
+MIPS retrieval, pairwise-cosine calibration, exact weighted median, and
+SymSpell typo mining — each with its own scale note and DuckDB oracle.
 
 Reference parity note: the reference (`/root/reference/src/lms_to_s3_lambda.py`,
 `src/s3_to_rds_lambda.py` — a 2-file pandas ETL) has no analytics layer;
