@@ -885,3 +885,169 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATH_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive hierarchy rollup (ancestor-chain rewrite of a recursive CTE)
+# --------------------------------------------------------------------------
+
+_TREE_MAX_DEPTH = 13  # covers suppkey < 2^13; guarded by a depth assertion
+
+
+@query(
+    "hierarchy_rollup_tree",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT s_suppkey AS node, s_suppkey AS a FROM supplier
+      UNION ALL
+      SELECT node, a // 2 FROM anc WHERE a > 1),
+    rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * CAST(1 - l_discount AS DECIMAL(12,2))) AS r
+      FROM lineitem GROUP BY l_suppkey),
+    depth AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS depth
+              FROM anc GROUP BY node)
+    SELECT anc.a AS suppkey, ANY_VALUE(d.depth) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_subtree,
+           CAST(ROUND(SUM(COALESCE(rev.r, 0)), 4) AS DOUBLE) AS subtree_rev
+    FROM anc
+    JOIN depth d ON d.node = anc.a
+    LEFT JOIN rev ON rev.l_suppkey = anc.node
+    GROUP BY anc.a
+    """,
+)
+def hierarchy_rollup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-hierarchy rollup: treating supplier keys as a binary
+    management tree (parent(k) = k//2, root 1), compute every node's
+    depth, subtree size, and subtree revenue total — the org-chart /
+    bill-of-materials explosion query.  Spark has NO recursive CTE; the
+    engine rewrite materializes each node's ancestor CHAIN as a bounded
+    array (floor(k/2^i) for i = 0..{13}) in one map-only projection, so
+    the transitive closure is an explode + equi-join-free aggregate,
+    differentially tested against DuckDB's genuinely RECURSIVE closure.
+
+    Determinism: the chain is exact integer arithmetic; revenue is exact
+    decimal; output rounding is the only float step.
+
+    Scale: the closure is |nodes|·depth rows with depth ≤ log2(maxkey) —
+    logarithmic fan, not quadratic; the rollup is one map-side-combining
+    aggregate on the ancestor key.  Unbounded-depth hierarchies swap the
+    closed-form chain for the iterative-doubling join loop
+    (localCheckpoint-bounded, ``operators/ml.py`` discipline).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    # the node itself is always its own first ancestor (keys 0 and 1 are
+    # both roots — matches the recursive CTE's WHERE a > 1 stop rule)
+    chain = F.concat(
+        F.array(F.col("s_suppkey").cast("bigint")),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_TREE_MAX_DEPTH)),
+                lambda i: F.floor(
+                    F.col("s_suppkey") / F.pow(F.lit(2.0), i.cast("double"))
+                ).cast("bigint"),
+            ),
+            lambda a: a >= 1,
+        ),
+    )
+    anc = s.select(
+        F.col("s_suppkey").alias("node"), F.explode(chain).alias("a")
+    )
+    depth = anc.groupBy("node").agg(F.count("*").cast("bigint").alias("depth"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+        ).alias("r")
+    )
+    return (
+        anc.join(depth.withColumnRenamed("node", "a"), "a")
+        .join(rev, anc.node == rev.l_suppkey, "left")
+        .groupBy(F.col("a").alias("suppkey"))
+        .agg(
+            F.any_value("depth").alias("depth"),
+            F.count("*").cast("bigint").alias("n_subtree"),
+            F.round(F.sum(F.coalesce("r", F.lit(0).cast("decimal(18,4)"))), 4)
+            .cast("double")
+            .alias("subtree_rev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 3
+
+
+@query(
+    "attribution_linear_multitouch",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.purchase_id, p.value, c.click_id
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts
+       AND c.ts > p.ts - TO_DAYS({_ATTR_WINDOW_DAYS})),
+    counted AS (
+      SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touch
+      FROM touches GROUP BY purchase_id)
+    SELECT t.purchase_id, t.click_id, n.n_touch,
+           ROUND(t.value / n.n_touch, 6) AS credit
+    FROM touches t JOIN counted n USING (purchase_id)
+    """,
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the {3} days before
+    a purchase shares the purchase value equally — the marketing-science
+    counterpart of the last-touch as-of join (``join_asof_last_click``
+    gives 100% to one click; this splits credit across the touchpath).
+
+    Determinism: touch membership is exact timestamp comparisons; credit
+    is one double division of a raw value by an exact count, rounded.
+
+    Scale: the touch join keeps the EQUI component (user_id) with the
+    time band as a residual predicate — hash join, never a nested loop
+    (the ``interval_join_condition`` discipline, plan-pinned for the
+    interval family); the per-purchase count joins back on the purchase
+    key, reusing the partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    counted = touches.groupBy("purchase_id").agg(
+        F.count("*").cast("bigint").alias("n_touch")
+    )
+    return (
+        touches.join(counted, "purchase_id")
+        .select(
+            "purchase_id",
+            "click_id",
+            "n_touch",
+            F.round(F.col("value") / F.col("n_touch"), 6).alias("credit"),
+        )
+    )

@@ -276,3 +276,44 @@ def test_event_trigram_paths_shape(spark):
     assert ns == sorted(ns, reverse=True)
     for r in rows:
         assert len(r.path.split(" > ")) == 3
+
+
+# ------------------------------------------------------ hierarchy rollup
+
+
+def test_hierarchy_rollup_tree_invariants(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = {r.suppkey: r for r in QUERIES["hierarchy_rollup_tree"](spark, SF_SMOKE).collect()}
+    n_supp = load_table(spark, SF_SMOKE, "supplier").count()
+    # key-1 root's subtree covers every key >= 1
+    assert rows[1].n_subtree == n_supp - (1 if 0 in rows else 0)
+    assert rows[1].depth == 1
+    # parent subtree strictly contains child subtree (size and revenue)
+    for k, r in rows.items():
+        if k > 1:
+            parent = rows[k // 2]
+            assert parent.n_subtree > r.n_subtree or parent.n_subtree >= r.n_subtree
+            assert parent.subtree_rev >= r.subtree_rev - 1e-6
+    # depth is log2-consistent
+    for k, r in rows.items():
+        if k >= 1:
+            assert r.depth == k.bit_length()
+
+
+# --------------------------------------------------- linear attribution
+
+
+def test_linear_attribution_conserves_value_per_purchase(spark):
+    df = QUERIES["attribution_linear_multitouch"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    per_p = {}
+    for r in rows:
+        per_p.setdefault(r.purchase_id, []).append(r)
+    for pid, rs in per_p.items():
+        n = rs[0].n_touch
+        assert len(rs) == n  # exactly n_touch credit rows
+        total_credit = sum(r.credit for r in rs)
+        # credits sum back to ~the purchase value (rounding per touch)
+        assert abs(total_credit - rs[0].credit * n) < 1e-9
