@@ -2362,3 +2362,85 @@ def spelling_variants_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq_a").cast("bigint").alias("freq_a"),
         F.col("freq_b").cast("bigint").alias("freq_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup threshold sweep (yield curve)
+# --------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "semdedup_threshold_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_PAIR_BOUND}),
+    pairs AS (
+      SELECT ROUND(({vec.dot_sql('a.embedding', 'b.embedding', EMB_DIM)})
+                 / (SQRT({vec.dot_sql('a.embedding', 'a.embedding', EMB_DIM)})
+                    * SQRT({vec.dot_sql('b.embedding', 'b.embedding', EMB_DIM)})),
+                 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+    thr AS (SELECT UNNEST(ARRAY[{", ".join(f"CAST({t} AS DOUBLE)" for t in _SWEEP_THRESHOLDS)}])
+                AS threshold)
+    SELECT t.threshold,
+           CAST(SUM(CASE WHEN p.cosine >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs_above,
+           ROUND(CAST(SUM(CASE WHEN p.cosine >= t.threshold THEN 1 ELSE 0 END)
+                      AS DOUBLE) / (SELECT n FROM tot), 6) AS frac_above
+    FROM pairs p, thr t
+    GROUP BY t.threshold
+    """,
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup yield curve: for each candidate cosine threshold,
+    the count and fraction of sampled pairs that would be flagged — the
+    sweep a curation team reads BEFORE fixing the SemDeDup cutoff
+    (completes ``embedding_pairwise_stats``' single-threshold card into
+    the full tradeoff curve; pick the knee, not a folk constant).
+
+    Determinism: the rounded cosines are identical doubles on both
+    engines, threshold comparisons are exact literal compares, counts
+    exact.
+
+    Scale: the pair sample is the same bounded {200}-row id-range anchor
+    (production sweeps sample within IVF cells); the sweep itself is a
+    constant {7}-way explode of the pair table + one map-side-combining
+    count per threshold — reading 7 thresholds costs one pass, not 7.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _PAIR_BOUND
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        vec.dot(F.col("ea"), F.col("eb"))
+        / (vec.norm(F.col("ea")) * vec.norm(F.col("eb"))),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b).filter(F.col("a") < F.col("b")).select(cos.alias("cosine"))
+    )
+    tot = pairs.agg(F.count("*").cast("bigint").alias("n"))
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        pairs.select("cosine", thr)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("cosine") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs_above")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_pairs_above",
+            F.round(
+                F.col("n_pairs_above").cast("double") / F.col("n"), 6
+            ).alias("frac_above"),
+        )
+    )

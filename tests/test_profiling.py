@@ -676,3 +676,20 @@ def test_symspell_finds_planted_typo_and_only_distance_one(spark):
 
     for r in out:
         assert abs(len(r.a) - len(r.b)) <= 1
+
+
+# ------------------------------------------------------ threshold sweep
+
+
+def test_semdedup_sweep_is_monotone_decreasing(spark):
+    rows = sorted(
+        QUERIES["semdedup_threshold_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    counts = [r.n_pairs_above for r in rows]
+    assert counts == sorted(counts, reverse=True)  # raising the bar drops pairs
+    # consistency with the single-threshold calibration card at 0.4
+    card = QUERIES["embedding_pairwise_stats"](spark, SF_SMOKE).collect()[0]
+    at04 = next(r for r in rows if r.threshold == 0.4)
+    assert at04.n_pairs_above == card.n_above_thresh

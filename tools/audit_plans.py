@@ -52,6 +52,7 @@ ALLOW_CROSS = {
     "gdpr_erasure_cascade",  # 1-row cohort-size broadcast onto 1-row per-table counts
     "knn_dot_product_mips",  # 5-row query-set broadcast x linear scan (MIPS twin of knn_cosine_exact)
     "embedding_pairwise_stats",  # bounded 200-row id-range all-pairs calibration anchor
+    "semdedup_threshold_sweep",  # same bounded pair anchor + 1-row total broadcast
 }
 
 
