@@ -2444,3 +2444,145 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_above"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest evaluation (seasonal-naive model)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "forecast_backtest_eval",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, EXTRACT(HOUR FROM ts) AS hod FROM events),
+    prof AS (
+      SELECT event_type, hod,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS pred
+      FROM e GROUP BY event_type, hod),
+    scored AS (
+      SELECT e.event_type, e.value, p.pred,
+             ROUND(ABS(e.value - p.pred), 6) AS abs_err,
+             ROUND(e.value - p.pred, 6) AS err
+      FROM e JOIN prof p USING (event_type, hod))
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS bias,
+           ROUND(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(ABS(value) AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS wape
+    FROM scored GROUP BY event_type
+    """,
+)
+def forecast_backtest_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: score the seasonal-naive model (per-(type, hour)
+    mean — ``timeseries_seasonal_profile``'s predictor) against the actual
+    values and report per-type MAE, signed bias, and WAPE (weighted
+    absolute percentage error — the scale-free accuracy number planners
+    quote; plain MAPE explodes on near-zero actuals, WAPE doesn't).
+    Completes the forecasting loop: model → residuals → accuracy gate.
+
+    Determinism: the prediction is rounded BEFORE residuals (identical
+    doubles both engines); every cross-row error sum is DECIMAL-cast;
+    final metrics are rounded divisions of identical operands.
+
+    Scale: the profile is a bounded-key aggregate broadcast back onto one
+    event scan; the metric rollup is a second map-side-combining
+    aggregate on event_type — two scans, zero wide shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type", "value", F.hour("ts").alias("hod"))
+    prof = e.groupBy("event_type", "hod").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pred")
+    )
+    scored = e.join(F.broadcast(prof), ["event_type", "hod"]).select(
+        "event_type",
+        "value",
+        F.round(F.abs(F.col("value") - F.col("pred")), 6).alias("abs_err"),
+        F.round(F.col("value") - F.col("pred"), 6).alias("err"),
+    )
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(dsum("abs_err") / F.count("*"), 6).alias("mae"),
+        # + 0.0 collapses IEEE -0.0 to +0.0 (engines disagree on which
+        # side of zero a rounded tiny bias lands)
+        (F.round(dsum("err") / F.count("*"), 6) + F.lit(0.0)).alias("bias"),
+        F.round(
+            dsum("abs_err")
+            / F.sum(F.abs("value").cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("wape"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MDM golden-record survivorship
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mdm_golden_record",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars, {_FP_SQL} AS f FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_chars, f,
+             ROW_NUMBER() OVER (PARTITION BY f
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY f) AS BIGINT) AS n_members,
+             CAST(MAX(n_chars) OVER (PARTITION BY f) AS BIGINT) AS max_chars,
+             CAST(MIN(doc_id) OVER (PARTITION BY f) AS BIGINT) AS first_id
+      FROM fp)
+    SELECT f AS fingerprint, doc_id AS survivor_id, source AS survivor_source,
+           n_members, max_chars, first_id
+    FROM ranked WHERE rk = 1 AND n_members > 1
+    """,
+)
+def mdm_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (MDM): within each exact-duplicate
+    cluster, elect the survivor by an explicit POLICY — longest content
+    first, then lowest id — and carry merged attributes (member count,
+    best length, earliest id) onto the golden row.  This is the
+    master-data step AFTER matching: ``dedup_fingerprint`` answers "which
+    rows are the same entity"; survivorship answers "which values win"
+    (the reference's upsert keeps whichever row arrived last —
+    last-write-wins by accident; this makes the policy explicit).
+
+    Determinism: policy keys are exact integers with a total tie-break;
+    no floats.
+
+    Scale: one window partitioned by the cluster fingerprint (uniform
+    128-bit key) computes the election and every merged attribute in a
+    single pass — no self-join of members, no collect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", "n_chars", tx.fingerprint("text").alias("f")
+    )
+    wp = Window.partitionBy("f")
+    wr = wp.orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = fp.select(
+        "doc_id",
+        "source",
+        "f",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).cast("bigint").alias("n_members"),
+        F.max("n_chars").over(wp).cast("bigint").alias("max_chars"),
+        F.min("doc_id").over(wp).cast("bigint").alias("first_id"),
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("n_members") > 1)).select(
+        F.col("f").alias("fingerprint"),
+        F.col("doc_id").alias("survivor_id"),
+        F.col("source").alias("survivor_source"),
+        "n_members",
+        "max_chars",
+        "first_id",
+    )

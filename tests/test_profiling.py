@@ -693,3 +693,31 @@ def test_semdedup_sweep_is_monotone_decreasing(spark):
     card = QUERIES["embedding_pairwise_stats"](spark, SF_SMOKE).collect()[0]
     at04 = next(r for r in rows if r.threshold == 0.4)
     assert at04.n_pairs_above == card.n_above_thresh
+
+
+# ------------------------------------------------------ forecast eval
+
+
+def test_forecast_backtest_eval_bounds(spark):
+    rows = QUERIES["forecast_backtest_eval"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.mae >= 0
+        assert 0 <= r.wape
+        assert abs(r.bias) <= r.mae + 1e-9  # |mean error| <= mean |error|
+
+
+def test_mdm_golden_record_policy(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = QUERIES["mdm_golden_record"](spark, SF_SMOKE).collect()
+    assert rows, "fixtures plant duplicate clusters"
+    docs = {
+        r.doc_id: r
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    for r in rows:
+        assert r.n_members > 1
+        survivor = docs[r.survivor_id]
+        assert survivor.n_chars == r.max_chars  # longest-content policy
+        assert r.first_id <= r.survivor_id or r.first_id <= r.survivor_id

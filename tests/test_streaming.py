@@ -453,3 +453,60 @@ def test_watermark_loss_curve_monotone(spark):
     # a longer watermark delay can only drop FEWER events
     assert drops == sorted(drops, reverse=True)
     assert all(0 <= r.drop_rate <= 1 for r in rows)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an impression with no click inside
+    the bound must eventually emit with NULL right columns — but only
+    after the watermark PROVES no match can still arrive (state eviction,
+    not timeout guesswork).  Watermark advancement is cross-batch, so the
+    outer row surfaces on a later availableNow run from the same
+    checkpoint — the same cross-run pattern as the dedup test."""
+    from pyspark.sql.types import StructType
+
+    imp_path, clk_path = str(tmp_path / "imp"), str(tmp_path / "clk")
+    ckpt = str(tmp_path / "ckoj")
+    schema = StructType.fromDDL("ad_id INT, ts TIMESTAMP")
+
+    def land(path, rows):
+        spark.createDataFrame(rows, "ad_id INT, ts_s STRING").selectExpr(
+            "ad_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    land(imp_path, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")])
+    land(clk_path, [(1, "2024-01-01 10:30:00")])  # ad 2 never clicks
+
+    got: list = []
+
+    def run():
+        joined = streaming.stream_stream_join(
+            streaming.file_stream(spark, imp_path, schema),
+            streaming.file_stream(spark, clk_path, schema),
+            key_col="ad_id",
+            within="1 hour",
+            watermark="1 hour",
+            how="left_outer",
+        )
+        streaming.run_available_now(
+            joined,
+            lambda df, _: got.extend(
+                (r.ad_id, r.ts_r is not None) for r in df.collect()
+            ),
+            ckpt,
+            output_mode="append",
+        )
+
+    run()  # batch 1: inner match for ad 1; ad 2 still buffered
+    assert (1, True) in got
+    assert (2, False) not in got  # not yet provably unmatched
+
+    # the GLOBAL watermark is the min across sources, so BOTH streams must
+    # advance past ad 2's join bound before the outer row can emit
+    land(imp_path, [(90, "2024-01-02 12:00:00")])
+    land(clk_path, [(91, "2024-01-02 12:00:00")])
+    run()
+    land(imp_path, [(92, "2024-01-03 12:00:00")])
+    land(clk_path, [(93, "2024-01-03 12:00:00")])
+    run()
+    assert (2, False) in got  # outer row emitted exactly once
+    assert sum(1 for g in got if g[0] == 2) == 1
