@@ -1051,3 +1051,205 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("value") / F.col("n_touch"), 6).alias("credit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (time to churn)
+# --------------------------------------------------------------------------
+
+_CHURN_GAP_HOURS = 24
+_US_PER_HOUR = 3_600_000_000
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR((EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)))
+                        / {_US_PER_HOUR}.0) AS BIGINT) AS duration,
+             MAX(ts) AS last_t
+      FROM events GROUP BY user_id),
+    horizon AS (SELECT MAX(ts) AS h FROM events),
+    obs AS (
+      SELECT duration,
+             CASE WHEN last_t < (SELECT h FROM horizon)
+                              - TO_HOURS({_CHURN_GAP_HOURS})
+                  THEN 1 ELSE 0 END AS churned
+      FROM span),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    ev AS (
+      SELECT duration AS t,
+             CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY duration),
+    risk AS (
+      SELECT t, d,
+             (SELECT n FROM n_tot)
+               - COALESCE(SUM(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+      FROM ev),
+    km AS (
+      SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+             ROUND(EXP(CAST(SUM(CAST(LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                 AS DECIMAL(28,12)))
+                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                        AS DOUBLE)), 6) AS survival
+      FROM risk WHERE d > 0)
+    SELECT t AS hour, d AS n_churned, n_risk, survival FROM km
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user lifetime: duration = active
+    span in HOURS, churn = no activity within {24} hours of the corpus
+    horizon (others right-censored), S(t) = Π (1 - d_i/n_i) over churn
+    hours — THE retention-survival estimator (handles censoring
+    correctly, which naive "percent still active" curves do not).  Hours,
+    not days, because the fixtures span one month with intra-day churn.
+
+    Determinism: durations are exact integer hour floors of epoch-µs
+    differences; the KM product is EXP of a cumulative sum of per-step LN
+    terms — each term one IEEE double from identical integers, the
+    cumulative sum DECIMAL(28,12)-cast (order-fixed by the hour window),
+    final S(t) rounded once.
+
+    Scale: events collapse to per-user spans (one user-keyed aggregate);
+    the KM table is |distinct durations|-sized — windows run over that
+    summary, never the event stream; horizon/total are 1-row broadcasts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp")))
+            / F.lit(float(_US_PER_HOUR))
+        ).cast("bigint").alias("duration"),
+        F.max("ts").alias("last_t"),
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    obs = span.crossJoin(F.broadcast(horizon)).select(
+        "duration",
+        F.when(
+            F.col("last_t")
+            < F.col("h") - F.expr(f"INTERVAL {_CHURN_GAP_HOURS} HOURS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    n_tot = obs.agg(F.count("*").cast("bigint").alias("n"))
+    ev = obs.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = ev.crossJoin(F.broadcast(n_tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    ln_term = F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+    km = risk.filter(F.col("d") > 0).select(
+        F.col("t").alias("hour"),
+        F.col("d").alias("n_churned"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.round(
+            F.exp(
+                F.sum(ln_term.cast("decimal(28,12)")).over(w_cum).cast("double")
+            ),
+            6,
+        ).alias("survival"),
+    )
+    return km
+
+
+# --------------------------------------------------------------------------
+# Model gains / lift table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "model_gains_table",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS score,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents),
+    deciled AS (
+      SELECT y, NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM scored),
+    agg AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM deciled GROUP BY decile),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+                   CAST(SUM(n) AS BIGINT) AS total_n FROM agg)
+    SELECT a.decile, a.n, a.n_pos,
+           CAST(SUM(a.n_pos) OVER (ORDER BY a.decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+           ROUND(CAST(SUM(a.n_pos) OVER (ORDER BY a.decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (SELECT total_pos FROM tot), 6) AS capture_rate,
+           ROUND((CAST(a.n_pos AS DOUBLE) / a.n)
+                 / (CAST((SELECT total_pos FROM tot) AS DOUBLE)
+                    / (SELECT total_n FROM tot)), 6) AS lift
+    FROM agg a
+    """,
+)
+def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains / lift table: rank rows by model score (the length proxy
+    plays the scorer, parity with `quality_ranker_auc`'s label rule
+    doc_id%3), cut into score deciles, and report per-decile positives,
+    cumulative capture rate, and lift over the base rate — the
+    targeting-efficiency readout every campaign/filter model ships with
+    (AUC says "can it rank"; the gains table says "what do the top 20%
+    buy you").
+
+    Determinism: NTILE over a deterministic total order; counts exact;
+    the two ratios are rounded divisions of identical integers.
+
+    Scale: the decile cut is a global NTILE over the scored relation —
+    profile-sized here; at 100 TB swap in approx-quantile score
+    thresholds exactly like `equidepth_histogram`; everything after is a
+    10-key aggregate plus a 10-row window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    nt = Window.orderBy(F.col("score").desc(), "doc_id")
+    deciled = scored.select("y", F.ntile(10).over(nt).alias("decile"))
+    agg = deciled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = agg.agg(
+        F.sum("n_pos").cast("bigint").alias("total_pos"),
+        F.sum("n").cast("bigint").alias("total_n"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+            F.round(
+                F.sum("n_pos").over(w).cast("double") / F.col("total_pos"), 6
+            ).alias("capture_rate"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("total_pos").cast("double") / F.col("total_n")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -317,3 +317,71 @@ def test_linear_attribution_conserves_value_per_purchase(spark):
         total_credit = sum(r.credit for r in rs)
         # credits sum back to ~the purchase value (rounding per touch)
         assert abs(total_credit - rs[0].credit * n) < 1e-9
+
+
+# -------------------------------------------------------- Kaplan-Meier
+
+
+def test_km_survival_monotone_nonincreasing(spark):
+    # sf0.001's tiny user set may have no churner; sf0.01 exercises the
+    # real estimator (16-point curve)
+    rows = sorted(
+        QUERIES["survival_kaplan_meier"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.hour,
+    )
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(0 <= s <= 1 for s in surv)
+    assert surv == sorted(surv, reverse=True)  # survival never increases
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk <= a.n_risk  # risk set shrinks over time
+    for r in rows:
+        assert r.n_churned <= r.n_risk
+
+
+def test_km_handles_censoring_correctly(spark):
+    import datetime as dt
+
+    # 4 users; horizon set by user 4's last event (hour 720).
+    # users 1,2: last event hour 2 (churned, duration 2h)
+    # user 3: last event hour 5 (churned, duration 5h)
+    # user 4: active at horizon (censored)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    def add(u, hours):
+        nonlocal eid
+        for h in hours:
+            rows.append((eid, base + dt.timedelta(hours=h), u, "view", 1.0, "{}"))
+            eid += 1
+    add(1, [0, 2]); add(2, [0, 2]); add(3, [0, 5]); add(4, [0, 720])
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import lms_etl_pipeline_spark.plans.behavior as B
+
+    orig = B.load_table
+    df.createOrReplaceTempView("___km_lit")
+    try:
+        B.load_table = lambda s, d, t: s.table("___km_lit")
+        out = {r.hour: r for r in B.survival_kaplan_meier(spark, "x").collect()}
+    finally:
+        B.load_table = orig
+    # hour 2: risk 4, churn 2 -> S = 0.5; hour 5: risk 2, churn 1 -> S = 0.25
+    assert out[2].n_risk == 4 and out[2].n_churned == 2
+    assert abs(out[2].survival - 0.5) < 1e-9
+    assert out[5].n_risk == 2 and out[5].n_churned == 1
+    assert abs(out[5].survival - 0.25) < 1e-9
+    assert 720 not in out  # censored user contributes no churn event
+
+
+def test_gains_table_capture_monotone_and_complete(spark):
+    rows = sorted(
+        QUERIES["model_gains_table"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    caps = [r.capture_rate for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9  # all positives captured by decile 10
+    assert all(r.lift >= 0 for r in rows)

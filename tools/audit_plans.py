@@ -53,6 +53,8 @@ ALLOW_CROSS = {
     "knn_dot_product_mips",  # 5-row query-set broadcast x linear scan (MIPS twin of knn_cosine_exact)
     "embedding_pairwise_stats",  # bounded 200-row id-range all-pairs calibration anchor
     "semdedup_threshold_sweep",  # same bounded pair anchor + 1-row total broadcast
+    "survival_kaplan_meier",  # 1-row horizon + 1-row population-total broadcasts
+    "model_gains_table",     # 1-row (total_pos, total_n) broadcast
 }
 
 
