@@ -2586,3 +2586,203 @@ def mdm_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_chars",
         "first_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ks_test_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT n_chars AS v, doc_id % 10 = {_BATCH_MOD} AS in_delta
+      FROM documents),
+    counts AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN in_delta THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN in_delta THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM t GROUP BY v),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM counts),
+    cdf AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM counts),
+    d AS (
+      SELECT MAX(ABS(ROUND(CAST(cum_a AS DOUBLE) / (SELECT na FROM tot)
+                           - CAST(cum_b AS DOUBLE) / (SELECT nb FROM tot), 9)))
+                 AS d_stat
+      FROM cdf)
+    SELECT (SELECT na FROM tot) AS n_index, (SELECT nb FROM tot) AS n_delta,
+           ROUND(d_stat, 6) AS d_stat,
+           ROUND(1.358 * SQRT(CAST((SELECT na FROM tot) + (SELECT nb FROM tot)
+                                   AS DOUBLE)
+                              / ((SELECT na FROM tot)
+                                 * CAST((SELECT nb FROM tot) AS DOUBLE))), 6)
+               AS crit_05,
+           ROUND(d_stat, 6)
+             > ROUND(1.358 * SQRT(CAST((SELECT na FROM tot)
+                                       + (SELECT nb FROM tot) AS DOUBLE)
+                                  / ((SELECT na FROM tot)
+                                     * CAST((SELECT nb FROM tot) AS DOUBLE))), 6)
+               AS drifted
+    FROM d
+    """,
+)
+def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on the delta batch vs the index
+    corpus over document length: D = max |CDF_index − CDF_delta| plus the
+    α=0.05 critical value 1.358·√((n+m)/(n·m)) and the drift verdict —
+    the NONPARAMETRIC drift gate beside ``psi_drift_report`` (PSI needs
+    binning choices; KS reads the full empirical CDFs and is the
+    statistic monitoring suites quote).
+
+    Determinism: per-value counts and cumulative sums are exact integers
+    over a deterministic value order; each CDF gap is rounded at scale 9
+    before the MAX (identical doubles both engines), and the verdict
+    compares scale-6 roundings of identical expressions.
+
+    Scale: one conditional count per distinct value (map-side combining),
+    a cumulative window over the VALUE DOMAIN (not the corpus), and a
+    1-row total broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("n_chars").alias("v"),
+        (F.col("doc_id") % 10 == _BATCH_MOD).alias("in_delta"),
+    )
+    counts = t.groupBy("v").agg(
+        F.sum(F.when(F.col("in_delta"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("in_delta"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    gap = F.abs(
+        F.round(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb"),
+            9,
+        )
+    )
+    dstat = (
+        cdf.crossJoin(F.broadcast(tot)).agg(F.max(gap).alias("d_stat"))
+    )
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("na") + F.col("nb")).cast("double")
+            / (F.col("na") * F.col("nb").cast("double"))
+        ),
+        6,
+    )
+    return dstat.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_index"),
+        F.col("nb").alias("n_delta"),
+        F.round("d_stat", 6).alias("d_stat"),
+        crit.alias("crit_05"),
+        (F.round("d_stat", 6) > crit).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V categorical association
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cramers_v_association",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, EXTRACT(DOW FROM ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, dow),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc FROM obs),
+    chi AS (
+      SELECT CAST(SUM(CAST(
+               POWER(obs.o - CAST(rt.r AS DOUBLE) * ct.c / (SELECT n FROM n), 2)
+               / (CAST(rt.r AS DOUBLE) * ct.c / (SELECT n FROM n))
+             AS DECIMAL(28,10))) AS DOUBLE) AS chi2
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow))
+    SELECT (SELECT n FROM n) AS n,
+           ROUND(chi2, 4) AS chi2,
+           CAST(((SELECT nr FROM n) - 1) * ((SELECT nc FROM n) - 1) AS BIGINT)
+               AS dof,
+           ROUND(SQRT(chi2 / ((SELECT n FROM n)
+                 * (LEAST((SELECT nr FROM n), (SELECT nc FROM n)) - 1))), 6)
+               AS cramers_v
+    FROM chi
+    """,
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and day-of-week: the χ²
+    statistic over the contingency table normalized to [0, 1] — the
+    CATEGORICAL counterpart of ``correlation_matrix`` (is behavior mix a
+    function of weekday?  V ≈ 0 on these uniform fixtures — the null
+    read a sanity check should give).
+
+    Determinism: observed and marginal counts are exact integers; each
+    cell's χ² term is one IEEE double from identical integers,
+    DECIMAL(28,10)-cast before the cross-cell sum (order-free); χ² and V
+    are rounded once.
+
+    Scale: one |types×7|-bounded contingency aggregate, marginal
+    broadcasts, and a cell-count-sized χ² sum — events scanned once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    ex = F.col("r").cast("double") * F.col("c") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.pow(F.col("o") - ex, 2) / ex).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("chi2"),
+            F.any_value("n").alias("n"),
+            F.any_value("nr").alias("nr"),
+            F.any_value("nc").alias("nc"),
+        )
+    )
+    return chi.select(
+        "n",
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("nr", "nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

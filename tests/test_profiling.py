@@ -721,3 +721,51 @@ def test_mdm_golden_record_policy(spark):
         survivor = docs[r.survivor_id]
         assert survivor.n_chars == r.max_chars  # longest-content policy
         assert r.first_id <= r.survivor_id or r.first_id <= r.survivor_id
+
+
+# ----------------------------------------------------------------- KS
+
+
+def test_ks_identical_samples_read_null(spark):
+    # same distribution on both sides -> D == 0, no drift
+    rows = [(i, "x" * 50, "en", "s", 50) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___ks_lit")
+    try:
+        P.load_table = lambda s, d, t: s.table("___ks_lit")
+        out = P.ks_test_drift(spark, "x").collect()[0]
+    finally:
+        P.load_table = orig
+    assert out.d_stat == 0.0 and not out.drifted
+
+
+def test_ks_detects_planted_shift(spark):
+    # delta batch (doc_id%10==7) gets lengths 1000+, index stays ~50
+    rows = []
+    for i in range(60):
+        n = 1000 + i if i % 10 == 7 else 50 + (i % 5)
+        rows.append((i, "t", "en", "s", n))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    orig = P.load_table
+    df.createOrReplaceTempView("___ks_lit2")
+    try:
+        P.load_table = lambda s, d, t: s.table("___ks_lit2")
+        out = P.ks_test_drift(spark, "x").collect()[0]
+    finally:
+        P.load_table = orig
+    assert out.d_stat == 1.0  # disjoint supports -> maximal D
+    assert out.drifted
+
+
+def test_cramers_v_bounds_and_null_read(spark):
+    row = QUERIES["cramers_v_association"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.cramers_v <= 1
+    assert row.chi2 >= 0
+    assert row.dof >= 1
+    # uniform synthetic behavior: association should be weak
+    assert row.cramers_v < 0.3

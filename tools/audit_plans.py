@@ -55,6 +55,8 @@ ALLOW_CROSS = {
     "semdedup_threshold_sweep",  # same bounded pair anchor + 1-row total broadcast
     "survival_kaplan_meier",  # 1-row horizon + 1-row population-total broadcasts
     "model_gains_table",     # 1-row (total_pos, total_n) broadcast
+    "ks_test_drift",         # 1-row sample-size broadcast onto the value-domain CDF
+    "cramers_v_association",  # 1-row N broadcast onto the bounded contingency table
 }
 
 
