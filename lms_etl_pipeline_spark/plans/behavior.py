@@ -1253,3 +1253,204 @@ def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Week-over-week change
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekly_wow_change",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, DATE_TRUNC('week', CAST(ts AS DATE)) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS val_dec
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, week, n,
+             CAST(ROUND(val_dec, 4) AS DOUBLE) AS total_value,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM weekly)
+    SELECT event_type, week, n, total_value,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           ROUND(CAST(n - prev_n AS DOUBLE) / prev_n, 6) AS wow_change
+    FROM seq WHERE prev_n IS NOT NULL
+    """,
+)
+def weekly_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts and exact-
+    decimal value totals with the relative change vs the prior week — the
+    first derivative every metrics dashboard renders next to the raw
+    series (and the alert input "signups down 30% WoW").
+
+    Determinism: week truncation on dates, exact counts, decimal value
+    sums rounded once; the change is a single division of exact integers.
+
+    Scale: events collapse to the (type × week) aggregate first; the LAG
+    window runs over that calendar-sized summary partitioned by type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", F.to_date("ts")).alias("week")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("val_dec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    seq = weekly.select(
+        "event_type",
+        F.to_date("week").alias("week"),
+        "n",
+        F.round("val_dec", 4).cast("double").alias("total_value"),
+        F.lag("n").over(w).alias("prev_n"),
+    )
+    return seq.filter(F.col("prev_n").isNotNull()).select(
+        "event_type",
+        "week",
+        "n",
+        "total_value",
+        F.col("prev_n").cast("bigint").alias("prev_n"),
+        F.round(
+            (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n"), 6
+        ).alias("wow_change"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period delta contribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "period_delta_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation_name,
+             SUM(CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) = 1
+                      THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS rev_p1,
+             SUM(CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) = 2
+                      THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS rev_p2
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE EXTRACT(MONTH FROM o.o_orderdate) IN (1, 2)
+        AND EXTRACT(YEAR FROM o.o_orderdate)
+            = (SELECT MIN(EXTRACT(YEAR FROM o_orderdate)) FROM orders)
+      GROUP BY 1),
+    tot AS (SELECT SUM(rev_p2 - rev_p1) AS total_delta FROM rev)
+    SELECT nation_name,
+           CAST(ROUND(rev_p1, 4) AS DOUBLE) AS rev_p1,
+           CAST(ROUND(rev_p2, 4) AS DOUBLE) AS rev_p2,
+           CAST(ROUND(rev_p2 - rev_p1, 4) AS DOUBLE) AS delta,
+           ROUND(CAST(rev_p2 - rev_p1 AS DOUBLE)
+                 / CAST((SELECT total_delta FROM tot) AS DOUBLE), 6)
+               AS share_of_delta
+    FROM rev
+    """,
+)
+def period_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period delta decomposition: each nation's January vs
+    February revenue (first fixture year), the change, and its share of
+    the TOTAL company change — the waterfall/bridge table FP&A builds to
+    answer "which segment drove the move" (shares sum to 1 by
+    construction, sign-aware).
+
+    Determinism: both period totals are exact conditional DECIMAL sums in
+    ONE pass (no two-scan diff); delta stays decimal until the rounded
+    emission; the share divides exact decimals cast to double once.
+
+    Scale: one conditional aggregate on the nation key (dimension joins
+    broadcast), a 1-row total-delta broadcast — the fact table is scanned
+    once, shuffled once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    year0 = o.agg(F.min(F.year("o_orderdate")).alias("y0"))
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(year0))
+        .filter(
+            (F.year("o_orderdate") == F.col("y0"))
+            & F.month("o_orderdate").isin(1, 2)
+        )
+    )
+    dec0 = F.lit(0).cast("decimal(18,4)")
+    rev = base.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.sum(
+            F.when(
+                F.month("o_orderdate") == 1,
+                F.col("o_totalprice").cast("decimal(18,4)"),
+            ).otherwise(dec0)
+        ).alias("rev_p1"),
+        F.sum(
+            F.when(
+                F.month("o_orderdate") == 2,
+                F.col("o_totalprice").cast("decimal(18,4)"),
+            ).otherwise(dec0)
+        ).alias("rev_p2"),
+    )
+    tot = rev.agg(F.sum(F.col("rev_p2") - F.col("rev_p1")).alias("total_delta"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "nation_name",
+        F.round("rev_p1", 4).cast("double").alias("rev_p1"),
+        F.round("rev_p2", 4).cast("double").alias("rev_p2"),
+        F.round(F.col("rev_p2") - F.col("rev_p1"), 4)
+        .cast("double")
+        .alias("delta"),
+        F.round(
+            (F.col("rev_p2") - F.col("rev_p1")).cast("double")
+            / F.col("total_delta").cast("double"),
+            6,
+        ).alias("share_of_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# New vs returning users per day
+# --------------------------------------------------------------------------
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id)
+    SELECT ud.d AS day,
+           CAST(SUM(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN ud.d > f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY ud.d
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day: a user's first-activity day
+    counts them as new, every later active day as returning — the growth
+    split every DAU chart is stacked by (acquisition vs engagement).
+
+    Scale: the distinct (user, day) collapse, one user-keyed min, an
+    equi-join back on the same user key (partitioning reused), and a
+    day-keyed conditional count — no windows, all map-side combining.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ud.join(f, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )

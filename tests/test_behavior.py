@@ -385,3 +385,40 @@ def test_gains_table_capture_monotone_and_complete(spark):
     assert caps == sorted(caps)
     assert abs(caps[-1] - 1.0) < 1e-9  # all positives captured by decile 10
     assert all(r.lift >= 0 for r in rows)
+
+
+# ------------------------------------------------------------- WoW / BI
+
+
+def test_wow_change_consistency(spark):
+    rows = QUERIES["weekly_wow_change"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.wow_change - round((r.n - r.prev_n) / r.prev_n, 6)) < 1e-9
+        assert r.prev_n > 0
+
+
+def test_period_delta_shares_sum_to_one(spark):
+    rows = QUERIES["period_delta_contribution"](spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r.share_of_delta for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.delta - round(r.rev_p2 - r.rev_p1, 4)) < 1e-6
+
+
+def test_new_vs_returning_accounting(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = sorted(
+        QUERIES["new_vs_returning_daily"](spark, SF_SMOKE).collect(),
+        key=lambda r: str(r.day),
+    )
+    assert rows
+    # day 1: everyone active is new
+    assert rows[0].returning_users == 0
+    # total new users across all days == distinct users overall
+    total_new = sum(r.new_users for r in rows)
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert total_new == n_users

@@ -57,6 +57,7 @@ ALLOW_CROSS = {
     "model_gains_table",     # 1-row (total_pos, total_n) broadcast
     "ks_test_drift",         # 1-row sample-size broadcast onto the value-domain CDF
     "cramers_v_association",  # 1-row N broadcast onto the bounded contingency table
+    "period_delta_contribution",  # 1-row first-year + 1-row total-delta broadcasts
 }
 
 
