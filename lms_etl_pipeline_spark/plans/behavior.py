@@ -1454,3 +1454,95 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Attribution-window sensitivity sweep
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOWS_H = (1, 6, 24, 72)
+
+
+@query(
+    "attribution_window_sensitivity",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    matched AS (
+      SELECT p.event_id, p.ts, c.ts AS click_ts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM purchases),
+    w AS (SELECT UNNEST(ARRAY{list(_ATTR_WINDOWS_H)}) AS window_h)
+    SELECT w.window_h,
+           CAST(SUM(CASE WHEN m.click_ts IS NOT NULL
+                     AND m.click_ts > m.ts - TO_HOURS(w.window_h)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           ROUND(CAST(SUM(CASE WHEN m.click_ts IS NOT NULL
+                          AND m.click_ts > m.ts - TO_HOURS(w.window_h)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT n FROM tot), 6) AS attribution_rate
+    FROM matched m, w
+    GROUP BY w.window_h
+    """,
+)
+def attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity: for each candidate lookback window,
+    how many purchases get click-attributed and at what rate — the sweep
+    marketing runs BEFORE fixing the attribution window (the policy twin
+    of ``watermark_loss_curve``: both turn "pick a constant" into a
+    measured curve).  Because last-touch attribution only needs the
+    NEAREST preceding click, one as-of join answers every window — the
+    gap is compared against each candidate, so 4 windows cost one pass.
+
+    Determinism: the as-of match is the deduped-latest-click convention
+    of ``join_asof_last_click``; lateness per window is an exact
+    timestamp comparison; counts exact, one rounded rate.
+
+    Scale: one union-sort-window as-of join (single user-keyed shuffle),
+    a constant 4-way explode of the purchase-sized match table, and a
+    1-row total broadcast.
+    """
+    from lms_etl_pipeline_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    matched = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_id"],
+    )
+    tot = purchases.agg(F.count("*").cast("bigint").alias("n"))
+    windows = F.explode(
+        F.array(*[F.lit(h) for h in _ATTR_WINDOWS_H])
+    ).alias("window_h")
+    sweep = matched.select("ts", F.col("asof_ts").alias("click_ts"), windows)
+    hit = F.when(
+        F.col("click_ts").isNotNull()
+        & (
+            F.col("click_ts")
+            > F.col("ts") - F.col("window_h") * F.expr("INTERVAL 1 HOUR")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        sweep.groupBy("window_h")
+        .agg(F.sum(hit).cast("bigint").alias("n_attributed"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window_h",
+            "n_attributed",
+            F.round(
+                F.col("n_attributed").cast("double") / F.col("n"), 6
+            ).alias("attribution_rate"),
+        )
+    )

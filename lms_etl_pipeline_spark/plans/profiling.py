@@ -2786,3 +2786,53 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate rate by source
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, source, {_FP_SQL} AS f FROM documents),
+    csize AS (SELECT f, COUNT(*) AS sz FROM fp GROUP BY f)
+    SELECT fp.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_dup_cluster,
+           ROUND(CAST(SUM(CASE WHEN c.sz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM fp JOIN csize c USING (f)
+    GROUP BY fp.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate per source: the fraction of each feed's documents
+    that belong to a multi-member exact-duplicate cluster — the
+    per-supplier quality signal that turns the corpus-wide dedup ledger
+    into an actionable feed scorecard (pairs with `source_overlap_matrix`
+    for WHO mirrors WHOM and `source_reputation` for the composite card).
+
+    Scale: fingerprint once (map-only), one cluster-size aggregate on the
+    uniform 128-bit key, an equi-join back on that key, and a source-keyed
+    conditional count — no pairwise work anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", tx.fingerprint("text").alias("f"))
+    csize = fp.groupBy("f").agg(F.count("*").alias("sz"))
+    return (
+        fp.join(csize, "f")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_cluster"),
+            F.round(
+                F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -422,3 +422,17 @@ def test_new_vs_returning_accounting(spark):
         load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
     )
     assert total_new == n_users
+
+
+# ------------------------------------------------ attribution sensitivity
+
+
+def test_attribution_window_sweep_monotone(spark):
+    rows = sorted(
+        QUERIES["attribution_window_sensitivity"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.window_h,
+    )
+    assert [r.window_h for r in rows] == [1, 6, 24, 72]
+    ns = [r.n_attributed for r in rows]
+    assert ns == sorted(ns)  # a longer window can only attribute MORE
+    assert all(0 <= r.attribution_rate <= 1 for r in rows)

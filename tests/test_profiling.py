@@ -769,3 +769,19 @@ def test_cramers_v_bounds_and_null_read(spark):
     assert row.dof >= 1
     # uniform synthetic behavior: association should be weak
     assert row.cramers_v < 0.3
+
+
+# --------------------------------------------------- dup rate by source
+
+
+def test_dup_rate_by_source_accounting(spark):
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    rows = QUERIES["dup_rate_by_source"](spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    per_source = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert {r.source for r in rows} == set(per_source)
+    for r in rows:
+        assert r.n_docs == per_source[r.source]
+        assert 0 <= r.n_in_dup_cluster <= r.n_docs
+        assert abs(r.dup_rate - round(r.n_in_dup_cluster / r.n_docs, 6)) < 1e-9

@@ -58,6 +58,7 @@ ALLOW_CROSS = {
     "ks_test_drift",         # 1-row sample-size broadcast onto the value-domain CDF
     "cramers_v_association",  # 1-row N broadcast onto the bounded contingency table
     "period_delta_contribution",  # 1-row first-year + 1-row total-delta broadcasts
+    "attribution_window_sensitivity",  # 1-row purchase-total broadcast (rate denominator)
 }
 
 
