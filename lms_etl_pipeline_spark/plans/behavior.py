@@ -1546,3 +1546,125 @@ def attribution_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("attribution_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Session bounce / dwell metrics
+# --------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "session_bounce_dwell",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM o)
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS dwell_us,
+           COUNT(*) = 1 AS is_bounce
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session engagement metrics over the 30-minute gap-rule
+    sessions: event count, dwell time in exact epoch microseconds, and
+    the bounce flag (single-event session) — the bounce-rate / dwell-time
+    table every web-analytics report aggregates from
+    (``events_sessionize_gap`` assigns the ids; this is the metric layer
+    on the same single-shuffle window pair).
+
+    Determinism: integer microsecond arithmetic only; the bounce flag is
+    an exact count comparison.
+
+    Scale: identical plan shape to the sessionizer — two windows on one
+    user_id partitioning, then a (user, session) hash aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap > _SESS_GAP_US), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_s").over(wc).cast("long").alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dwell_us"
+        ),
+        (F.count("*") == 1).alias("is_bounce"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival time statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interarrival_time_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           ROUND(QUANTILE_CONT(gap_us, 0.5), 4) AS p50_us,
+           ROUND(QUANTILE_CONT(gap_us, 0.9), 4) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: consecutive-event
+    gaps in exact epoch microseconds with min/median/p90/max — the
+    capacity-planning and rate-limit input ("how bursty is this stream"),
+    and the empirical base for any Poisson-rate assumption a streaming
+    watermark choice rests on (pairs with ``watermark_loss_curve``).
+
+    Determinism: gaps are exact integer differences over a total order;
+    percentiles follow the repo's PERCENTILE_CONT convention (exact
+    interpolation, rounded at scale 4).
+
+    Scale: one window partitioned on the bounded event_type key (sorts
+    within type), then a map-side-combining aggregate per type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )

@@ -436,3 +436,27 @@ def test_attribution_window_sweep_monotone(spark):
     ns = [r.n_attributed for r in rows]
     assert ns == sorted(ns)  # a longer window can only attribute MORE
     assert all(0 <= r.attribution_rate <= 1 for r in rows)
+
+
+# ------------------------------------------------------ session metrics
+
+
+def test_session_bounce_dwell_consistency(spark):
+    df = QUERIES["session_bounce_dwell"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert (r.n_events == 1) == r.is_bounce
+        assert (r.dwell_us == 0) == (r.n_events == 1) or r.dwell_us >= 0
+    # session count matches the sessionizer on the same rule
+    n_sessions = QUERIES["events_sessionize_gap"](spark, SF_SMOKE).count()
+    assert df.count() == n_sessions
+
+
+def test_interarrival_stats_ordering(spark):
+    rows = QUERIES["interarrival_time_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.min_us >= 0
+        assert r.min_us <= r.p50_us <= r.p90_us <= r.max_us
+        assert r.n_gaps > 0
