@@ -1,0 +1,607 @@
+"""Sequence, time-series-model, graph-traversal, and retrieval-eval plans
+(round 5c widening).
+
+Operators a production analytics platform runs over ordered event/metric
+series and derived graphs that were not yet first-class in the catalog:
+
+- **EWMA smoothing** (``ewma_smoothing``) — exponentially-weighted moving
+  average of the daily metric series, the standard dashboard smoother and
+  the state update inside every EWMA-based alerting rule;
+- **autocorrelation** (``acf_lags``) — ACF of the daily event-count series
+  at lags 1 and 7, the seasonality detector (daily/weekly rhythm) every
+  forecasting pipeline checks before picking a model;
+- **activity streaks** (``activity_streaks``) — gaps-and-islands over each
+  user's active days: longest consecutive-day run, island count — the
+  canonical retention/engagement cut (and the classic SQL interview shape,
+  done as one window pass);
+- **k-hop reachability** (``khop_reachability``) — bounded breadth
+  expansion over the customer→supplier order graph: direct suppliers,
+  2-hop co-customers, 3-hop supplier closure per source node;
+- **retrieval MRR / NDCG** (``retrieval_mrr_ndcg``) — the two ranking
+  metrics every embedding-retrieval stack reports, computed over exact
+  cosine top-10 lists with label-match relevance;
+- **SCD2 point-in-time snapshot** (``scd2_snapshot_asof``) — "the table as
+  it was at time T": reconstructs the as-of state from SCD-type-2 validity
+  windows, the time-travel read every warehouse dimension serves.
+
+Reference parity note: the reference (`/root/reference/src/lms_to_s3_lambda.py`,
+`src/s3_to_rds_lambda.py` — a 2-file pandas ETL) has no analytics layer;
+these extend the engine along the driver-mandated SURVEY.md §2.12 + LLM
+training-data axis like the earlier round-5 waves.
+
+Determinism / oracle strategy (repo convention, ``functions/numeric.py``):
+cross-row double sums go through fixed-scale DECIMAL casts (exact,
+order-independent); EWMA weights are powers of 1/2 (exact binary scaling,
+bit-stable products); ACF moments are exact DECIMAL sums of integers with
+one final double expression; NDCG discount weights are injected as
+identical Python double literals into BOTH engines and per-term rounded
+before the order-independent DECIMAL sum; every emitted float is ROUNDed
+at a fixed scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators import vectors as vec
+from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.plans.llm import EMB_DIM
+from lms_etl_pipeline_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# EWMA smoothing
+# --------------------------------------------------------------------------
+
+#: EWMA half-weights: alpha = 1/2, truncated at 8 lags.  Powers of two are
+#: exactly representable binary doubles, so x * w is pure exponent scaling
+#: (bit-exact in IEEE754) and both engines produce identical products.
+_EWMA_LAGS = 8
+_EWMA_W = [0.5**k for k in range(_EWMA_LAGS + 1)]
+
+
+def _ewma_oracle() -> str:
+    num = "x + " + " + ".join(
+        f"COALESCE(LAG(x, {k}) OVER w * {_EWMA_W[k]!r}, 0)"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    den = "1.0 + " + " + ".join(
+        f"CASE WHEN LAG(x, {k}) OVER w IS NOT NULL THEN {_EWMA_W[k]!r} ELSE 0 END"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, x,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    """
+
+
+@query("ewma_smoothing", oracle=_ewma_oracle())
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2, truncated at 8
+    lags, adjusted weights) of each event type's daily value total — the
+    smoother behind "smoothed DAU" dashboard lines and EWMA alert rules.
+
+    The recursive definition is unrolled into 9 explicit LAG terms, which
+    keeps the whole thing ONE window pass (no recursion, no UDF).  With
+    alpha = 1/2 the truncation error is bounded by 2^-9 of the oldest
+    mass, and all weights are exact binary doubles so the weighted terms
+    are bit-identical across engines; the daily base series is an exact
+    decimal sum rounded once before smoothing.
+
+    Scale: events collapse to the (type x day) aggregate first (map-side
+    combine); the window runs over that calendar-sized summary.  Nine lags
+    per row is O(1) state per partition — at any fleet size the window
+    input is |types| x |days|, never the raw event count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    num = F.col("x")
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_LAGS + 1):
+        xk = F.lag("x", k).over(w)
+        num = num + F.coalesce(xk * F.lit(_EWMA_W[k]), F.lit(0.0))
+        den = den + F.when(xk.isNotNull(), F.lit(_EWMA_W[k])).otherwise(F.lit(0.0))
+    return daily.select(
+        "event_type", "day", "x", F.round(num / den, 6).alias("ewma")
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation (ACF) of the daily count series
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7)
+
+
+def _acf_oracle() -> str:
+    arms = []
+    for lag in _ACF_LAGS:
+        arms.append(f"""
+    SELECT event_type, CAST({lag} AS INTEGER) AS lag,
+           CAST(nn AS BIGINT) AS n_pairs,
+           ROUND(
+             (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT(
+                 (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS acf
+    FROM (
+      SELECT event_type,
+             COUNT(*) AS nn,
+             SUM(x) AS sx,
+             SUM(y) AS sy,
+             SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx,
+             SUM(y * y) AS syy
+      FROM (
+        SELECT event_type, x,
+               LAG(x, {lag}) OVER (PARTITION BY event_type ORDER BY day ASC) AS y
+        FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS DECIMAL(18,0)) AS x
+              FROM events GROUP BY 1, 2))
+      WHERE y IS NOT NULL
+      GROUP BY event_type)""")
+    return " UNION ALL ".join(arms)
+
+
+@query("acf_lags", oracle=_acf_oracle())
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily-count series at lags 1
+    and 7 — the seasonality probe (strong lag-7 ACF = weekly rhythm) run
+    before every forecasting-model choice, and the statistical twin of
+    ``timeseries_seasonal_profile``'s calendar cut.
+
+    Determinism: the series is integer daily counts; all five moments
+    (sums, squares, cross products) are exact DECIMAL(38,0) integer sums,
+    so the single closing double expression — Pearson r of (x_t, x_{t-k})
+    — sees identical inputs on both engines and is rounded once.
+
+    Scale: raw events collapse to the (type x day) count first; the lag
+    window and moment aggregation run over that calendar-sized series.
+    The UNION over lags re-reads only the aggregate, and each arm is one
+    window pass + one hash aggregate keyed by event_type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    out = None
+    for lag in _ACF_LAGS:
+        w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+        paired = daily.select(
+            "event_type",
+            F.col("x").cast("decimal(18,0)").alias("x"),
+            F.lag("x", lag).over(w).cast("decimal(18,0)").alias("y"),
+        ).filter(F.col("y").isNotNull())
+        m = paired.groupBy("event_type").agg(
+            F.count("*").alias("nn"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        nn_d = F.col("nn").cast("double")
+        sx_d = F.col("sx").cast("double")
+        sy_d = F.col("sy").cast("double")
+        r = (
+            nn_d * F.col("sxy").cast("double") - sx_d * sy_d
+        ) / F.sqrt(
+            (nn_d * F.col("sxx").cast("double") - sx_d * sx_d)
+            * (nn_d * F.col("syy").cast("double") - sy_d * sy_d)
+        )
+        arm = m.select(
+            "event_type",
+            F.lit(lag).cast("int").alias("lag"),
+            F.col("nn").cast("bigint").alias("n_pairs"),
+            F.round(r, 6).alias("acf"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Activity streaks (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day ASC) AS INTEGER) AS g
+      FROM active),
+    islands AS (
+      SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grp GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM islands GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each user's active days: total active days,
+    longest consecutive-day streak, and number of distinct streaks — the
+    engagement cut behind "7-day streak" product mechanics and retention
+    scoring.
+
+    The island key is the classic constant-difference trick: day minus the
+    per-user row number is constant exactly within a consecutive run, so
+    ONE window pass + two hash aggregates replace any self-join or
+    per-user iteration.  All outputs are exact integers.
+
+    Scale: events first collapse to distinct (user, day) — bounded by
+    users x calendar, far below raw event count; the window partitions by
+    user_id (naturally high-cardinality, no skew hot key) and both
+    aggregates are map-side combinable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    grp = active.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("g"),
+    )
+    islands = grp.groupBy("user_id", "g").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-hop reachability over the order graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "khop_reachability",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    src AS (SELECT DISTINCT cust FROM edges WHERE cust < 25),
+    hop1 AS (
+      SELECT s.cust, e.supp FROM src s JOIN edges e ON e.cust = s.cust),
+    hop2 AS (
+      SELECT DISTINCT h.cust, e2.cust AS cocust
+      FROM hop1 h JOIN edges e2 ON e2.supp = h.supp
+      WHERE e2.cust <> h.cust),
+    hop3 AS (
+      SELECT DISTINCT h2.cust, e3.supp
+      FROM hop2 h2 JOIN edges e3 ON e3.cust = h2.cocust),
+    a1 AS (SELECT cust, COUNT(*) AS n1 FROM hop1 GROUP BY 1),
+    a2 AS (SELECT cust, COUNT(*) AS n2 FROM hop2 GROUP BY 1),
+    a3 AS (SELECT cust, COUNT(*) AS n3 FROM hop3 GROUP BY 1)
+    SELECT s.cust AS src_custkey,
+           CAST(COALESCE(a1.n1, 0) AS BIGINT) AS n_direct_suppliers,
+           CAST(COALESCE(a2.n2, 0) AS BIGINT) AS n_cocustomers_2hop,
+           CAST(COALESCE(a3.n3, 0) AS BIGINT) AS n_suppliers_3hop
+    FROM src s
+    LEFT JOIN a1 ON a1.cust = s.cust
+    LEFT JOIN a2 ON a2.cust = s.cust
+    LEFT JOIN a3 ON a3.cust = s.cust
+    """,
+)
+def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first expansion over the bipartite customer→supplier
+    order graph (the same edge set as ``pagerank_graph``): per source
+    customer, the count of directly-used suppliers, of 2-hop co-customers
+    (share a supplier), and of suppliers in the 3-hop closure — the
+    neighborhood-size features fraud/recommendation graph pipelines attach
+    to every node.
+
+    Each hop is an EQUI-join of the current frontier against the edge
+    list, with DISTINCT collapsing the frontier between hops so fan-out
+    never compounds — the standard distributed BFS layout.  All outputs
+    are exact integers.
+
+    Scale: edges partition by join key per hop; frontiers stay bounded by
+    |nodes|, not paths, because of the per-hop DISTINCT.  The source set
+    here is a fixed key-range slice; an open-ended variant iterates
+    frontier joins under localCheckpoint like ``operators/graph.py``.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    src = edges.filter(F.col("cust") < 25).select("cust").distinct()
+    hop1 = src.join(edges, "cust")  # (cust, supp)
+    h1 = hop1.groupBy("cust").agg(
+        F.count("*").cast("bigint").alias("n_direct_suppliers")
+    )
+    e2 = edges.select(F.col("cust").alias("cocust"), "supp")
+    hop2 = (
+        hop1.join(e2, "supp")
+        .filter(F.col("cocust") != F.col("cust"))
+        .select("cust", "cocust")
+        .distinct()
+    )
+    h2 = hop2.groupBy("cust").agg(
+        F.count("*").cast("bigint").alias("n_cocustomers_2hop")
+    )
+    e3 = edges.select(F.col("cust").alias("cocust"), F.col("supp").alias("supp3"))
+    hop3 = hop2.join(e3, "cocust").select("cust", "supp3").distinct()
+    h3 = hop3.groupBy("cust").agg(
+        F.count("*").cast("bigint").alias("n_suppliers_3hop")
+    )
+    return (
+        src.select(F.col("cust").alias("src_custkey"))
+        .join(h1, F.col("src_custkey") == h1.cust, "left")
+        .drop("cust")
+        .join(h2, F.col("src_custkey") == h2.cust, "left")
+        .drop("cust")
+        .join(h3, F.col("src_custkey") == h3.cust, "left")
+        .drop("cust")
+        .select(
+            "src_custkey",
+            F.coalesce("n_direct_suppliers", F.lit(0)).alias("n_direct_suppliers"),
+            F.coalesce("n_cocustomers_2hop", F.lit(0)).alias("n_cocustomers_2hop"),
+            F.coalesce("n_suppliers_3hop", F.lit(0)).alias("n_suppliers_3hop"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval ranking metrics: MRR + NDCG@10
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+_N_RETRIEVAL_Q = 10
+#: Discount weights 1/log2(rank+1), rank 1..10, and their prefix sums —
+#: injected as IDENTICAL Python double literals into both engines so no
+#: cross-libm log2 enters the differential surface.
+_DCG_W = [1.0 / __import__("math").log2(r + 1) for r in range(1, _NDCG_K + 1)]
+_DCG_W_R = [round(w, 9) for w in _DCG_W]
+_IDCG_PREFIX = [round(sum(_DCG_W_R[: i + 1]), 9) for i in range(_NDCG_K)]
+
+
+def _retrieval_oracle() -> str:
+    d_qn = vec.dot_sql("q.embedding", "n.embedding", EMB_DIM)
+    d_qq = vec.dot_sql("q.embedding", "q.embedding", EMB_DIM)
+    d_nn = vec.dot_sql("n.embedding", "n.embedding", EMB_DIM)
+    w_case = " ".join(
+        f"WHEN {r} THEN {_DCG_W_R[r - 1]!r}" for r in range(1, _NDCG_K + 1)
+    )
+    idcg_case = " ".join(
+        f"WHEN {i + 1} THEN {_IDCG_PREFIX[i]!r}" for i in range(_NDCG_K)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {_N_RETRIEVAL_Q}),
+    ranked AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             (n.label = q.label) AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ({d_qn}) / (SQRT({d_qq}) * SQRT({d_nn})) DESC,
+                        n.vec_id ASC) AS rk
+      FROM q, embeddings n WHERE n.vec_id <> q.vec_id),
+    top AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
+    lc AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY 1),
+    nrel AS (
+      SELECT q.vec_id AS q_id,
+             LEAST(CAST(lc.cnt - 1 AS BIGINT), {_NDCG_K}) AS r_total
+      FROM q JOIN lc ON lc.label = q.label),
+    per_q AS (
+      SELECT q_id,
+             CAST(COALESCE(MIN(rk) FILTER (WHERE rel), 0) AS BIGINT)
+               AS first_rel_rank,
+             SUM(CASE WHEN rel THEN
+                   CAST(CASE rk {w_case} END AS DECIMAL(18,9))
+                 ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg
+      FROM top GROUP BY q_id)
+    SELECT p.q_id, p.first_rel_rank,
+           ROUND(CASE WHEN p.first_rel_rank = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(1 AS DOUBLE) / p.first_rel_rank END, 6) AS rr,
+           ROUND(CAST(p.dcg AS DOUBLE)
+                 / CAST((CASE n.r_total {idcg_case} ELSE NULL END) AS DOUBLE),
+                 6) AS ndcg10
+    FROM per_q p JOIN nrel n ON n.q_id = p.q_id
+    """
+
+
+@query("retrieval_mrr_ndcg", oracle=_retrieval_oracle())
+def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank and NDCG@10 per query for exact cosine retrieval
+    with label-match relevance — the two metrics every embedding-retrieval
+    stack reports (MRR for "where is the first hit", NDCG for graded list
+    quality), closing the eval suite next to ``ann_recall_eval`` (recall)
+    and ``quality_ranker_auc`` (classification).
+
+    Determinism: ranks come from the bit-stable cosine (same left-assoc
+    fold both engines) with vec_id tiebreak; DCG discount weights are the
+    SAME Python double literals injected into both engines, per-term
+    rounded then DECIMAL-summed (order-independent); IDCG is a prefix-sum
+    lookup on the capped relevant count.  One final rounded division.
+
+    Scale: the {_N_RETRIEVAL_Q}-query set broadcasts and the corpus
+    streams through once (linear scan), the `knn_cosine_exact` layout; the
+    per-query relevant-count is the same broadcast against a hash
+    aggregate.  Metrics aggregate over top-k rows only.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_RETRIEVAL_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        vec.norm(F.col("embedding")).alias("_nq"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("label").alias("n_label"),
+        vec.norm(F.col("embedding")).alias("_nn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (F.col("n_label") == F.col("q_label")).alias("rel"),
+            (
+                vec.dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("_nq") * F.col("_nn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    top = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NDCG_K)
+    )
+    # CASE rank -> literal weight, identical literal set as the oracle.
+    weight = F.when(
+        F.col("rk") == 1, F.lit(_DCG_W_R[0]).cast("decimal(18,9)")
+    )
+    for r in range(2, _NDCG_K + 1):
+        weight = weight.when(
+            F.col("rk") == r, F.lit(_DCG_W_R[r - 1]).cast("decimal(18,9)")
+        )
+    per_q = top.groupBy("q_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("rel"), F.col("rk"))), F.lit(0)
+        ).cast("bigint").alias("first_rel_rank"),
+        F.sum(
+            F.when(F.col("rel"), weight).otherwise(
+                F.lit(0).cast("decimal(18,9)")
+            )
+        ).alias("dcg"),
+    )
+    lc = e.groupBy(F.col("label")).agg(F.count("*").alias("cnt"))
+    nrel = (
+        q.select("q_id", "q_label")
+        .join(F.broadcast(lc), F.col("q_label") == F.col("label"))
+        .select(
+            "q_id",
+            F.least(F.col("cnt") - 1, F.lit(_NDCG_K))
+            .cast("bigint")
+            .alias("r_total"),
+        )
+    )
+    idcg = None
+    for i in range(_NDCG_K):
+        if idcg is None:
+            idcg = F.when(F.col("r_total") == i + 1, F.lit(_IDCG_PREFIX[i]))
+        else:
+            idcg = idcg.when(F.col("r_total") == i + 1, F.lit(_IDCG_PREFIX[i]))
+    rr = F.when(F.col("first_rel_rank") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) / F.col("first_rel_rank")
+    )
+    return per_q.join(nrel, "q_id").select(
+        "q_id",
+        "first_rel_rank",
+        F.round(rr, 6).alias("rr"),
+        F.round(F.col("dcg").cast("double") / idcg, 6).alias("ndcg10"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time snapshot ("time travel" read)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_snapshot_asof",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+               AS valid_to
+      FROM orders),
+    t AS (SELECT MIN(o_orderdate) + INTERVAL 365 DAY AS asof FROM orders)
+    SELECT h.o_custkey,
+           h.o_orderstatus AS status_asof,
+           CAST(ROUND(CAST(h.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS last_price_asof,
+           CAST(h.valid_from AS DATE) AS since
+    FROM h, t
+    WHERE h.valid_from <= t.asof
+      AND (h.valid_to IS NULL OR h.valid_to > t.asof)
+      AND h.o_custkey < 200
+    """,
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction from SCD-type-2 validity windows: the
+    per-customer order status AS OF one year into the dataset — the
+    time-travel read (`FOR SYSTEM_TIME AS OF`) every warehouse dimension
+    serves, built on the same one-window-pass history as
+    ``scd2_order_status_history``.
+
+    Exactly one row per customer key survives, because [valid_from,
+    valid_to) windows partition each key's timeline — the filter IS the
+    snapshot.  The as-of instant derives from the data (min order date +
+    365d) as a 1-row broadcast, not a hardcoded constant.
+
+    Scale: the history build is one window shuffle on the natural key; the
+    snapshot filter is applied per row with a broadcast 1-row timestamp —
+    no second shuffle.  A partitioned-store variant would prune history
+    segments on valid_from before the scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    h = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    t = o.agg(
+        F.date_add(F.to_date(F.min("o_orderdate")), 365)
+        .cast("timestamp")
+        .alias("asof")
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .filter(
+            (F.col("valid_from") <= F.col("asof"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("asof")))
+            & (F.col("o_custkey") < 200)
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status_asof"),
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("last_price_asof"),
+            F.col("valid_from").cast("date").alias("since"),
+        )
+    )

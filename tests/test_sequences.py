@@ -1,0 +1,172 @@
+"""Behavioral invariants for plans/sequences.py (round-5c additions).
+
+Value-level cross-engine equality is covered by tools/check_oracle.py;
+these pin the semantic contracts a hash comparison can't express.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+# -------------------------------------------------------- EWMA smoothing
+
+
+def test_ewma_within_series_envelope_and_warmup_identity(spark):
+    df = QUERIES["ewma_smoothing"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    for series in by_series.values():
+        series.sort(key=lambda r: r.day)
+        # first point has no history: ewma == x exactly
+        assert abs(series[0].ewma - series[0].x) < 1e-6
+        # every smoothed value lies inside the min/max envelope of the
+        # 9-observation window that produced it (convex combination)
+        for i, r in enumerate(series):
+            window = [s.x for s in series[max(0, i - 8) : i + 1]]
+            assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6
+
+
+def test_ewma_smooths_variance(spark):
+    df = QUERIES["ewma_smoothing"](spark, SF_SMOKE)
+    stats = df.groupBy("event_type").agg(
+        F.var_samp("x").alias("vx"), F.var_samp("ewma").alias("ve")
+    )
+    for r in stats.collect():
+        if r.vx and r.vx > 0:
+            assert r.ve <= r.vx * 1.05  # smoothing may not inflate variance
+
+
+# ---------------------------------------------------------------- ACF
+
+
+def test_acf_bounded_and_pair_counts_consistent(spark):
+    df = QUERIES["acf_lags"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    assert {r.lag for r in rows} == {1, 7}
+    for r in rows:
+        if r.acf is not None:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+    # lag-7 pairing loses exactly 6 more pairs than lag-1 for a
+    # contiguous daily series (n - lag pairs per series)
+    by_type: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.lag] = r.n_pairs
+    for lags in by_type.values():
+        if 1 in lags and 7 in lags:
+            assert lags[1] - lags[7] <= 6
+
+
+# ------------------------------------------------- activity streaks
+
+
+def test_streaks_partition_active_days(spark):
+    df = QUERIES["activity_streaks"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+        # islands partition the active-day set: streak count can never
+        # exceed active days, and equality means all streaks are length 1
+        assert r.n_streaks <= r.n_active_days
+        if r.n_streaks == r.n_active_days:
+            assert r.longest_streak == 1
+
+
+def test_streaks_known_sequence(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, d)) for d in (1, 2, 3, 7, 9, 10)
+    ]  # islands: {1,2,3}, {7}, {9,10}
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    active = df.select("user_id", F.to_date("ts").alias("day")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = active.select(
+        "user_id", F.date_sub("day", F.row_number().over(w)).alias("g")
+    )
+    islands = grp.groupBy("user_id", "g").count()
+    lens = sorted(r["count"] for r in islands.collect())
+    assert lens == [1, 2, 3]
+
+
+# --------------------------------------------------- k-hop reachability
+
+
+def test_khop_monotone_closure(spark):
+    df = QUERIES["khop_reachability"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # the 3-hop supplier closure contains every direct supplier
+        # (src is one of its own co-customers' co-customers via any
+        # shared supplier path of length 2), so it can never shrink
+        assert r.n_suppliers_3hop >= r.n_direct_suppliers
+        assert r.n_direct_suppliers >= 1  # src drawn from edge list
+
+
+# ------------------------------------------------------ MRR / NDCG
+
+
+def test_retrieval_metrics_in_range(spark):
+    df = QUERIES["retrieval_mrr_ndcg"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.first_rel_rank <= 10
+        assert 0.0 <= r.rr <= 1.0
+        assert r.ndcg10 is None or 0.0 <= r.ndcg10 <= 1.0 + 1e-9
+        # rr and first_rel_rank agree
+        if r.first_rel_rank > 0:
+            assert abs(r.rr - round(1.0 / r.first_rel_rank, 6)) < 1e-9
+            assert r.ndcg10 and r.ndcg10 > 0.0
+        else:
+            assert r.rr == 0.0
+
+
+# ------------------------------------------- SCD2 point-in-time snapshot
+
+
+def test_scd2_snapshot_one_row_per_key(spark):
+    df = QUERIES["scd2_snapshot_asof"](spark, SF_SMOKE)
+    total = df.count()
+    distinct_keys = df.select("o_custkey").distinct().count()
+    assert total == distinct_keys > 0  # validity windows partition time
+
+
+def test_scd2_snapshot_matches_history_filter(spark):
+    snap = QUERIES["scd2_snapshot_asof"](spark, SF_SMOKE)
+    hist = QUERIES["scd2_order_status_history"](spark, SF_SMOKE)
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    asof = o.agg(
+        F.date_add(F.to_date(F.min("o_orderdate")), 365).cast("timestamp")
+    ).collect()[0][0]
+    # every snapshot row under custkey<100 appears in the SCD2 history as
+    # the unique interval covering the as-of instant
+    expect = (
+        hist.filter(
+            (F.col("valid_from") <= F.lit(asof))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(asof)))
+        )
+        .select("o_custkey", "o_orderstatus")
+        .collect()
+    )
+    got = {
+        (r.o_custkey, r.status_asof)
+        for r in snap.filter(F.col("o_custkey") < 100).collect()
+    }
+    assert got == {(r.o_custkey, r.o_orderstatus) for r in expect}

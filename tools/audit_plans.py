@@ -59,6 +59,8 @@ ALLOW_CROSS = {
     "cramers_v_association",  # 1-row N broadcast onto the bounded contingency table
     "period_delta_contribution",  # 1-row first-year + 1-row total-delta broadcasts
     "attribution_window_sensitivity",  # 1-row purchase-total broadcast (rate denominator)
+    "retrieval_mrr_ndcg",    # 10-row query-set broadcast x linear scan (knn_cosine_exact layout)
+    "scd2_snapshot_asof",    # 1-row as-of-instant broadcast onto the history
 }
 
 
