@@ -205,11 +205,18 @@ def etl_users_pipeline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + scan (reference S4/S5): write with header, read back with
     an explicit schema (no inferSchema) — proving the interchange hop is
-    lossless for typed data.  Scratch space lives inside the repo."""
+    lossless for typed data.  Scratch space is scoped by fixture dir and
+    rooted at the package location (same discipline as the ORC sink)."""
+    from pathlib import Path
+
     from lms_etl_pipeline_spark.sources.csv_io import read_csv, write_csv
 
     n = load_table(spark, sf_dir, "nation")
-    path = "/root/repo/.scratch/nation_csv"
+    path = str(
+        Path(__file__).resolve().parents[2]
+        / ".scratch"
+        / f"nation_csv_{Path(sf_dir).name}"
+    )
     write_csv(n, path)
     schema = T.StructType(
         [
@@ -268,14 +275,21 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, line-splittable on read) and come back through the explicit-
     schema PERMISSIVE scan; the differential check pins that arbitrary
     corpus text (embedded quotes/newlines are JSON-escaped) survives the
-    round trip byte-for-byte.  Scratch space lives inside the repo.
+    round trip byte-for-byte.  Scratch space is scoped by fixture dir and
+    rooted at the package location (same discipline as the ORC sink).
     """
+    from pathlib import Path
+
     from lms_etl_pipeline_spark.sources.jsonl_io import read_jsonl, write_jsonl
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = "/root/repo/.scratch/documents_jsonl"
+    path = str(
+        Path(__file__).resolve().parents[2]
+        / ".scratch"
+        / f"documents_jsonl_{Path(sf_dir).name}"
+    )
     write_jsonl(d, path)
     schema = T.StructType(
         [
