@@ -47,7 +47,9 @@ _PRIORITY: tuple[str, ...] = (
     # item_cooccurrence_cf, cdc_apply_changelog, fk_integrity_audit,
     # watermark_loss_curve, weighted_median_price, active_users_rolling,
     # correlation_matrix, gini_concentration, spelling_variants_symspell,
-    # hits_hubs_authorities, join_asof_next_purchase, pareto_front_2d.
+    # hits_hubs_authorities, join_asof_next_purchase, pareto_front_2d,
+    # and the 5c wave: ewma_smoothing, acf_lags, activity_streaks,
+    # khop_reachability, retrieval_mrr_ndcg, scd2_snapshot_asof.
     #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",

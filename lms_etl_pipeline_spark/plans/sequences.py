@@ -605,3 +605,415 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").cast("date").alias("since"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# FIFO returns allocation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fifo_returns_allocation",
+    oracle="""
+    WITH ret AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS r_qty
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+    rec AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(18,2))) AS cum_prev
+      FROM lineitem WHERE l_returnflag <> 'R')
+    SELECT rec.l_partkey, rec.l_orderkey, rec.l_linenumber,
+           CAST(rec.qty AS DOUBLE) AS qty,
+           CAST(LEAST(GREATEST(ret.r_qty - rec.cum_prev,
+                               CAST(0 AS DECIMAL(18,2))), rec.qty) AS DOUBLE)
+             AS consumed_qty
+    FROM rec JOIN ret ON ret.l_partkey = rec.l_partkey
+    WHERE ret.r_qty - rec.cum_prev > 0
+    """,
+)
+def fifo_returns_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation: per part, returned quantity (flag 'R') is consumed
+    against the non-returned shipments in ship-date order — the classic
+    inventory/cost-layer matching (FIFO costing, lot depletion, refund
+    netting) expressed WITHOUT iteration: each receipt's consumed share is
+    `clamp(total_returns - cum_prev, 0, qty)`, one running-sum window plus
+    one aggregate join instead of a row-by-row loop.
+
+    Only rows that absorb any allocation survive (the depletion frontier).
+    All quantities are exact DECIMAL(18,2); the clamp is decimal min/max —
+    no float knife edges.
+
+    Scale: one window shuffle on l_partkey (natural key, high cardinality)
+    + a co-keyed aggregate join that AQE plans as broadcast when the
+    per-part return table is small.  No self-join: the interval-overlap
+    formulation is O(n) per part.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d2 = F.col("l_quantity").cast("decimal(18,2)")
+    ret = li.filter(F.col("l_returnflag") == "R").groupBy("l_partkey").agg(
+        F.sum(d2).alias("r_qty")
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = li.filter(F.col("l_returnflag") != "R").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        d2.alias("qty"),
+        F.coalesce(F.sum(d2).over(w), F.lit(0).cast("decimal(18,2)")).alias(
+            "cum_prev"
+        ),
+    )
+    consumed = F.least(
+        F.greatest(F.col("r_qty") - F.col("cum_prev"), F.lit(0).cast("decimal(18,2)")),
+        F.col("qty"),
+    )
+    return (
+        rec.join(ret, "l_partkey")
+        .filter(F.col("r_qty") - F.col("cum_prev") > 0)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("qty").cast("double").alias("qty"),
+            consumed.cast("double").alias("consumed_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations
+# --------------------------------------------------------------------------
+
+_LLR_MIN_PAIR = 8
+
+
+@query(
+    "llr_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t != '')
+               AS t
+      FROM documents),
+    bg AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 1)),
+                    i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 1), ' ')))
+               AS bigram
+      FROM toks),
+    pc AS (SELECT bigram, COUNT(*) AS k11 FROM bg GROUP BY 1),
+    parts AS (
+      SELECT bigram, k11,
+             SPLIT_PART(bigram, ' ', 1) AS w1,
+             SUBSTRING(bigram, LENGTH(SPLIT_PART(bigram, ' ', 1)) + 2) AS w2
+      FROM pc),
+    r AS (SELECT w1, SUM(k11) AS rsum FROM parts GROUP BY 1),
+    c AS (SELECT w2, SUM(k11) AS csum FROM parts GROUP BY 1),
+    n AS (SELECT SUM(k11) AS total FROM pc),
+    cells AS (
+      SELECT p.bigram, p.k11,
+             CAST(p.k11 AS DOUBLE) AS o11,
+             CAST(r.rsum - p.k11 AS DOUBLE) AS o12,
+             CAST(c.csum - p.k11 AS DOUBLE) AS o21,
+             CAST(n.total - r.rsum - c.csum + p.k11 AS DOUBLE) AS o22,
+             CAST(r.rsum AS DOUBLE) AS rs,
+             CAST(c.csum AS DOUBLE) AS cs,
+             CAST(n.total AS DOUBLE) AS nt
+      FROM parts p CROSS JOIN n JOIN r ON r.w1 = p.w1 JOIN c ON c.w2 = p.w2
+      WHERE p.k11 >= {_LLR_MIN_PAIR})
+    SELECT bigram, CAST(k11 AS BIGINT) AS k11,
+           CAST(ROUND(2 * (
+             CAST(CASE WHEN o11 > 0 THEN ROUND(o11 * LN(o11 * nt / (rs * cs)), 6) ELSE 0 END AS DECIMAL(18,6))
+           + CAST(CASE WHEN o12 > 0 THEN ROUND(o12 * LN(o12 * nt / (rs * (nt - cs))), 6) ELSE 0 END AS DECIMAL(18,6))
+           + CAST(CASE WHEN o21 > 0 THEN ROUND(o21 * LN(o21 * nt / ((nt - rs) * cs)), 6) ELSE 0 END AS DECIMAL(18,6))
+           + CAST(CASE WHEN o22 > 0 THEN ROUND(o22 * LN(o22 * nt / ((nt - rs) * (nt - cs))), 6) ELSE 0 END AS DECIMAL(18,6))
+             ), 4) AS DOUBLE) AS llr
+    FROM cells
+    """,
+)
+def llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning (1993) log-likelihood-ratio collocation mining over corpus
+    bigrams — the statistically-sound replacement for raw PMI on sparse
+    counts (``cooccurrence_pmi``'s known failure mode), used to harvest
+    multi-word expressions for tokenizer vocab and quality lexicons.
+
+    G2 = 2 * sum O_ij * ln(O_ij / E_ij) over the 2x2 (w1, w2) contingency
+    table.  Bigrams come from a shuffle-free per-row array transform (no
+    position self-join); marginals are two hash aggregates over the bigram
+    counts, joined back by word.  Determinism: counts are exact ints, each
+    of the four LN terms is rounded at 1e-6 then DECIMAL-summed
+    (order-independent), one final rounded double.
+
+    Scale: |bigram-vocab|-sized tables after the first aggregate; the
+    corpus is scanned once.  The w1/w2 marginal joins are equi-joins on
+    word — the same layout as the TF-IDF family.
+    """
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tx.tokens("text").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(t[i-1], ' ', t[i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    pc = bigrams.groupBy("bigram").agg(F.count("*").alias("k11"))
+    parts = pc.select(
+        "bigram",
+        "k11",
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.expr(
+            "substring(bigram, length(substring_index(bigram, ' ', 1)) + 2)"
+        ).alias("w2"),
+    )
+    r = parts.groupBy("w1").agg(F.sum("k11").alias("rsum"))
+    c = parts.groupBy("w2").agg(F.sum("k11").alias("csum"))
+    n = pc.agg(F.sum("k11").alias("total"))
+    cells = (
+        parts.filter(F.col("k11") >= _LLR_MIN_PAIR)
+        .join(r, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "k11",
+            F.col("k11").cast("double").alias("o11"),
+            (F.col("rsum") - F.col("k11")).cast("double").alias("o12"),
+            (F.col("csum") - F.col("k11")).cast("double").alias("o21"),
+            (F.col("total") - F.col("rsum") - F.col("csum") + F.col("k11"))
+            .cast("double")
+            .alias("o22"),
+            F.col("rsum").cast("double").alias("rs"),
+            F.col("csum").cast("double").alias("cs"),
+            F.col("total").cast("double").alias("nt"),
+        )
+    )
+
+    def term(o, e_num, e_den):
+        return F.when(
+            o > 0, F.round(o * F.log(o * F.col("nt") / (e_num * e_den)), 6)
+        ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+
+    rs, cs, nt = F.col("rs"), F.col("cs"), F.col("nt")
+    g2 = (
+        term(F.col("o11"), rs, cs)
+        + term(F.col("o12"), rs, (nt - cs))
+        + term(F.col("o21"), (nt - rs), cs)
+        + term(F.col("o22"), (nt - rs), (nt - cs))
+    )
+    return cells.select(
+        "bigram",
+        F.col("k11").cast("bigint").alias("k11"),
+        F.round(F.lit(2) * g2, 4).cast("double").alias("llr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Systematic (every-k-th) stratified sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "systematic_sample_stratified",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ordered WHERE rn % 10 = 1
+    """,
+)
+def systematic_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-10 sampling per source stratum: order each stratum
+    by a content-free stable hash (md5 of the key — a deterministic
+    pseudo-random permutation, the repo's no-rand() discipline) and keep
+    every 10th row — the evenly-spaced design survey methodology prefers
+    over Bernoulli sampling for variance, made retry-safe and
+    engine-portable.
+
+    Scale: the window partitions by stratum; a skewed mega-stratum would
+    serialize, so the documented scale path is the two-level variant
+    (per-shard systematic pass, then thin) or hash-bucket approximation
+    (``sample_fraction``).  Exact: rank arithmetic on a deterministic
+    order; no floats at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Common-neighbor (Jaccard) node similarity
+# --------------------------------------------------------------------------
+
+_CN_MIN_SHARED = 20
+
+
+@query(
+    "supplier_common_neighbors",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT supp, COUNT(*) AS d FROM edges GROUP BY 1),
+    shared AS (
+      SELECT a.supp AS s1, b.supp AS s2, COUNT(*) AS n_shared
+      FROM edges a JOIN edges b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_CN_MIN_SHARED})
+    SELECT s.s1, s.s2, CAST(s.n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(s.n_shared AS DOUBLE)
+                 / (d1.d + d2.d - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN deg d1 ON d1.supp = s.s1
+    JOIN deg d2 ON d2.supp = s.s2
+    """,
+)
+def supplier_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard similarity between suppliers over the
+    shared-customer graph — the link-prediction / entity-similarity
+    primitive ("suppliers with overlapping demand") behind substitution
+    analysis and graph-based recommendations, and the node-level analogue
+    of ``item_cooccurrence_cf``.
+
+    Candidate pairs are generated per customer (equi-join on cust with
+    s1 < s2 orientation), so the work is sum(per-customer degree
+    choose 2) — never |suppliers|² against the raw graph; the min-shared
+    floor then bounds the output.  Jaccard = shared / (d1 + d2 - shared)
+    from exact integer counts, rounded once.
+
+    Scale: a power-law hot customer would quadratically inflate its
+    contribution; the documented mitigation is the basket cap used by
+    ``item_cooccurrence_cf`` (drop or sample mega-degree nodes before
+    pairing), standard in production co-occurrence mining.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = edges.groupBy("supp").agg(F.count("*").alias("d"))
+    a = edges.select("cust", F.col("supp").alias("s1"))
+    b = edges.select("cust", F.col("supp").alias("s2"))
+    shared = (
+        a.join(b, "cust")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _CN_MIN_SHARED)
+    )
+    d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("d2"))
+    return (
+        shared.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Surrogate-key audit
+# --------------------------------------------------------------------------
+
+
+def _sk_arm(table: str, key: str) -> str:
+    h = (
+        f"TRY_CAST(CONCAT('0x', SUBSTRING(MD5(CAST({key} AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT {h}) AS BIGINT) AS n_surrogates,
+           CAST(COUNT(DISTINCT {key}) - COUNT(DISTINCT {h}) AS BIGINT)
+             AS n_collisions
+    FROM {table}"""
+
+
+@query(
+    "surrogate_key_audit",
+    oracle=" UNION ALL ".join(
+        _sk_arm(t, k)
+        for t, k in (
+            ("orders", "o_orderkey"),
+            ("customer", "c_custkey"),
+            ("part", "p_partkey"),
+        )
+    ),
+)
+def surrogate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key generation + collision audit: each
+    natural key maps to a stable 60-bit md5-prefix surrogate (the data-
+    vault / dimension-key idiom — content-derived, so retries and
+    re-partitions can NEVER mint a different key, unlike
+    monotonically_increasing_id), and the audit counts rows, distinct
+    natural keys, distinct surrogates, and collisions per table.
+
+    Scale: one scan + distinct-count aggregate per table; at 100 TB the
+    exact COUNT(DISTINCT) swaps to HLL per the ``table_profile_orders``
+    note while collision checking moves to a groupBy-surrogate HAVING>1
+    probe.  60 bits ≈ no birthday collisions until ~2^30 keys; the audit
+    is the evidence.
+    """
+    import functools
+
+    arms = []
+    for table, key in (
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+    ):
+        t = load_table(spark, sf_dir, table)
+        h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        arms.append(
+            t.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(F.col(key)).cast("bigint").alias("n_keys"),
+                F.countDistinct(h).cast("bigint").alias("n_surrogates"),
+                (F.countDistinct(F.col(key)) - F.countDistinct(h))
+                .cast("bigint")
+                .alias("n_collisions"),
+            ).select(F.lit(table).alias("table_name"), "*")
+        )
+    return functools.reduce(lambda x, y: x.unionByName(y), arms)

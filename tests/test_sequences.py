@@ -170,3 +170,98 @@ def test_scd2_snapshot_matches_history_filter(spark):
         for r in snap.filter(F.col("o_custkey") < 100).collect()
     }
     assert got == {(r.o_custkey, r.o_orderstatus) for r in expect}
+
+
+# ------------------------------------------------- FIFO allocation
+
+
+def test_fifo_allocation_conserves_and_bounds(spark):
+    df = QUERIES["fifo_returns_allocation"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.consumed_qty <= r.qty + 1e-9
+    # conservation: per part, allocated total == min(returns, receipts)
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    agg = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))).alias(
+                "r"
+            ),
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", F.col("l_quantity"))
+            ).alias("s"),
+        )
+        .filter(F.col("r").isNotNull() & F.col("s").isNotNull())
+        .collect()
+    )
+    expect = {a.l_partkey: min(a.r, a.s) for a in agg}
+    got: dict[int, float] = {}
+    for r in rows:
+        got[r.l_partkey] = got.get(r.l_partkey, 0.0) + r.consumed_qty
+    for pk, v in got.items():
+        assert abs(v - expect[pk]) < 1e-6
+
+
+# ------------------------------------------------- LLR collocations
+
+
+def test_llr_nonnegative_and_ranked_by_association(spark):
+    df = QUERIES["llr_collocations"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.k11 >= 8
+        # G2 is mathematically >= 0; per-term 1e-6 rounding can dip a hair
+        assert r.llr >= -0.01
+
+
+# ------------------------------------- systematic stratified sampling
+
+
+def test_systematic_sample_counts_and_spacing(spark):
+    df = QUERIES["systematic_sample_stratified"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    per_source = {
+        r.source: r["count"] for r in d.groupBy("source").count().collect()
+    }
+    got: dict[str, list[int]] = {}
+    for r in rows:
+        got.setdefault(r.source, []).append(r.rn)
+    for src, rns in got.items():
+        n = per_source[src]
+        assert len(rns) == (n + 9) // 10  # ceil(n/10): every 10th + remainder
+        assert sorted(rns) == list(range(1, n + 1, 10))
+
+
+# ------------------------------------------- common-neighbor similarity
+
+
+def test_common_neighbors_bounds(spark):
+    df = QUERIES["supplier_common_neighbors"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.s1 < r.s2  # oriented pairs, no mirror duplicates
+        assert r.n_shared >= 20
+        assert 0.0 < r.jaccard <= 1.0
+
+
+# ------------------------------------------------- surrogate-key audit
+
+
+def test_surrogate_keys_no_collisions_at_fixture_scale(spark):
+    df = QUERIES["surrogate_key_audit"](spark, SF_SMOKE)
+    rows = {r.table_name: r for r in df.collect()}
+    assert set(rows) == {"orders", "customer", "part"}
+    for r in rows.values():
+        assert r.n_keys <= r.n_rows
+        assert r.n_collisions == 0  # 60-bit space vs <=1e6 keys
+        assert r.n_surrogates == r.n_keys

@@ -61,6 +61,7 @@ ALLOW_CROSS = {
     "attribution_window_sensitivity",  # 1-row purchase-total broadcast (rate denominator)
     "retrieval_mrr_ndcg",    # 10-row query-set broadcast x linear scan (knn_cosine_exact layout)
     "scd2_snapshot_asof",    # 1-row as-of-instant broadcast onto the history
+    "llr_collocations",      # 1-row bigram-total broadcast (contingency denominator)
 }
 
 
