@@ -1017,3 +1017,270 @@ def surrogate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(table).alias("table_name"), "*")
         )
     return functools.reduce(lambda x, y: x.unionByName(y), arms)
+
+
+# --------------------------------------------------------------------------
+# Weekly churn (active last week, absent this week)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "churned_users_weekly",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', CAST(ts AS DATE)) AS week
+      FROM events),
+    weeks AS (SELECT DISTINCT week FROM wk),
+    nxt AS (
+      SELECT week, LEAD(week) OVER (ORDER BY week) AS next_week FROM weeks)
+    SELECT n.week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) FILTER (WHERE b.user_id IS NULL) AS BIGINT)
+             AS n_churned,
+           ROUND(CAST(COUNT(*) FILTER (WHERE b.user_id IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS churn_rate
+    FROM nxt n
+    JOIN wk a ON a.week = n.week
+    LEFT JOIN wk b ON b.user_id = a.user_id AND b.week = n.next_week
+    WHERE n.next_week IS NOT NULL
+    GROUP BY n.week
+    """,
+)
+def churned_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: of the users active in week w, how many are absent in
+    week w+1 — the BI retention headline (the inverse of
+    ``events_cohort_retention``'s comeback view) computed as an
+    anti-join-shaped LEFT JOIN on the (user x week) activity grid.
+
+    The calendar of observed weeks comes from the data (LEAD over the
+    distinct week list), so a trailing partial week is never scored
+    against a missing future.  Counts exact; one rounded rate.
+
+    Scale: events collapse to distinct (user, week) first; the
+    presence probe is an equi-join on (user, week) — shuffle bounded by
+    the activity grid, not the event stream.  The weeks spine is tiny and
+    broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).alias("week")
+    ).distinct()
+    weeks = wk.select("week").distinct()
+    wspec = Window.orderBy("week")
+    nxt = weeks.select(
+        "week", F.lead("week").over(wspec).alias("next_week")
+    ).filter(F.col("next_week").isNotNull())
+    a = wk.select("user_id", "week")
+    b = wk.select(
+        F.col("user_id").alias("b_user"), F.col("week").alias("b_week")
+    )
+    joined = (
+        F.broadcast(nxt)
+        .join(a, "week")
+        .join(
+            b,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_week") == F.col("next_week")),
+            "left",
+        )
+    )
+    return joined.groupBy(F.to_date("week").alias("week")).agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("b_user").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+        F.round(
+            F.sum(F.when(F.col("b_user").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-to-ship latency profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_to_ship_latency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_days,
+           CAST(MEDIAN(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) AS DOUBLE) AS p50_days,
+           CAST(QUANTILE_CONT(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE)), 0.95)
+                AS DOUBLE) AS p95_days,
+           CAST(MAX(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per order priority: exact day-count gaps
+    between order placement and each line's ship date, profiled as
+    min/p50/p95/max — the fulfillment-SLA report every ops dashboard
+    leads with (and the cross-table latency twin of
+    ``interarrival_time_stats``).
+
+    Determinism: gaps are exact integer day diffs; p50/p95 use exact
+    linear-interpolated percentiles (`percentile`/QUANTILE_CONT) over
+    integers — both engines interpolate identically on sorted integer
+    multisets.
+
+    Scale: fact-fact equi-join on the natural key then one hash aggregate
+    over a 5-row group-by; exact percentiles per bounded group are fine,
+    the 100 TB swap is approx_percentile per the repo's sketch notes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gap = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority", gap.alias("gap")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("gap").cast("bigint").alias("min_days"),
+        F.expr("percentile(gap, 0.5)").cast("double").alias("p50_days"),
+        F.expr("percentile(gap, 0.95)").cast("double").alias("p95_days"),
+        F.max("gap").cast("bigint").alias("max_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative unique users (running distinct count)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_unique_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    news AS (
+      SELECT first_day AS day, COUNT(*) AS n_new FROM fs GROUP BY 1)
+    SELECT d.day,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0))
+                  OVER (ORDER BY d.day ASC) AS BIGINT) AS cum_unique
+    FROM days d LEFT JOIN news n ON n.day = d.day
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, by day — the "total
+    audience" growth curve.  A windowed COUNT(DISTINCT) is
+    unsupported/unscalable, so the standard rewrite: distinct collapses to
+    each user's FIRST day (one aggregate), and the cumulative unique count
+    is just the running sum of first-appearance counts — turning an
+    O(days x users) distinct problem into a calendar-sized prefix sum.
+
+    Scale: one user-keyed aggregate (map-side combinable) + a
+    calendar-sized window.  This is the same bounded-fanout discipline as
+    ``active_users_rolling``; all outputs exact integers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    news = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        days.join(news, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "day",
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_unique"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PAA + SAX symbolization of the daily series
+# --------------------------------------------------------------------------
+
+_PAA_DAYS = 4
+_SAX_ALPHABET = 4
+
+
+@query(
+    "sax_symbolization",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events GROUP BY 1, 2),
+    origin AS (SELECT MIN(day) AS d0 FROM daily),
+    paa AS (
+      SELECT event_type,
+             CAST(FLOOR(DATEDIFF('day', o.d0, day) / {_PAA_DAYS})
+                  AS INTEGER) AS win_idx,
+             ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS paa
+      FROM daily CROSS JOIN origin o
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT event_type, win_idx, paa,
+             NTILE({_SAX_ALPHABET}) OVER (
+               PARTITION BY event_type
+               ORDER BY paa ASC, win_idx ASC) AS q
+      FROM paa)
+    SELECT event_type, win_idx, paa,
+           CHR(CAST(96 + q AS INTEGER)) AS symbol
+    FROM sym
+    """,
+)
+def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation + SAX symbolization (Lin et al.
+    2003) of each event type's daily value series: the calendar is cut
+    into {_PAA_DAYS}-day frames, each frame becomes its mean (PAA), and
+    frames map to a {_SAX_ALPHABET}-letter alphabet by within-series
+    empirical quartile (NTILE with a deterministic tiebreak) — the
+    dimensionality-reduction step behind time-series motif/anomaly mining
+    at scale (symbols, not floats, feed the downstream index).
+
+    Determinism: frame means are decimal sums averaged then rounded once;
+    the quartile cut is NTILE over (paa, win_idx) — total order, no ties
+    left to the engine.  Classic SAX uses Gaussian breakpoints on a
+    z-normalized series; empirical quartiles keep the differential check
+    exact while preserving the equal-occupancy property.
+
+    Scale: events collapse to (type x day), then to (type x frame) —
+    report-sized; the NTILE window partitions per series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("x")
+    )
+    origin = daily.agg(F.min("day").alias("d0"))
+    paa = (
+        daily.crossJoin(F.broadcast(origin))
+        .groupBy(
+            "event_type",
+            F.floor(F.datediff(F.col("day"), F.col("d0")) / _PAA_DAYS)
+            .cast("int")
+            .alias("win_idx"),
+        )
+        .agg(
+            F.round(
+                F.sum("x").cast("double") / F.count("*"), 6
+            ).alias("paa")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("paa").asc(), F.col("win_idx").asc()
+    )
+    return paa.select(
+        "event_type",
+        "win_idx",
+        "paa",
+        F.char(F.lit(96) + F.ntile(_SAX_ALPHABET).over(w)).alias("symbol"),
+    )

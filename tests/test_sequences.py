@@ -265,3 +265,89 @@ def test_surrogate_keys_no_collisions_at_fixture_scale(spark):
         assert r.n_keys <= r.n_rows
         assert r.n_collisions == 0  # 60-bit space vs <=1e6 keys
         assert r.n_surrogates == r.n_keys
+
+
+# ------------------------------------------------- weekly churn
+
+
+def test_churn_bounds_and_last_week_excluded(spark):
+    df = QUERIES["churned_users_weekly"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    last_week = (
+        e.select(F.date_trunc("week", F.to_date("ts")).alias("w"))
+        .agg(F.max(F.to_date("w")))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert 0 <= r.n_churned <= r.n_active
+        assert abs(r.churn_rate - round(r.n_churned / r.n_active, 6)) < 1e-9
+        assert r.week != last_week  # no "churn" into an unobserved future
+
+
+# ------------------------------------------- order-to-ship latency
+
+
+def test_latency_percentile_ordering(spark):
+    df = QUERIES["order_to_ship_latency"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.min_days <= r.p50_days <= r.p95_days <= r.max_days
+        assert r.n > 0
+
+
+# ------------------------------------------- cumulative unique users
+
+
+def test_cumulative_unique_matches_direct_distinct(spark):
+    df = QUERIES["cumulative_unique_users"](spark, SF_SMOKE)
+    rows = sorted(df.collect(), key=lambda r: r.day)
+    assert rows
+    # monotone and ending at the total distinct-user count
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    total = e.select("user_id").distinct().count()
+    prev = 0
+    for r in rows:
+        assert r.cum_unique == prev + r.n_new
+        prev = r.cum_unique
+    assert rows[-1].cum_unique == total
+    # spot-check one mid-calendar prefix against a direct distinct count
+    mid = rows[len(rows) // 2]
+    direct = (
+        e.filter(F.to_date("ts") <= F.lit(mid.day))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert mid.cum_unique == direct
+
+
+# ------------------------------------------------- SAX symbolization
+
+
+def test_sax_symbols_equal_occupancy_and_order(spark):
+    df = QUERIES["sax_symbolization"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r.symbol in {"a", "b", "c", "d"}
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        # NTILE equal occupancy: symbol counts differ by at most 1
+        counts: dict[str, int] = {}
+        for r in series:
+            counts[r.symbol] = counts.get(r.symbol, 0) + 1
+        if len(series) >= 4:
+            assert max(counts.values()) - min(counts.values()) <= 1
+        # symbol order tracks PAA order: every 'a' frame <= every 'd' frame
+        a_vals = [r.paa for r in series if r.symbol == "a"]
+        d_vals = [r.paa for r in series if r.symbol == "d"]
+        if a_vals and d_vals:
+            assert max(a_vals) <= min(d_vals)

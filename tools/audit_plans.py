@@ -62,6 +62,7 @@ ALLOW_CROSS = {
     "retrieval_mrr_ndcg",    # 10-row query-set broadcast x linear scan (knn_cosine_exact layout)
     "scd2_snapshot_asof",    # 1-row as-of-instant broadcast onto the history
     "llr_collocations",      # 1-row bigram-total broadcast (contingency denominator)
+    "sax_symbolization",     # 1-row calendar-origin broadcast (frame index base)
 }
 
 
