@@ -29,6 +29,12 @@ _HEAVY = [
     ("pca_power_iteration", 60),
     ("active_users_rolling", 60),
     ("hits_hubs_authorities", 60),
+    # round-5c additions
+    ("llr_collocations", 120),
+    ("supplier_common_neighbors", 120),
+    ("fifo_returns_allocation", 60),
+    ("khop_reachability", 120),
+    ("retrieval_mrr_ndcg", 60),
 ]
 
 
