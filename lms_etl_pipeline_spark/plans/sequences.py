@@ -1284,3 +1284,351 @@ def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "paa",
         F.char(F.lit(96) + F.ntile(_SAX_ALPHABET).over(w)).alias("symbol"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-in-window dedup (batch twin of dropDuplicatesWithinWatermark)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_first_in_window",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type,
+                            CAST(FLOOR(epoch_us(ts) / 600000000) AS BIGINT)
+               ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+    SELECT event_id, user_id, event_type, ts FROM b WHERE rn = 1
+    """,
+)
+def dedup_first_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the FIRST event per (user, type) within each 10-minute
+    tumbling window — the batch-checkable twin of streaming
+    ``dropDuplicatesWithinWatermark`` (runtime-tested in
+    `tests/test_streaming.py`): retries/at-least-once delivery collapse to
+    one effect per key per window.
+
+    Window identity is exact integer µs arithmetic (epoch div 600e6), the
+    survivor is the (ts, event_id) minimum — total order, engine-stable.
+
+    Scale: ONE window shuffle keyed by (user, type, window) — high
+    cardinality, no hot key; in streaming the same key set is the state
+    store key and the watermark bounds its size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    win = F.floor(F.unix_micros(F.col("ts")) / 600_000_000).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type", win).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.select(
+            "event_id", "user_id", "event_type", "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation of a quantile forecaster
+# --------------------------------------------------------------------------
+
+_PINBALL_QS = (0.5, 0.9)
+_TRAIN_DAYS = 21
+
+
+def _pinball_oracle() -> str:
+    arms = []
+    for q in _PINBALL_QS:
+        arms.append(f"""
+    SELECT t.event_type, CAST({q} AS DOUBLE) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           CAST(ROUND(SUM(CAST(ROUND(
+             CASE WHEN t.x >= f.yhat THEN {q!r} * (t.x - f.yhat)
+                  ELSE {q - 1!r} * (t.x - f.yhat) END, 6) AS DECIMAL(18,6)))
+             / COUNT(*), 6) AS DOUBLE) AS pinball_loss
+    FROM test t JOIN (
+      SELECT event_type, QUANTILE_CONT(x, {q}) AS yhat
+      FROM train GROUP BY 1) f
+    ON f.event_type = t.event_type
+    GROUP BY t.event_type""")
+    prefix = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    origin AS (SELECT MIN(day) AS d0 FROM daily),
+    lab AS (
+      SELECT d.*, DATEDIFF('day', o.d0, d.day) < {_TRAIN_DAYS} AS is_train
+      FROM daily d CROSS JOIN origin o),
+    train AS (SELECT event_type, x FROM lab WHERE is_train),
+    test AS (SELECT event_type, x FROM lab WHERE NOT is_train)
+    """
+    return prefix + " UNION ALL ".join(arms)
+
+
+@query("pinball_loss_eval", oracle=_pinball_oracle())
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of a constant-quantile forecaster: train on
+    the first {_TRAIN_DAYS} calendar days, predict each type's daily value
+    at q=0.5 and q=0.9 as the train-window quantile, score on the held-out
+    tail — the accuracy metric for QUANTILE forecasts (P50/P90 capacity
+    planning), completing the eval suite beside ``forecast_backtest_eval``
+    (point forecasts) and ``retrieval_mrr_ndcg`` (rankings).
+
+    Determinism: the daily series is decimal-summed then rounded once;
+    the train quantile interpolates the same sorted doubles in both
+    engines; per-day losses are rounded then DECIMAL-summed; one final
+    rounded division.
+
+    Scale: events collapse to (type x day); everything after is
+    report-sized.  The per-type quantile table is a broadcast join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("x")
+    )
+    origin = daily.agg(F.min("day").alias("d0"))
+    lab = daily.crossJoin(F.broadcast(origin)).withColumn(
+        "is_train", F.datediff(F.col("day"), F.col("d0")) < _TRAIN_DAYS
+    )
+    train = lab.filter("is_train")
+    test = lab.filter("NOT is_train")
+    out = None
+    for q in _PINBALL_QS:
+        f = train.groupBy("event_type").agg(
+            F.expr(f"percentile(x, {q})").alias("yhat")
+        )
+        err = F.col("x") - F.col("yhat")
+        loss = F.when(err >= 0, F.lit(q) * err).otherwise(F.lit(q - 1) * err)
+        arm = (
+            test.join(F.broadcast(f), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_test_days"),
+                F.round(
+                    F.sum(F.round(loss, 6).cast("decimal(18,6)"))
+                    / F.count("*"),
+                    6,
+                )
+                .cast("double")
+                .alias("pinball_loss"),
+            )
+            .select(
+                "event_type",
+                F.lit(float(q)).alias("q"),
+                "n_test_days",
+                "pinball_loss",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation eval (retrieval overlap at reduced dimension)
+# --------------------------------------------------------------------------
+
+_MRL_DIM = 16
+
+
+def _mrl_oracle() -> str:
+    full_qn = vec.dot_sql("q.embedding", "n.embedding", EMB_DIM)
+    full_qq = vec.dot_sql("q.embedding", "q.embedding", EMB_DIM)
+    full_nn = vec.dot_sql("n.embedding", "n.embedding", EMB_DIM)
+    tr_qn = vec.dot_sql("q.embedding", "n.embedding", _MRL_DIM)
+    tr_qq = vec.dot_sql("q.embedding", "q.embedding", _MRL_DIM)
+    tr_nn = vec.dot_sql("n.embedding", "n.embedding", _MRL_DIM)
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             ({full_qn}) / (SQRT({full_qq}) * SQRT({full_nn})) AS cos_full,
+             ({tr_qn}) / (SQRT({tr_qq}) * SQRT({tr_nn})) AS cos_tr
+      FROM q, embeddings n WHERE n.vec_id <> q.vec_id),
+    rk AS (
+      SELECT q_id, n_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_full DESC, n_id ASC) AS r_full,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_tr DESC, n_id ASC) AS r_tr
+      FROM pairs)
+    SELECT q_id,
+           CAST(COUNT(*) FILTER (WHERE r_full <= 10 AND r_tr <= 10) AS BIGINT)
+             AS n_overlap_at_10,
+           ROUND(CAST(COUNT(*) FILTER (WHERE r_full <= 10 AND r_tr <= 10)
+                      AS DOUBLE) / 10, 6) AS overlap_frac
+    FROM rk GROUP BY q_id
+    """
+
+
+@query("matryoshka_truncation_eval", oracle=_mrl_oracle())
+def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: how much of each query's exact
+    cosine top-10 survives when embeddings are truncated to the first
+    {_MRL_DIM} of {EMB_DIM} dims — the cost/quality readout behind
+    MRL-truncated vector serving (store/search the prefix, rerank with
+    the full vector), measured as top-10 overlap per query.
+
+    Both rankings come from bit-stable cosines (same left-assoc fold both
+    engines, vec_id tiebreak); the overlap count is exact.
+
+    Scale: the 10-query set broadcasts; ONE corpus linear scan computes
+    both similarity columns; two windows over the per-query candidate
+    rows.  The production path truncates at WRITE time, halving scan
+    bytes — this query quantifies what that costs in recall.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    trunc = F.slice(F.col("embedding"), 1, _MRL_DIM)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        vec.norm(F.col("embedding")).alias("_nq"),
+        trunc.alias("q_tr"),
+        vec.norm(trunc).alias("_nq_tr"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        vec.norm(F.col("embedding")).alias("_nn"),
+        trunc.alias("n_tr"),
+        vec.norm(trunc).alias("_nn_tr"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                vec.dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("_nq") * F.col("_nn"))
+            ).alias("cos_full"),
+            (
+                vec.dot(F.col("q_tr"), F.col("n_tr"))
+                / (F.col("_nq_tr") * F.col("_nn_tr"))
+            ).alias("cos_tr"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("cos_full").desc(), F.col("n_id").asc()
+    )
+    wt = Window.partitionBy("q_id").orderBy(
+        F.col("cos_tr").desc(), F.col("n_id").asc()
+    )
+    rk = pairs.select(
+        "q_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wt).alias("r_tr"),
+    )
+    both = (F.col("r_full") <= 10) & (F.col("r_tr") <= 10)
+    return rk.groupBy("q_id").agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_overlap_at_10"),
+        F.round(
+            F.sum(F.when(both, 1).otherwise(0)).cast("double") / 10, 6
+        ).alias("overlap_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingle containment pairs (asymmetric near-dup: subset detection)
+# --------------------------------------------------------------------------
+
+_CONT_ID_CAP = 400
+_CONT_THRESHOLD = 0.5
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x != '')
+               AS toks
+      FROM documents WHERE doc_id < {_CONT_ID_CAP}),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+               i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' '))))
+               AS s
+      FROM t),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS BIGINT) AS n_shared,
+           ROUND(GREATEST(CAST(i.n_inter AS DOUBLE) / sa.n,
+                          CAST(i.n_inter AS DOUBLE) / sb.n), 6)
+             AS max_containment
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE GREATEST(CAST(i.n_inter AS DOUBLE) / sa.n,
+                   CAST(i.n_inter AS DOUBLE) / sb.n) >= {_CONT_THRESHOLD}
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (|A∩B| / min-side size as the max of
+    the two directions) over word-3-gram sets — the subset-duplicate
+    detector symmetric Jaccard is blind to: a document quoted whole inside
+    a longer page has low Jaccard but containment ≈ 1.  This is the
+    signal behind quote/boilerplate-wrap dedup in crawl pipelines
+    (complements ``ngram_jaccard_pairs`` / ``dup_ngram_spans``).
+
+    Intersections come from the inverted shingle equi-join on a bounded
+    id slice (the calibration-anchor discipline of
+    ``embedding_pairwise_stats``); set sizes join back by doc.  Counts
+    exact; one rounded ratio.
+
+    Scale: the production path prunes candidates with the PPJoin prefix
+    or LSH first (both implemented) — containment is then scored on
+    candidate pairs only; the shingle join here shuffles on the shingle
+    key, never docs².
+    """
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CONT_ID_CAP
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles(tx.tokens("text"), n=3))).alias(
+            "s"
+        ),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.greatest(
+        F.col("n_inter").cast("double") / F.col("na"),
+        F.col("n_inter").cast("double") / F.col("nb"),
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= _CONT_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("bigint").alias("n_shared"),
+            F.round(cont, 6).alias("max_containment"),
+        )
+    )

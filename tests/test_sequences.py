@@ -351,3 +351,58 @@ def test_sax_symbols_equal_occupancy_and_order(spark):
         d_vals = [r.paa for r in series if r.symbol == "d"]
         if a_vals and d_vals:
             assert max(a_vals) <= min(d_vals)
+
+
+# ------------------------------------------- first-in-window dedup
+
+
+def test_dedup_first_in_window_one_survivor_per_cell(spark):
+    df = QUERIES["dedup_first_in_window"](spark, SF_SMOKE)
+    cells = df.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).alias("w"),
+    )
+    assert cells.count() == cells.distinct().count()
+    # survivors are a subset of the input and never exceed it
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    assert 0 < df.count() <= e.count()
+
+
+# ------------------------------------------------- pinball loss
+
+
+def test_pinball_loss_nonnegative_and_q_sensitivity(spark):
+    df = QUERIES["pinball_loss_eval"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.pinball_loss >= 0.0  # pinball loss is nonnegative
+        assert r.q in (0.5, 0.9)
+        assert r.n_test_days > 0
+
+
+# ------------------------------------------- Matryoshka truncation
+
+
+def test_matryoshka_overlap_bounds(spark):
+    df = QUERIES["matryoshka_truncation_eval"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_overlap_at_10 <= 10
+        assert abs(r.overlap_frac - r.n_overlap_at_10 / 10) < 1e-9
+
+
+# ------------------------------------------- shingle containment
+
+
+def test_containment_dominates_jaccard(spark):
+    df = QUERIES["ngram_containment_pairs"](spark, SF_SMOKE)
+    rows = df.collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.5 <= r.max_containment <= 1.0 + 1e-9
+        assert r.n_shared >= 1

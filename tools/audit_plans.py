@@ -63,6 +63,8 @@ ALLOW_CROSS = {
     "scd2_snapshot_asof",    # 1-row as-of-instant broadcast onto the history
     "llr_collocations",      # 1-row bigram-total broadcast (contingency denominator)
     "sax_symbolization",     # 1-row calendar-origin broadcast (frame index base)
+    "pinball_loss_eval",     # 1-row calendar-origin broadcast (train/test split base)
+    "matryoshka_truncation_eval",  # 10-row query-set broadcast x linear scan (knn layout)
 }
 
 
