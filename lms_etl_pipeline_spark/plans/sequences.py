@@ -1632,3 +1632,384 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("max_containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Price-volume-mix decomposition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "price_volume_mix_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey, EXTRACT(MONTH FROM l_shipdate) AS m,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                  AS HUGEINT) AS rev_t,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                  AS HUGEINT) AS qty_h
+      FROM lineitem
+      WHERE EXTRACT(YEAR FROM l_shipdate)
+              = (SELECT MIN(EXTRACT(YEAR FROM l_shipdate)) FROM lineitem)
+        AND EXTRACT(MONTH FROM l_shipdate) IN (1, 2)
+      GROUP BY 1, 2),
+    px AS (
+      SELECT l_partkey, m,
+             CAST((rev_t * 1000000) // qty_h AS BIGINT) AS p_micro,
+             CAST(qty_h AS BIGINT) AS q_h
+      FROM base),
+    both_m AS (
+      SELECT a.l_partkey,
+             a.p_micro AS p1, a.q_h AS q1, b.p_micro AS p2, b.q_h AS q2
+      FROM px a JOIN px b ON a.l_partkey = b.l_partkey
+      WHERE a.m = 1 AND b.m = 2)
+    SELECT l_partkey,
+           CAST(p2 AS BIGINT) - p1 AS delta_p_micro,
+           CAST(q2 AS BIGINT) - q1 AS delta_q_h,
+           CAST((CAST(p2 AS HUGEINT) * q2 - CAST(p1 AS HUGEINT) * q1)
+                AS BIGINT) AS delta_rev_fp,
+           CAST((CAST(p2 - p1 AS HUGEINT) * q1) AS BIGINT) AS price_effect_fp,
+           CAST((CAST(p1 AS HUGEINT) * (q2 - q1)) AS BIGINT)
+             AS volume_effect_fp,
+           CAST((CAST(p2 - p1 AS HUGEINT) * (q2 - q1)) AS BIGINT)
+             AS mix_effect_fp
+    FROM both_m
+    """,
+)
+def price_volume_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge in EXACT fixed point: for parts shipped in
+    both month 1 and month 2 of the first year, the revenue move
+    decomposes as Δrev = Δp·q1 + p1·Δq + Δp·Δq (price, volume, joint
+    effect) — the FP&A explanation of WHY revenue moved, the per-entity
+    drilldown behind ``period_delta_contribution``'s who-moved-it table.
+
+    Numerics: unit price is an exact integer division in micro-units
+    (floored; ``div`` / ``//`` — identical positive-operand semantics
+    both engines), quantities in hundredths; every effect is then an
+    exact INTEGER product in fixed-point units (µ¤·q/100 — divide by 1e8
+    for currency).  The decomposition identity holds bit-exactly by
+    construction (pinned in tests) — no double ever enters, so no
+    rounding boundary exists to straddle.
+
+    Scale: one hash aggregate keyed by (part, month), then a self-join on
+    part over the two month slices — aggregate-sized, not fact-sized.
+    The 128-bit intermediates bound the products at any revenue scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y0 = li.agg(F.min(F.year("l_shipdate")).alias("y0"))
+    base = (
+        li.crossJoin(F.broadcast(y0))
+        .filter(
+            (F.year("l_shipdate") == F.col("y0"))
+            & F.month("l_shipdate").isin(1, 2)
+        )
+        .groupBy("l_partkey", F.month("l_shipdate").alias("m"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+            .cast("decimal(38,0)")
+            .alias("rev_t"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .alias("qty_h"),
+        )
+    )
+    px = base.select(
+        "l_partkey",
+        "m",
+        F.expr("CAST((rev_t * 1000000) div qty_h AS BIGINT)").alias("p_micro"),
+        F.col("qty_h").cast("bigint").alias("q_h"),
+    )
+    a = px.filter(F.col("m") == 1).select(
+        "l_partkey", F.col("p_micro").alias("p1"), F.col("q_h").alias("q1")
+    )
+    b = px.filter(F.col("m") == 2).select(
+        "l_partkey", F.col("p_micro").alias("p2"), F.col("q_h").alias("q2")
+    )
+    j = a.join(b, "l_partkey")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return j.select(
+        "l_partkey",
+        (F.col("p2") - F.col("p1")).cast("bigint").alias("delta_p_micro"),
+        (F.col("q2") - F.col("q1")).cast("bigint").alias("delta_q_h"),
+        (d38("p2") * d38("q2") - d38("p1") * d38("q1"))
+        .cast("bigint")
+        .alias("delta_rev_fp"),
+        ((d38("p2") - d38("p1")) * d38("q1"))
+        .cast("bigint")
+        .alias("price_effect_fp"),
+        (d38("p1") * (d38("q2") - d38("q1")))
+        .cast("bigint")
+        .alias("volume_effect_fp"),
+        ((d38("p2") - d38("p1")) * (d38("q2") - d38("q1")))
+        .cast("bigint")
+        .alias("mix_effect_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B sample-size planning
+# --------------------------------------------------------------------------
+
+#: Two-sided alpha=0.05 and power=0.80 normal quantiles, injected as the
+#: SAME Python double literals into both engines (no cross-libm erf).
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+#: (z_a + z_b)^2 * 2, folded to ONE literal so no cross-engine
+#: decimal-vs-double addition order can differ.
+_SS_K = (_Z_ALPHA + _Z_BETA) ** 2 * 2
+_MDE_FRAC = 0.05
+
+
+@query(
+    "ab_sample_size_planning",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s2
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               / (n - 1) AS var
+      FROM m WHERE n > 1)
+    SELECT event_type,
+           ROUND(mu, 6) AS baseline_mean,
+           ROUND(var, 6) AS variance,
+           ROUND({_MDE_FRAC!r} * mu, 6) AS mde,
+           CAST(CEIL({_SS_K!r} * var
+                     / (({_MDE_FRAC!r} * mu) * ({_MDE_FRAC!r} * mu)))
+                AS BIGINT) AS n_per_arm
+    FROM stats WHERE mu > 0
+    """,
+)
+def ab_sample_size_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size planner: per event type, the users-per-arm
+    needed to detect a {_MDE_FRAC:.0%} lift in mean value at two-sided
+    alpha=0.05 with 80% power — n = (z_a + z_b)^2 * 2*sigma^2 / delta^2 —
+    the experiment-design front end to ``ab_test_lift_report``'s readout.
+
+    The normal quantiles are injected as IDENTICAL double literals into
+    both engines (no cross-libm inverse-erf); mean and variance come from
+    exact decimal moments, so every derived double is the same bits on
+    both sides and CEIL can't straddle.
+
+    Scale: one map-side-combining moment aggregate keyed by type; the
+    report is |types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d6 = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d6).alias("s1"),
+        F.sum(d6 * d6).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    mde = F.lit(_MDE_FRAC) * mu
+    return (
+        m.filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            F.round(mu, 6).alias("baseline_mean"),
+            F.round(var, 6).alias("variance"),
+            F.round(mde, 6).alias("mde"),
+            F.ceil(F.lit(_SS_K) * var / (mde * mde))
+            .cast("bigint")
+            .alias("n_per_arm"),
+            mu.alias("_mu"),
+        )
+        .filter(F.col("_mu") > 0)
+        .drop("_mu")
+    )
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "wasserstein_drift_1d",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars AS v, (doc_id % 10 = 7) AS in_delta FROM documents),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE NOT in_delta) AS n_idx,
+             COUNT(*) FILTER (WHERE in_delta) AS n_del
+      FROM t),
+    pv AS (
+      SELECT v,
+             COUNT(*) FILTER (WHERE NOT in_delta) AS c_idx,
+             COUNT(*) FILTER (WHERE in_delta) AS c_del
+      FROM t GROUP BY v),
+    cdf AS (
+      SELECT v,
+             SUM(c_idx) OVER (ORDER BY v ASC) AS cum_idx,
+             SUM(c_del) OVER (ORDER BY v ASC) AS cum_del,
+             LEAD(v) OVER (ORDER BY v ASC) AS next_v
+      FROM pv)
+    SELECT CAST(ROUND(SUM(CAST(ROUND(
+             ABS(CAST(c.cum_idx AS DOUBLE) / t.n_idx
+                 - CAST(c.cum_del AS DOUBLE) / t.n_del)
+             * (c.next_v - c.v), 9) AS DECIMAL(28,9))), 6) AS DOUBLE)
+             AS w1_distance,
+           CAST(MAX(t.n_idx) AS BIGINT) AS n_index,
+           CAST(MAX(t.n_del) AS BIGINT) AS n_delta
+    FROM cdf c CROSS JOIN tot t
+    WHERE c.next_v IS NOT NULL
+    """,
+)
+def wasserstein_drift_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the delta batch
+    and the index corpus over document length: W1 = integral of
+    |CDF_idx - CDF_delta| — the INTEGRAL drift metric that, unlike KS's
+    sup-norm (``ks_test_drift``, same split), scores HOW FAR mass moved,
+    not just the worst point; the metric of choice for monitoring skewed
+    numeric features.
+
+    Determinism: step CDFs are exact integer cumulative counts over the
+    sorted value domain; each trapezoid-free step term
+    |F_a - F_b| * (v_next - v) is rounded at 1e-9 then DECIMAL-summed
+    (order-independent); one final rounding.
+
+    Scale: aggregates collapse to the distinct VALUE DOMAIN first (same
+    discipline as KS); the cumulative window runs over that domain, and
+    the totals are a 1-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 10 == 7).alias("in_delta")
+    )
+    tot = t.agg(
+        F.sum(F.when(~F.col("in_delta"), 1).otherwise(0)).alias("n_idx"),
+        F.sum(F.when(F.col("in_delta"), 1).otherwise(0)).alias("n_del"),
+    )
+    pv = t.groupBy("v").agg(
+        F.sum(F.when(~F.col("in_delta"), 1).otherwise(0)).alias("c_idx"),
+        F.sum(F.when(F.col("in_delta"), 1).otherwise(0)).alias("c_del"),
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy(F.col("v").asc())
+    cdf = pv.select(
+        "v",
+        F.sum("c_idx").over(w).alias("cum_idx"),
+        F.sum("c_del").over(w).alias("cum_del"),
+        F.lead("v").over(wl).alias("next_v"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("cum_idx").cast("double") / F.col("n_idx")
+            - F.col("cum_del").cast("double") / F.col("n_del")
+        )
+        * (F.col("next_v") - F.col("v")),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        cdf.filter(F.col("next_v").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term), 6).cast("double").alias("w1_distance"),
+            F.max("n_idx").cast("bigint").alias("n_index"),
+            F.max("n_del").cast("bigint").alias("n_delta"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly multiplicative seasonal index (ratio-to-moving-average)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_index_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) * 1000000
+                  AS HUGEINT) AS x_u
+      FROM events GROUP BY 1, 2),
+    ma AS (
+      SELECT event_type, day, x_u,
+             COUNT(*) OVER w AS n_win,
+             SUM(x_u) OVER w AS s_u
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratio AS (
+      SELECT event_type, ISODOW(day) AS weekday,
+             CAST((x_u * 7000000) // s_u AS BIGINT) AS r_micro
+      FROM ma WHERE n_win = 7 AND s_u > 0)
+    SELECT event_type, CAST(weekday AS INTEGER) AS weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(r_micro) // COUNT(*) AS DOUBLE) / 1000000.0
+             AS seasonal_index
+    FROM ratio GROUP BY 1, 2
+    """,
+)
+def seasonal_index_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal index by ISO weekday:
+    each day's value over its centered 7-day moving average, averaged per
+    (type, weekday) — the MULTIPLICATIVE decomposition ("Mondays run at
+    0.8x trend") complementing the additive hour-of-day model in
+    ``timeseries_seasonal_profile``; only complete 7-day windows rate.
+
+    Numerics: the daily series moves to exact integer micro-units, the MA
+    frame sum stays integer, and each day/trend ratio is an exact
+    FLOORED integer division to micro precision (``div`` / ``//``) — no
+    double ratio exists, so no rounding boundary can straddle engines.
+    One final rounded division of exact integers emits the index.
+
+    Scale: calendar-sized after the first collapse; the centered frame is
+    O(1) state per series; 128-bit intermediates bound the scaled
+    numerators at any volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("x_u")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "x_u",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("x_u").over(w).alias("s_u"),
+    )
+    ratio = ma.filter((F.col("n_win") == 7) & (F.col("s_u") > 0)).select(
+        "event_type",
+        (F.weekday("day") + 1).alias("weekday"),
+        F.expr("CAST((x_u * 1000000 * 7) div s_u AS BIGINT)").alias("r_micro"),
+    )
+    agg = ratio.groupBy(
+        "event_type", F.col("weekday").cast("int").alias("weekday")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("r_micro").alias("_s"),
+    )
+    # mean floored to exact integer micro-units (div), then ONE pure
+    # double division by 1e6 — no ROUND call exists to straddle a .5
+    # boundary (Spark rounds the shortest decimal repr, DuckDB the
+    # binary value; an exact x.xxxxxx5 rational would split them).
+    return agg.select(
+        "event_type",
+        "weekday",
+        "n_obs",
+        (F.expr("CAST(_s div n_obs AS BIGINT)").cast("double") / 1_000_000.0)
+        .alias("seasonal_index"),
+    )
+

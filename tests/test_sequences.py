@@ -406,3 +406,78 @@ def test_containment_dominates_jaccard(spark):
         assert r.id_a < r.id_b
         assert 0.5 <= r.max_containment <= 1.0 + 1e-9
         assert r.n_shared >= 1
+
+
+# ------------------------------------------- price-volume-mix bridge
+
+
+def test_pvm_identity_exact(spark):
+    df = QUERIES["price_volume_mix_decomposition"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # Δrev ≡ price + volume + mix, bit-exact in fixed point
+        assert r.delta_rev_fp == (
+            r.price_effect_fp + r.volume_effect_fp + r.mix_effect_fp
+        )
+
+
+# ------------------------------------------- A/B sample size
+
+
+def test_sample_size_scales_with_variance(spark):
+    df = QUERIES["ab_sample_size_planning"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_per_arm >= 1
+        assert r.variance >= 0
+        assert r.mde > 0
+        # recompute the formula end-to-end from the emitted columns
+        from lms_etl_pipeline_spark.plans.sequences import _SS_K
+
+        import math
+
+        expect = math.ceil(_SS_K * r.variance / (r.mde * r.mde))
+        # emitted columns are rounded; allow one ceil step of slack
+        assert abs(r.n_per_arm - expect) <= max(2, expect * 0.01)
+
+
+# ------------------------------------------- Wasserstein drift
+
+
+def test_wasserstein_vs_ks_relationship(spark):
+    w1 = QUERIES["wasserstein_drift_1d"](spark, SF_SMOKE).collect()[0]
+    assert w1.w1_distance >= 0
+    assert w1.n_index > 0 and w1.n_delta > 0
+    # identical distributions would give 0; delta vs index over the same
+    # generator should be small relative to the value range
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    rng = d.agg(
+        (F.max("n_chars") - F.min("n_chars")).alias("range")
+    ).collect()[0]["range"]
+    assert w1.w1_distance <= rng
+
+
+# ------------------------------------------- weekly seasonal index
+
+
+def test_seasonal_index_centered_near_one(spark):
+    df = QUERIES["seasonal_index_weekly"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.seasonal_index < 7.0  # ratio to a 7-day mean
+        assert 1 <= r.weekday <= 7
+    # per type, the mean of per-day ratios over the whole calendar is ~1
+    import statistics
+
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).extend(
+            [r.seasonal_index] * r.n_obs
+        )
+    for vals in by_type.values():
+        assert 0.7 < statistics.mean(vals) < 1.3

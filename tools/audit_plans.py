@@ -65,6 +65,8 @@ ALLOW_CROSS = {
     "sax_symbolization",     # 1-row calendar-origin broadcast (frame index base)
     "pinball_loss_eval",     # 1-row calendar-origin broadcast (train/test split base)
     "matryoshka_truncation_eval",  # 10-row query-set broadcast x linear scan (knn layout)
+    "price_volume_mix_decomposition",  # 1-row first-year broadcast (period anchor)
+    "wasserstein_drift_1d",  # 1-row population-totals broadcast (CDF denominators)
 }
 
 
