@@ -2013,3 +2013,177 @@ def seasonal_index_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seasonal_index"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# B-cubed blocking-quality evaluation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "b3_blocking_eval",
+    oracle=r"""
+    WITH lab AS (
+      SELECT doc_id,
+             SUBSTRING(text, 1, 64) AS pred,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), t -> t != ''))),
+               ' ')) AS gold
+      FROM documents),
+    np AS (SELECT pred, COUNT(*) AS n_p FROM lab GROUP BY 1),
+    ng AS (SELECT gold, COUNT(*) AS n_g FROM lab GROUP BY 1),
+    npg AS (SELECT pred, gold, COUNT(*) AS n_pg FROM lab GROUP BY 1, 2),
+    per_doc AS (
+      SELECT l.doc_id,
+             (CAST(c.n_pg AS HUGEINT) * 1000000) // p.n_p AS p_micro,
+             (CAST(c.n_pg AS HUGEINT) * 1000000) // g.n_g AS r_micro
+      FROM lab l
+      JOIN np p ON p.pred = l.pred
+      JOIN ng g ON g.gold = l.gold
+      JOIN npg c ON c.pred = l.pred AND c.gold = l.gold),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS pm,
+             CAST(SUM(r_micro) // COUNT(*) AS BIGINT) AS rm
+      FROM per_doc)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(pm AS DOUBLE) / 1000000.0 AS b3_precision,
+           CAST(rm AS DOUBLE) / 1000000.0 AS b3_recall,
+           2.0 * (CAST(pm AS DOUBLE) / 1000000.0)
+               * (CAST(rm AS DOUBLE) / 1000000.0)
+             / (CAST(pm AS DOUBLE) / 1000000.0
+                + CAST(rm AS DOUBLE) / 1000000.0) AS b3_f1
+    FROM sums
+    """,
+)
+def b3_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of a cheap
+    blocking scheme — 64-char-prefix groups — against the gold exact-dup
+    clustering (sorted-token-set fingerprint): per doc, precision is the
+    fraction of its PREDICTED cluster that shares its GOLD cluster,
+    recall the converse, averaged over docs.  This is THE standard
+    entity-resolution / dedup-clustering quality readout (B³ punishes
+    both over-merging and over-splitting, unlike pairwise F1 which
+    over-weights big clusters) — it closes the loop on the blocking
+    stages (`prefix_dup_candidates`) by SCORING them.
+
+    Numerics: all cluster sizes and intersections are exact integers;
+    per-doc ratios are floored integer divisions to micro precision, the
+    averages floored again — NO round call anywhere, so no .5-repr
+    divergence can exist; F1 is one pure double expression of identical
+    integers.
+
+    Scale: three hash aggregates (pred, gold, pred x gold) + equi-joins
+    back on the labels — never doc x doc; the label tables are
+    cluster-count-sized.
+    """
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id",
+        F.substring("text", 1, 64).alias("pred"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tx.tokens("text")))
+            )
+        ).alias("gold"),
+    )
+    np_ = lab.groupBy("pred").agg(F.count("*").alias("n_p"))
+    ng = lab.groupBy("gold").agg(F.count("*").alias("n_g"))
+    npg = lab.groupBy("pred", "gold").agg(F.count("*").alias("n_pg"))
+    per_doc = (
+        lab.join(np_, "pred")
+        .join(ng, "gold")
+        .join(npg, ["pred", "gold"])
+        .select(
+            F.expr(
+                "CAST((CAST(n_pg AS DECIMAL(38,0)) * 1000000) div n_p AS BIGINT)"
+            ).alias("p_micro"),
+            F.expr(
+                "CAST((CAST(n_pg AS DECIMAL(38,0)) * 1000000) div n_g AS BIGINT)"
+            ).alias("r_micro"),
+        )
+    )
+    sums = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("p_micro").alias("sp"),
+        F.sum("r_micro").alias("sr"),
+    ).select(
+        "n",
+        F.expr("CAST(sp div n AS BIGINT)").alias("pm"),
+        F.expr("CAST(sr div n AS BIGINT)").alias("rm"),
+    )
+    p = F.col("pm").cast("double") / 1_000_000.0
+    r = F.col("rm").cast("double") / 1_000_000.0
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        p.alias("b3_precision"),
+        r.alias("b3_recall"),
+        (F.lit(2.0) * p * r / (p + r)).alias("b3_f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase cycle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "repeat_purchase_cycle",
+    oracle="""
+    WITH gaps AS (
+      SELECT c.c_nationkey,
+             DATEDIFF('day',
+               CAST(LAG(o.o_orderdate) OVER (
+                 PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS DATE),
+               CAST(o.o_orderdate AS DATE)) AS gap
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+    SELECT c_nationkey,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(MEDIAN(gap) AS DOUBLE) AS p50_days,
+           CAST(QUANTILE_CONT(gap, 0.9) AS DOUBLE) AS p90_days
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY c_nationkey
+    """,
+)
+def repeat_purchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cycle time: per-customer gaps between consecutive
+    orders, profiled per nation as median / p90 days — the
+    replenishment-rhythm metric behind reorder reminders and demand
+    forecasting (the ORDER-level sibling of ``interarrival_time_stats``'s
+    event-level burstiness).
+
+    Determinism: gaps are exact integer day diffs off one per-customer
+    LAG; percentiles interpolate identical sorted integers in both
+    engines (the `order_to_ship_latency` discipline).
+
+    Scale: one window shuffle on the natural customer key, then a
+    bounded-key (|nations|) aggregate; exact percentiles swap to
+    approx_percentile at fleet scale per the repo's sketch notes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.to_date(F.lag("o_orderdate").over(w)),
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return gaps.groupBy("c_nationkey").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.expr("percentile(gap, 0.5)").cast("double").alias("p50_days"),
+        F.expr("percentile(gap, 0.9)").cast("double").alias("p90_days"),
+    )

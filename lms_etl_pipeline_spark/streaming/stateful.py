@@ -256,3 +256,75 @@ def streaming_running_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+EWMA_SCHEMA = "key STRING, ts TIMESTAMP, x DOUBLE, ewma DOUBLE"
+_EWMA_STATE_SCHEMA = "ew DOUBLE, has_prev BOOLEAN"
+
+
+def _make_ewma_fn(alpha: float):
+    def ewma_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Recursive per-key EWMA: ew_t = alpha*x_t + (1-alpha)*ew_{t-1}.
+
+        The carried state is ONE scalar per key, so any micro-batch
+        boundary placement yields identical outputs (the incremental-
+        dedup invariance argument applied to a recurrence) — pinned by
+        the batch-split test.
+        """
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        ew, has_prev = state.get if state.exists else (0.0, False)
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for _, row in pdf.sort_values("ts").iterrows():
+                x = float(row["x"])
+                ew = x if not has_prev else alpha * x + (1.0 - alpha) * ew
+                has_prev = True
+                out.append((key[0], row["ts"], x, ew))
+        state.update((ew, has_prev))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "ts", "x", "ewma"])
+
+    return ewma_fn
+
+
+def streaming_ewma(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming recursive EWMA per key — the RUNTIME twin of the batch
+    ``ewma_smoothing`` plan (which unrolls the truncated recurrence into
+    window LAGs): here the true infinite-history recurrence runs as
+    per-key streaming state, emitting every update — the smoothed-metric
+    feed behind live EWMA alert rules.
+
+    Per-key state: one (ewma, seen) scalar pair — O(keys) state total,
+    RocksDB-friendly, and micro-batch-boundary-invariant (the recurrence
+    folds left over the per-key ts order regardless of how the stream is
+    chopped; pinned by the split-equivalence test).
+
+    Ordering contract: like every per-key streaming recurrence, correctness
+    assumes per-key event-time order within the stream (true for replayed
+    logs / per-key FIFO sources); out-of-order input needs a watermarked
+    sort buffer upstream.
+    """
+    renamed = stream_df.selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"{ts_col} AS ts",
+        f"CAST({value_col} AS DOUBLE) AS x",
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _make_ewma_fn(alpha),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

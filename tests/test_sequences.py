@@ -481,3 +481,56 @@ def test_seasonal_index_centered_near_one(spark):
         )
     for vals in by_type.values():
         assert 0.7 < statistics.mean(vals) < 1.3
+
+
+# ------------------------------------------------- B-cubed eval
+
+
+def test_b3_bounds_and_f1_harmonic(spark):
+    r = QUERIES["b3_blocking_eval"](spark, SF_SMOKE).collect()[0]
+    assert r.n_docs > 0
+    assert 0.0 < r.b3_precision <= 1.0
+    assert 0.0 < r.b3_recall <= 1.0
+    expect_f1 = (
+        2 * r.b3_precision * r.b3_recall / (r.b3_precision + r.b3_recall)
+    )
+    assert abs(r.b3_f1 - expect_f1) < 1e-12
+    assert min(r.b3_precision, r.b3_recall) <= r.b3_f1 <= max(
+        r.b3_precision, r.b3_recall
+    )
+
+
+def test_b3_perfect_when_pred_equals_gold(spark):
+    # identical labelings must score P = R = 1 (up to the 1e-6 floor)
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c"), (6, "c")],
+        "doc_id long, lab string",
+    )
+    lab = df.select("doc_id", F2.col("lab").alias("pred"), F2.col("lab").alias("gold"))
+    np_ = lab.groupBy("pred").agg(F2.count("*").alias("n_p"))
+    ng = lab.groupBy("gold").agg(F2.count("*").alias("n_g"))
+    npg = lab.groupBy("pred", "gold").agg(F2.count("*").alias("n_pg"))
+    per_doc = (
+        lab.join(np_, "pred").join(ng, "gold").join(npg, ["pred", "gold"])
+        .selectExpr(
+            "CAST((CAST(n_pg AS DECIMAL(38,0)) * 1000000) div n_p AS BIGINT) AS p_micro",
+            "CAST((CAST(n_pg AS DECIMAL(38,0)) * 1000000) div n_g AS BIGINT) AS r_micro",
+        )
+    )
+    row = per_doc.agg(
+        F2.min("p_micro").alias("pmin"), F2.min("r_micro").alias("rmin")
+    ).collect()[0]
+    assert row.pmin == row.rmin == 1_000_000
+
+
+# ------------------------------------------------- repeat purchase cycle
+
+
+def test_repeat_purchase_cycle_percentiles(spark):
+    rows = QUERIES["repeat_purchase_cycle"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.p50_days <= r.p90_days

@@ -217,3 +217,65 @@ def test_running_totals_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_ewma_split_invariant_and_recursive(spark, tmp_path):
+    """streaming_ewma folds the recurrence identically no matter where the
+    micro-batch boundaries land: one-run ingestion and two-run ingestion
+    (checkpointed state across AvailableNow restarts) both reproduce the
+    pandas-computed recursive EWMA."""
+    from pyspark.sql.types import StructType
+
+    from lms_etl_pipeline_spark.streaming.stateful import streaming_ewma
+
+    ddl = "user STRING, ts TIMESTAMP, v DOUBLE"
+
+    def land(path, rows):
+        spark.createDataFrame(rows, "user STRING, ts_s STRING, v DOUBLE").selectExpr(
+            "user", "CAST(ts_s AS TIMESTAMP) AS ts", "v"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    series = [
+        ("u1", "2024-01-01 00:00:01", 10.0),
+        ("u1", "2024-01-01 00:00:02", 20.0),
+        ("u1", "2024-01-01 00:00:03", 30.0),
+        ("u1", "2024-01-01 00:00:04", 40.0),
+        ("u2", "2024-01-01 00:00:01", 5.0),
+        ("u2", "2024-01-01 00:00:02", 15.0),
+    ]
+
+    def reference(alpha=0.5):
+        out = {}
+        state: dict[str, float] = {}
+        for u, ts, v in series:
+            ew = v if u not in state else alpha * v + (1 - alpha) * state[u]
+            state[u] = ew
+            out[(u, ts)] = ew
+        return out
+
+    expect = reference()
+
+    def run(split: bool, tag: str):
+        landing = str(tmp_path / f"in_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        got: dict[tuple, float] = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[(r.key, str(r.ts))] = r.ewma
+
+        batches = [series[:3], series[3:]] if split else [series]
+        for rows in batches:
+            land(landing, rows)
+            stream = streaming_ewma(
+                streaming.file_stream(spark, landing, StructType.fromDDL(ddl)),
+                "user", "v",
+            )
+            streaming.run_available_now(stream, sink, ckpt, output_mode="append")
+        return got
+
+    one = run(False, "one")
+    two = run(True, "two")
+    assert one == two == {
+        (u, ts): e for (u, ts), e in expect.items()
+    }, f"one={one} two={two} expect={expect}"
