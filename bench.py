@@ -65,6 +65,20 @@ EXTRA_REPS = {
 }
 
 
+def force_eval(df) -> None:
+    """Evaluate EVERY output column (hash-sum sink), so projection-only
+    plans can't be column-pruned down to a row count."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(F.struct(c)) if t.startswith(("map<", "struct<")) else F.col(c)
+        for c, t in df.dtypes
+    ]
+    # bit_xor (not sum): the engine runs ANSI mode, where summing 64-bit
+    # hashes overflows
+    df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h")).collect()
+
+
 def plan_fingerprint(df) -> str:
     """12-hex digest of the optimized logical plan with volatile tokens
     (expression IDs, plan IDs, scratch paths) stripped — stable across
@@ -87,23 +101,10 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from lms_etl_pipeline_spark.session import get_spark
 
-    from pyspark.sql import functions as F
-
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     reps = max(int(os.environ.get("BENCH_REPS", "2")), 1)
-
-    def force_eval(df) -> None:
-        """Evaluate EVERY output column (hash-sum sink), so projection-only
-        plans can't be column-pruned down to a row count."""
-        cols = [
-            F.to_json(F.struct(c)) if t.startswith(("map<", "struct<")) else F.col(c)
-            for c, t in df.dtypes
-        ]
-        # bit_xor (not sum): the engine runs ANSI mode, where summing 64-bit
-        # hashes overflows
-        df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h")).collect()
 
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup.

@@ -49,7 +49,15 @@ _PRIORITY: tuple[str, ...] = (
     # correlation_matrix, gini_concentration, spelling_variants_symspell,
     # hits_hubs_authorities, join_asof_next_purchase, pareto_front_2d,
     # and the 5c wave: ewma_smoothing, acf_lags, activity_streaks,
-    # khop_reachability, retrieval_mrr_ndcg, scd2_snapshot_asof.
+    # khop_reachability, retrieval_mrr_ndcg, scd2_snapshot_asof,
+    # fifo_returns_allocation, llr_collocations,
+    # systematic_sample_stratified, supplier_common_neighbors,
+    # surrogate_key_audit, churned_users_weekly, order_to_ship_latency,
+    # cumulative_unique_users, sax_symbolization, dedup_first_in_window,
+    # pinball_loss_eval, matryoshka_truncation_eval,
+    # ngram_containment_pairs, price_volume_mix_decomposition,
+    # ab_sample_size_planning, wasserstein_drift_1d, seasonal_index_weekly,
+    # b3_blocking_eval, repeat_purchase_cycle.
     #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",
