@@ -2187,3 +2187,265 @@ def repeat_purchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap, 0.5)").cast("double").alias("p50_days"),
         F.expr("percentile(gap, 0.9)").cast("double").alias("p90_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Peer benchmarking vs group median
+# --------------------------------------------------------------------------
+
+
+@query(
+    "peer_benchmark_vs_median",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_suppkey, s.s_nationkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS r
+      FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    med AS (
+      SELECT s_nationkey, MEDIAN(CAST(r AS HUGEINT)) AS m
+      FROM (SELECT s_nationkey, r * 10000 AS r FROM rev) GROUP BY 1)
+    SELECT rev.s_suppkey, rev.s_nationkey,
+           CAST(ROUND(rev.r, 2) AS DOUBLE) AS revenue,
+           CAST(CAST(rev.r * 20000 AS HUGEINT) - CAST(med.m * 2 AS HUGEINT)
+                AS BIGINT) AS delta2_vs_median_fp,
+           (rev.r * 10000 > med.m) AS above_median
+    FROM rev JOIN med ON med.s_nationkey = rev.s_nationkey
+    """,
+)
+def peer_benchmark_vs_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer benchmarking: each supplier's revenue against the MEDIAN of
+    its nation peer group — the "you vs similar accounts" readout every
+    seller/ops dashboard ships, robust to the one whale the mean would
+    follow.
+
+    Numerics: revenues are exact decimals scaled to integer fixed point
+    (×1e4) BEFORE the median; the delta is emitted in DOUBLED fixed-point
+    units so an even-count interpolated median (k + 0.5) becomes the
+    exact integer 2k+1 before any cast — no rounding-mode divergence can
+    enter; the above/below flag compares exact-magnitude doubles.
+
+    Scale: supplier-keyed aggregate, then a |nations|-group exact median
+    over supplier-count-sized groups broadcast back.  At fleet scale the
+    median swaps to approx_percentile per the repo's sketch notes.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r"))
+    )
+    scaled = rev.withColumn("r_fp", (F.col("r") * 10000).cast("decimal(38,0)"))
+    med = scaled.groupBy(F.col("s_nationkey").alias("m_nat")).agg(
+        F.expr("percentile(r_fp, 0.5)").alias("m")
+    )
+    return (
+        scaled.join(F.broadcast(med), F.col("s_nationkey") == F.col("m_nat"))
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round(F.col("r"), 2).cast("double").alias("revenue"),
+            # doubled fixed-point units: 2*median = the sum of the two
+            # middle integers, exact — no .5 interpolation survives to a
+            # cast whose rounding mode could differ between engines
+            (
+                (F.col("r_fp") * 2).cast("decimal(38,0)")
+                - (F.col("m") * 2).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("delta2_vs_median_fp"),
+            (F.col("r_fp").cast("double") > F.col("m")).alias("above_median"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile treatment effects (A/B)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_quantile_treatment_effect",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             TRY_CAST(CONCAT('0x', SUBSTRING(
+               MD5(CONCAT('ab1|', CAST(user_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % 2 AS arm,
+             SUM(CAST(value AS DECIMAL(18,6))) AS spend
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1),
+    fp AS (SELECT arm, CAST(spend * 1000000 AS HUGEINT) AS s_fp FROM assign),
+    q AS (
+      SELECT arm,
+             MEDIAN(s_fp) AS p50,
+             QUANTILE_CONT(s_fp, 0.25) AS p25,
+             QUANTILE_CONT(s_fp, 0.75) AS p75
+      FROM fp GROUP BY arm)
+    SELECT a.p25 / 1000000.0 - b.p25 / 1000000.0 AS qte_p25,
+           a.p50 / 1000000.0 - b.p50 / 1000000.0 AS qte_p50,
+           a.p75 / 1000000.0 - b.p75 / 1000000.0 AS qte_p75,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM assign WHERE arm = 1)
+             AS n_treat,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM assign WHERE arm = 0)
+             AS n_control
+    FROM (SELECT * FROM q WHERE arm = 1) a, (SELECT * FROM q WHERE arm = 0) b
+    """,
+)
+def ab_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the hash-assigned A/B split: the
+    p25/p50/p75 spend difference between arms — the DISTRIBUTIONAL
+    experiment readout (did the treatment move the median user or only
+    the tail?) that mean-lift reports (`ab_test_lift_report`, same
+    salted-md5 assignment) cannot see.
+
+    Numerics: per-user spend is an exact decimal scaled to integer fixed
+    point before the quantiles, so quantile interpolation runs on exact
+    integers (identical in both engines); each QTE is a difference of two
+    such quantiles scaled back by a pure power-of-ten double division —
+    no ROUND call.  A/A split here, so all QTEs ≈ 0 (pinned).
+
+    Scale: user-keyed aggregate + per-arm exact quantiles (two groups);
+    approx_percentile at fleet scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assign = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+        .select(
+            bucket.alias("arm"),
+            (F.col("spend") * 1_000_000).cast("decimal(38,0)").alias("s_fp"),
+        )
+    )
+    q = assign.groupBy("arm").agg(
+        F.expr("percentile(s_fp, 0.25)").alias("p25"),
+        F.expr("percentile(s_fp, 0.5)").alias("p50"),
+        F.expr("percentile(s_fp, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+    a = q.filter(F.col("arm") == 1).select(
+        F.col("p25").alias("a25"), F.col("p50").alias("a50"),
+        F.col("p75").alias("a75"), F.col("n").alias("n_treat"),
+    )
+    b = q.filter(F.col("arm") == 0).select(
+        F.col("p25").alias("b25"), F.col("p50").alias("b50"),
+        F.col("p75").alias("b75"), F.col("n").alias("n_control"),
+    )
+    return a.crossJoin(b).select(
+        (F.col("a25") / 1_000_000.0 - F.col("b25") / 1_000_000.0).alias("qte_p25"),
+        (F.col("a50") / 1_000_000.0 - F.col("b50") / 1_000_000.0).alias("qte_p50"),
+        (F.col("a75") / 1_000_000.0 - F.col("b75") / 1_000_000.0).alias("qte_p75"),
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        F.col("n_control").cast("bigint").alias("n_control"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding centroid drift
+# --------------------------------------------------------------------------
+
+
+def _centroid_sql(pred: str, alias: str) -> str:
+    """Per-dimension decimal-exact centroid of a filtered embedding set."""
+    return f"""
+    {alias} AS (
+      SELECT dim,
+             CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM (SELECT UNNEST(embedding) AS val,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+            FROM embeddings WHERE {pred})
+      GROUP BY dim)"""
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH {_centroid_sql("vec_id % 10 <> 7", "ci")},
+    {_centroid_sql("vec_id % 10 = 7", "cd")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           ROUND(SQRT(SUM(CAST(ROUND((ci.c - cd.c) * (ci.c - cd.c), 12)
+                               AS DECIMAL(28,12)))), 8) AS l2_drift,
+           ROUND(SUM(CAST(ROUND(ci.c * cd.c, 12) AS DECIMAL(28,12)))
+                 / (SQRT(SUM(CAST(ROUND(ci.c * ci.c, 12) AS DECIMAL(28,12))))
+                    * SQRT(SUM(CAST(ROUND(cd.c * cd.c, 12) AS DECIMAL(28,12))))),
+                 8) AS centroid_cosine
+    FROM ci JOIN cd ON cd.dim = ci.dim
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between the delta batch and the index corpus
+    (the scalar-drift split of ``psi_drift_report``/``ks_test_drift``
+    applied to VECTORS): per-dimension exact-decimal centroids for each
+    split, then the L2 distance and cosine between the two centroid
+    vectors — the embedding-distribution monitor vector platforms run to
+    catch encoder regressions and upstream-content shifts that no scalar
+    column would show.
+
+    Numerics: centroids follow the ``embedding_centroids`` idiom (decimal
+    sum cast to double, ONE double division, no decimal-division path);
+    the cross-dimension L2/cosine reductions round each
+    product term at 1e-12 then DECIMAL-sum (order-independent), with one
+    final rounding per output.
+
+    Scale: ONE corpus scan explodes to (dim, val) pairs aggregated
+    map-side per dimension — state is 2×{EMB_DIM} cells regardless of
+    corpus size; mergeable across any partitioning, streamable as an
+    incremental aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        (F.col("vec_id") % 10 == 7).alias("in_delta"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select("in_delta", (F.col("dim0") + 1).alias("dim"), "val")
+    # the embedding_centroids idiom: decimal sum cast to double FIRST,
+    # then one double division — no decimal-division path (whose scale
+    # handling differs between engines) ever runs
+    cent = pairs.groupBy("dim").agg(
+        (
+            F.sum(
+                F.when(
+                    ~F.col("in_delta"),
+                    F.col("val").cast("double").cast("decimal(18,9)"),
+                )
+            ).cast("double")
+            / F.sum(F.when(~F.col("in_delta"), 1).otherwise(0))
+        ).alias("ci"),
+        (
+            F.sum(
+                F.when(
+                    F.col("in_delta"),
+                    F.col("val").cast("double").cast("decimal(18,9)"),
+                )
+            ).cast("double")
+            / F.sum(F.when(F.col("in_delta"), 1).otherwise(0))
+        ).alias("cd"),
+    )
+    d12 = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    diff2 = d12((F.col("ci") - F.col("cd")) * (F.col("ci") - F.col("cd")))
+    return cent.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.round(F.sqrt(F.sum(diff2)), 8).alias("l2_drift"),
+        F.round(
+            F.sum(d12(F.col("ci") * F.col("cd")))
+            / (
+                F.sqrt(F.sum(d12(F.col("ci") * F.col("ci"))))
+                * F.sqrt(F.sum(d12(F.col("cd") * F.col("cd"))))
+            ),
+            8,
+        ).alias("centroid_cosine"),
+    )

@@ -67,6 +67,7 @@ ALLOW_CROSS = {
     "matryoshka_truncation_eval",  # 10-row query-set broadcast x linear scan (knn layout)
     "price_volume_mix_decomposition",  # 1-row first-year broadcast (period anchor)
     "wasserstein_drift_1d",  # 1-row population-totals broadcast (CDF denominators)
+    "ab_quantile_treatment_effect",  # 1-row x 1-row per-arm quantile combine
 }
 
 
