@@ -2449,3 +2449,228 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("centroid_cosine"),
     )
+
+
+# --------------------------------------------------------------------------
+# Top-N + "other" rollup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topn_plus_other_rollup",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, source ASC) AS rk
+      FROM per_src)
+    SELECT CASE WHEN rk <= 3 THEN source ELSE '(other)' END AS bucket,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(rk) AS BIGINT) AS rank_order
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def topn_plus_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 sources by volume with everything else folded into one
+    "(other)" bucket — the long-tail presentation rule every report uses
+    (pie charts, budget tables) and the complement of plain top-k: the
+    tail is ACCOUNTED FOR, not dropped, so bucket totals reconcile to the
+    corpus total (pinned).
+
+    Determinism: counts are exact; the rank tiebreak is total (count
+    desc, name asc).  Scale: the rollup runs over the |sources|-sized
+    aggregate, never the corpus; the window is report-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("source").asc())
+    ranked = per_src.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= 3, F.col("source"))
+            .otherwise(F.lit("(other)"))
+            .alias("bucket"),
+            "n_docs",
+            "n_chars",
+            "rk",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("rk").cast("bigint").alias("rank_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# State-machine compliance audit
+# --------------------------------------------------------------------------
+
+#: Allowed event-type transitions per user journey (the product's funnel
+#: contract): anything else is a compliance violation to investigate.
+_ALLOWED_TRANSITIONS = (
+    ("view", "view"),
+    ("view", "click"),
+    ("click", "view"),
+    ("click", "click"),
+    ("click", "purchase"),
+    ("purchase", "view"),
+)
+
+
+def _sm_allowed_sql() -> str:
+    return ", ".join(f"('{a}','{b}')" for a, b in _ALLOWED_TRANSITIONS)
+
+
+@query(
+    "state_machine_audit",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS curr,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events),
+    pairs AS (SELECT prev, curr FROM seq WHERE prev IS NOT NULL),
+    allowed(a, b) AS (VALUES __SM_VALUES__)
+    SELECT p.prev, p.curr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (al.a IS NULL) AS is_violation
+    FROM pairs p
+    LEFT JOIN allowed al ON al.a = p.prev AND al.b = p.curr
+    GROUP BY p.prev, p.curr, al.a IS NULL
+    """.replace("__SM_VALUES__", _sm_allowed_sql()),
+)
+def state_machine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-machine compliance audit: per-user event sequences checked
+    against the product's ALLOWED transition contract — observed
+    transitions counted and flagged when outside the allowlist.  This is
+    the governance twin of ``event_transition_matrix`` (which measures
+    what IS; this judges it against what SHOULD be) — the order-status /
+    workflow-integrity check every operational datastore audits after an
+    incident.
+
+    Determinism: the sequence order is total ((ts, event_id)); counts
+    exact; the flag is a broadcast-allowlist anti-membership.
+
+    Scale: one window shuffle on user_id, then a |types|²-bounded
+    aggregate joined against a literal allowlist (broadcast by size).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("curr"),
+    ).filter(F.col("prev").isNotNull())
+    allowed = F.broadcast(
+        sparkdf_from_pairs(spark, _ALLOWED_TRANSITIONS)
+    )
+    return (
+        seq.join(
+            allowed,
+            (F.col("prev") == F.col("a")) & (F.col("curr") == F.col("b")),
+            "left",
+        )
+        .groupBy("prev", "curr", F.col("a").isNull().alias("is_violation"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select("prev", "curr", "n", "is_violation")
+    )
+
+
+def sparkdf_from_pairs(spark: SparkSession, pairs) -> DataFrame:
+    """Tiny literal lookup table (broadcast side of contract joins)."""
+    return spark.createDataFrame(list(pairs), "a string, b string")
+
+
+# --------------------------------------------------------------------------
+# Business-days latency
+# --------------------------------------------------------------------------
+
+#: extra-business-days lookup: index (isodow(start)-1)*7 + (gap % 7),
+#: precomputed once and injected into BOTH engines as the same literals.
+_BD_EXTRA = (
+    0, 1, 2, 3, 4, 4, 4,
+    0, 1, 2, 3, 3, 3, 4,
+    0, 1, 2, 2, 2, 3, 4,
+    0, 1, 1, 1, 2, 3, 4,
+    0, 0, 0, 1, 2, 3, 4,
+    0, 0, 1, 2, 3, 4, 5,
+    0, 1, 2, 3, 4, 5, 5,
+)
+
+
+@query(
+    "business_days_latency",
+    oracle=f"""
+    WITH g AS (
+      SELECT o.o_orderpriority,
+             DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS gap,
+             ISODOW(CAST(o.o_orderdate AS DATE)) AS k
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    bd AS (
+      SELECT o_orderpriority,
+             (gap // 7) * 5
+               + [{", ".join(str(x) for x in _BD_EXTRA)}]
+                 [(k - 1) * 7 + (gap % 7) + 1] AS bdays
+      FROM g WHERE gap >= 0)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MEDIAN(bdays) AS DOUBLE) AS p50_bdays,
+           CAST(QUANTILE_CONT(bdays, 0.95) AS DOUBLE) AS p95_bdays,
+           CAST(SUM(CASE WHEN bdays > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sla_breach
+    FROM bd GROUP BY o_orderpriority
+    """,
+)
+def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days (weekends excluded) with a
+    60-business-day SLA breach count — the calendar arithmetic ops teams
+    actually contract on, computed CLOSED-FORM: full weeks contribute 5
+    days and the remainder comes from a 49-entry (start-weekday × gap%7)
+    lookup injected identically into both engines — no per-day explode,
+    no calendar table scan (property-verified against day-by-day
+    iteration in tests).
+
+    Scale: the lookup is O(1) per row on the fact join; the percentile
+    aggregate is 5-group-bounded.  A holiday calendar would swap the
+    literal lookup for a broadcast dim — same shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gap = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    k = F.weekday(F.to_date("o_orderdate")) + 1  # ISO: Mon=1..Sun=7
+    extra = F.element_at(
+        F.array(*[F.lit(x) for x in _BD_EXTRA]),
+        ((k - 1) * 7 + (gap % 7) + 1).cast("int"),
+    )
+    j = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            "o_orderpriority",
+            gap.alias("gap"),
+            extra.alias("extra"),
+        )
+        .filter(F.col("gap") >= 0)
+        .select(
+            "o_orderpriority",
+            (F.floor(F.col("gap") / 7) * 5 + F.col("extra")).alias("bdays"),
+        )
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("percentile(bdays, 0.5)").cast("double").alias("p50_bdays"),
+        F.expr("percentile(bdays, 0.95)").cast("double").alias("p95_bdays"),
+        F.sum(F.when(F.col("bdays") > 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sla_breach"),
+    )

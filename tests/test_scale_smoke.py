@@ -35,6 +35,8 @@ _HEAVY = [
     ("fifo_returns_allocation", 60),
     ("khop_reachability", 120),
     ("retrieval_mrr_ndcg", 60),
+    ("b3_blocking_eval", 120),
+    ("embedding_centroid_drift", 60),
 ]
 
 

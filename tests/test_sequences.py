@@ -587,3 +587,81 @@ def test_embedding_drift_self_is_zero_and_cosine_bounds(spark):
     # near-zero-mean embeddings make the centroid direction noisy; only
     # the magnitude claim is stable: drift is small vs a unit vector
     assert r.l2_drift < 1.0
+
+
+# ------------------------------------------------- top-N + other
+
+
+def test_topn_other_reconciles_to_total(spark):
+    df = QUERIES["topn_plus_other_rollup"](spark, SF_SMOKE)
+    rows = df.collect()
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()  # tail accounted for
+    buckets = {r.bucket for r in rows}
+    assert len(buckets - {"(other)"}) <= 3
+
+
+# ------------------------------------------------- state machine audit
+
+
+def test_state_machine_flags_match_allowlist(spark):
+    from lms_etl_pipeline_spark.plans.sequences import _ALLOWED_TRANSITIONS
+
+    rows = QUERIES["state_machine_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    allowed = set(_ALLOWED_TRANSITIONS)
+    for r in rows:
+        assert r.is_violation == ((r.prev, r.curr) not in allowed)
+        assert r.n > 0
+
+
+# ------------------------------------------------- business days
+
+
+def test_business_days_closed_form_matches_iteration(spark):
+    import datetime as dt2
+
+    from lms_etl_pipeline_spark.plans.sequences import _BD_EXTRA
+
+    def iterate(a, g):
+        return sum(
+            1
+            for i in range(1, g + 1)
+            if (a + dt2.timedelta(days=i)).isoweekday() <= 5
+        )
+
+    base = dt2.date(2024, 1, 1)
+    for start_off in range(14):
+        for g in range(0, 30):
+            a = base + dt2.timedelta(days=start_off)
+            k = a.isoweekday()
+            closed = (g // 7) * 5 + _BD_EXTRA[(k - 1) * 7 + (g % 7)]
+            assert closed == iterate(a, g), (a, g)
+
+
+def test_business_days_le_calendar_days(spark):
+    rows = QUERIES["business_days_latency"](spark, SF_SMOKE).collect()
+    lat = {r.o_orderpriority: r for r in rows}
+    # compare against calendar-day percentiles over the SAME population
+    # (gap >= 0 — the fixtures contain pre-order ship dates the business-
+    # day query excludes)
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    gap = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    cal = {
+        r.o_orderpriority: r
+        for r in (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select("o_orderpriority", gap.alias("gap"))
+            .filter(F.col("gap") >= 0)
+            .groupBy("o_orderpriority")
+            .agg(F.expr("percentile(gap, 0.5)").alias("p50_days"))
+        ).collect()
+    }
+    for pri, r in lat.items():
+        assert r.p50_bdays <= cal[pri].p50_days  # weekends removed
+        assert 0 <= r.n_sla_breach <= r.n
