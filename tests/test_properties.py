@@ -137,3 +137,38 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs, t):
         for r in dd.jaccard_pairs_prefix(df, "id", "txt", n=n, threshold=t).collect()
     }
     assert got == expected
+
+
+@given(
+    labels=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), min_size=1, max_size=25
+    )
+)
+@SET
+def test_b3_pipeline_matches_reference(spark, labels):
+    """The SQL B-cubed pipeline (three aggregates + joins, fixed-point
+    div) equals the textbook per-element B³ definition for ANY labeling
+    pair — including degenerate all-same / all-distinct clusterings."""
+    rows = [(i, f"p{p}", f"g{g}") for i, (p, g) in enumerate(labels)]
+    lab = spark.createDataFrame(rows, "doc_id long, pred string, gold string")
+    np_ = lab.groupBy("pred").agg(F.count("*").alias("n_p"))
+    ng = lab.groupBy("gold").agg(F.count("*").alias("n_g"))
+    npg = lab.groupBy("pred", "gold").agg(F.count("*").alias("n_pg"))
+    per_doc = (
+        lab.join(np_, "pred").join(ng, "gold").join(npg, ["pred", "gold"])
+        .selectExpr(
+            "CAST((CAST(n_pg AS DECIMAL(38,0)) * 1000000) div n_p AS BIGINT) AS p_micro",
+            "CAST((CAST(n_pg AS DECIMAL(38,0)) * 1000000) div n_g AS BIGINT) AS r_micro",
+        )
+        .collect()
+    )
+    # reference: per element i, P_i = |C(i) ∩ G(i)| / |C(i)|
+    from collections import Counter
+
+    cp = Counter(p for p, _ in labels)
+    cg = Counter(g for _, g in labels)
+    cpg = Counter(labels)
+    ref_p = sorted((cpg[(p, g)] * 1_000_000) // cp[p] for p, g in labels)
+    ref_r = sorted((cpg[(p, g)] * 1_000_000) // cg[g] for p, g in labels)
+    assert sorted(r.p_micro for r in per_doc) == ref_p
+    assert sorted(r.r_micro for r in per_doc) == ref_r
