@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lms_etl_pipeline_spark.operators import dedup as dd
 from lms_etl_pipeline_spark.operators import vectors as vec
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import EMB_DIM
@@ -2673,4 +2674,225 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bdays") > 60, 1).otherwise(0))
         .cast("bigint")
         .alias("n_sla_breach"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Export shard manifest (integrity-hashed shard stats)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "export_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT TRY_CAST(CONCAT('0x', SUBSTRING(
+               MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_N_SHARDS}
+               AS shard,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                             t -> t != '')) AS n_toks,
+             TRY_CAST(CONCAT('0x', SUBSTRING(MD5(text), 1, 15)) AS BIGINT)
+               AS h
+      FROM documents)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(BIT_XOR(h) AS BIGINT) AS content_hash
+    FROM d GROUP BY shard
+    """,
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard manifest: docs assigned to {_N_SHARDS} shards by a
+    content-free stable hash, each shard summarized as (doc count, token
+    count, ORDER-INDEPENDENT content hash = XOR of per-doc 60-bit md5
+    prefixes) — the integrity manifest a training-data export writes next
+    to its shards so any reader (or a later re-export) can verify
+    completeness and bit-level content equality WITHOUT re-reading in a
+    fixed order.
+
+    XOR is the point: commutative/associative, so the manifest hash is
+    identical under any partitioning, any retry order, and any engine —
+    the same property `dec_sum` gives money columns, applied to content
+    identity.  Pairs with ``corpus_shuffle_deterministic`` (ordering) and
+    ``curated_corpus_partitioned_write`` (layout).
+
+    Scale: one scan, map-side-combining aggregate, {_N_SHARDS} output
+    rows; the hash combine is mergeable across any shard/executor split.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _N_SHARDS
+    )
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.size(tx.tokens("text")).alias("n_toks"),
+            h.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("content_hash"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH s-curve calibration (empirical vs theoretical candidate rate)
+# --------------------------------------------------------------------------
+
+_SC_ID_CAP = 400
+#: theoretical banded-MinHash candidate probability 1-(1-s^r)^b at each
+#: jaccard-decile midpoint, for r=2 rows x b=4 bands — injected as the
+#: SAME Python double literals into both engines.
+_SC_THEORY = tuple(
+    1.0 - (1.0 - ((b + 0.5) / 10.0) ** 2) ** 4 for b in range(10)
+)
+
+
+def _sc_oracle() -> str:
+    from lms_etl_pipeline_spark.plans.llm import (
+        _BASE_HASHES,
+        _SHINGLES,
+        _minhash_slots_sql,
+    )
+
+    theory_case = " ".join(
+        f"WHEN {b} THEN {_SC_THEORY[b]!r}" for b in range(10)
+    )
+    return f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+      WHERE doc_id < {_SC_ID_CAP}),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) >= 1),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_slots_sql(8)}
+      FROM hs_t),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh_t),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT i.ia, i.ib,
+             CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS j,
+             ((x.h0 = y.h0 AND x.h1 = y.h1) OR (x.h2 = y.h2 AND x.h3 = y.h3)
+              OR (x.h4 = y.h4 AND x.h5 = y.h5)
+              OR (x.h6 = y.h6 AND x.h7 = y.h7)) AS cand
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.ia
+      JOIN sz sb ON sb.doc_id = i.ib
+      JOIN sigs x ON x.doc_id = i.ia
+      JOIN sigs y ON y.doc_id = i.ib),
+    bucketed AS (
+      SELECT LEAST(CAST(FLOOR(j * 10) AS INTEGER), 9) AS bucket, cand
+      FROM scored)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE cand) AS BIGINT) AS n_candidates,
+           CAST((COUNT(*) FILTER (WHERE cand)) * 1000000 // COUNT(*)
+                AS DOUBLE) / 1000000.0 AS empirical_rate,
+           CAST(CASE bucket {theory_case} END AS DOUBLE)
+             AS theoretical_rate
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@query("lsh_s_curve_calibration", oracle=_sc_oracle())
+def lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter calibration: for a bounded anchor slice, the
+    EMPIRICAL candidate rate of the production 4-band x 2-row MinHash
+    banding per exact-Jaccard decile, next to the THEORETICAL s-curve
+    1-(1-s²)⁴ at each decile midpoint — the read that tells you whether
+    the deployed (b, r) matches the dedup threshold before a corpus-wide
+    run (pairs with ``lsh_recall_eval``'s single-threshold recall and
+    ``semdedup_threshold_sweep``'s cosine analogue).
+
+    Determinism: exact integer shingle intersections; jaccard is one
+    double division (identical bits); bucketing floors that double the
+    same way in both engines; the empirical rate is a floored fixed-point
+    division; theory values are injected literals.
+
+    Scale: the anchor's inverted-shingle equi-join bounds candidate
+    generation (never docs²); signatures come from the verified
+    `with_minhash` path.  In production the curve is computed on a
+    sampled slice exactly like this one.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SC_ID_CAP
+    )
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    sigs = dd.with_minhash(d, "doc_id", "text", k=8)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles(tx.tokens("text"), n=3))).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "s")
+    b = sh.select(F.col("doc_id").alias("ib"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sz.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    x = sigs.select(
+        F.col("doc_id").alias("ia"), *[F.col(f"h{i}").alias(f"xa{i}") for i in range(8)]
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("ib"), *[F.col(f"h{i}").alias(f"yb{i}") for i in range(8)]
+    )
+    cand = (
+        ((F.col("xa0") == F.col("yb0")) & (F.col("xa1") == F.col("yb1")))
+        | ((F.col("xa2") == F.col("yb2")) & (F.col("xa3") == F.col("yb3")))
+        | ((F.col("xa4") == F.col("yb4")) & (F.col("xa5") == F.col("yb5")))
+        | ((F.col("xa6") == F.col("yb6")) & (F.col("xa7") == F.col("yb7")))
+    )
+    j = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    scored = (
+        inter.join(sa, "ia")
+        .join(sb, "ib")
+        .join(x, "ia")
+        .join(y, "ib")
+        .select(
+            F.least(F.floor(j * 10).cast("int"), F.lit(9)).alias("bucket"),
+            cand.alias("cand"),
+        )
+    )
+    theory = F.element_at(
+        F.array(*[F.lit(v) for v in _SC_THEORY]), F.col("bucket") + 1
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("cand"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_candidates",
+            (
+                F.expr(
+                    "CAST((n_candidates * 1000000) div n_pairs AS BIGINT)"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("empirical_rate"),
+            theory.alias("theoretical_rate"),
+        )
     )

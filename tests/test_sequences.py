@@ -665,3 +665,48 @@ def test_business_days_le_calendar_days(spark):
     for pri, r in lat.items():
         assert r.p50_bdays <= cal[pri].p50_days  # weekends removed
         assert 0 <= r.n_sla_breach <= r.n
+
+
+# ------------------------------------------------- shard manifest
+
+
+def test_shard_manifest_partitions_corpus_and_hash_merges(spark):
+    rows = QUERIES["export_shard_manifest"](spark, SF_SMOKE).collect()
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert len(rows) <= 8
+    # XOR-combine is order/partitioning independent: the hash of all
+    # shards combined equals the corpus-wide combine
+    import functools
+
+    combined = functools.reduce(
+        lambda a, b: a ^ b, (r.content_hash for r in rows)
+    )
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    whole = (
+        d.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()[0][0]
+    )
+    assert combined == whole
+
+
+# ------------------------------------------------- LSH s-curve
+
+
+def test_s_curve_monotone_and_matches_theory_shape(spark):
+    rows = sorted(
+        QUERIES["lsh_s_curve_calibration"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_candidates <= r.n_pairs
+        assert 0.0 <= r.empirical_rate <= 1.0
+        assert 0.0 <= r.theoretical_rate <= 1.0
+    # theory is strictly increasing in jaccard; the empirical curve
+    # should rise from the lowest to the highest observed bucket
+    theory = [r.theoretical_rate for r in rows]
+    assert theory == sorted(theory)
+    if len(rows) >= 2 and rows[-1].bucket >= 5:
+        assert rows[-1].empirical_rate >= rows[0].empirical_rate
