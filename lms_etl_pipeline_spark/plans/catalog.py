@@ -57,7 +57,10 @@ _PRIORITY: tuple[str, ...] = (
     # pinball_loss_eval, matryoshka_truncation_eval,
     # ngram_containment_pairs, price_volume_mix_decomposition,
     # ab_sample_size_planning, wasserstein_drift_1d, seasonal_index_weekly,
-    # b3_blocking_eval, repeat_purchase_cycle.
+    # b3_blocking_eval, repeat_purchase_cycle, peer_benchmark_vs_median,
+    # ab_quantile_treatment_effect, embedding_centroid_drift,
+    # topn_plus_other_rollup, state_machine_audit, business_days_latency,
+    # export_shard_manifest, lsh_s_curve_calibration.
     #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",

@@ -24,6 +24,23 @@ series and derived graphs that were not yet first-class in the catalog:
   it was at time T": reconstructs the as-of state from SCD-type-2 validity
   windows, the time-travel read every warehouse dimension serves.
 
+Later waves in this module: FIFO returns allocation, Dunning-LLR
+collocations, systematic stratified sampling, common-neighbor node
+similarity, surrogate-key audit, weekly churn, order-to-ship latency,
+cumulative unique users, PAA/SAX symbolization, first-in-window dedup,
+pinball-loss eval, Matryoshka truncation eval, shingle containment,
+fixed-point price-volume-mix bridge, A/B sample-size planning, 1-D
+Wasserstein drift, weekly multiplicative seasonal index, B-cubed blocking
+eval, repeat-purchase cycle, peer-vs-median benchmarking, A/B quantile
+treatment effects, embedding centroid drift, top-N+other rollup,
+state-machine compliance audit, business-days SLA latency, XOR-integrity
+export manifests, and LSH s-curve calibration — each with its own scale
+note and DuckDB oracle.  A recurring numeric discipline here: wherever a
+ROUND of a derived double could land on an exact .5 boundary (where Spark
+rounds the shortest decimal repr and DuckDB the binary value), the
+computation moves to exact integer fixed point with floored ``div`` —
+no round call, no boundary.
+
 Reference parity note: the reference (`/root/reference/src/lms_to_s3_lambda.py`,
 `src/s3_to_rds_lambda.py` — a 2-file pandas ETL) has no analytics layer;
 these extend the engine along the driver-mandated SURVEY.md §2.12 + LLM
