@@ -328,3 +328,75 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUOTA_SCHEMA = (
+    "key STRING, ts TIMESTAMP, admitted BOOLEAN, n_used BIGINT, n_rejected BIGINT"
+)
+_QUOTA_STATE_SCHEMA = "used BIGINT, rejected BIGINT"
+
+
+def _make_quota_fn(limit: int):
+    def quota_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Admit the first ``limit`` events per key (lifetime quota);
+        reject and count the rest — the per-tenant budget/quota gate.
+
+        Admission is decided in per-key ts order, so like the EWMA
+        recurrence it is micro-batch-boundary invariant: the first
+        ``limit`` events by ts are admitted no matter how the stream is
+        chopped (pinned by the split test)."""
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        used, rejected = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for _, row in pdf.sort_values("ts").iterrows():
+                admit = used < limit
+                used, rejected = (
+                    (used + 1, rejected) if admit else (used, rejected + 1)
+                )
+                out.append((key[0], row["ts"], admit, used, rejected))
+        state.update((used, rejected))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "ts", "admitted", "n_used", "n_rejected"]
+            )
+
+    return quota_fn
+
+
+def streaming_quota_gate(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    limit: int = 100,
+) -> DataFrame:
+    """Per-key lifetime quota enforcement as streaming state: each key's
+    first ``limit`` events are admitted, the rest rejected with running
+    usage counters — the tenant budget / API-cap / ingest-quota gate every
+    multi-tenant pipeline puts in front of expensive downstream stages
+    (dedup, embedding, storage).
+
+    Per-key state is two counters — O(keys) total, checkpoint-tiny; the
+    admission decision folds left over per-key ts order, so outputs are
+    micro-batch-boundary invariant and replay-safe across
+    ``Trigger.AvailableNow`` restarts (pinned in
+    `tests/test_stateful_streaming.py`).  The batch twin of the cap shape
+    is ``domain_cap_filter`` (keep-first-N per key by deterministic
+    order).
+    """
+    renamed = stream_df.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", f"{ts_col} AS ts"
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        _make_quota_fn(limit),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -279,3 +279,52 @@ def test_streaming_ewma_split_invariant_and_recursive(spark, tmp_path):
     assert one == two == {
         (u, ts): e for (u, ts), e in expect.items()
     }, f"one={one} two={two} expect={expect}"
+
+
+def test_streaming_quota_gate_split_invariant(spark, tmp_path):
+    """The quota gate admits exactly the first `limit` events per key by
+    ts, with identical decisions whether the stream arrives as one batch
+    or two checkpointed AvailableNow runs."""
+    from pyspark.sql.types import StructType
+
+    from lms_etl_pipeline_spark.streaming.stateful import streaming_quota_gate
+
+    ddl = "user STRING, ts TIMESTAMP"
+    series = [
+        ("u1", f"2024-01-01 00:00:0{i}") for i in range(1, 6)
+    ] + [("u2", "2024-01-01 00:00:01")]
+
+    def land(path, rows):
+        spark.createDataFrame(rows, "user STRING, ts_s STRING").selectExpr(
+            "user", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def run(split: bool, tag: str):
+        landing = str(tmp_path / f"in_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        got: dict[tuple, tuple] = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[(r.key, str(r.ts))] = (r.admitted, r.n_used, r.n_rejected)
+
+        batches = [series[:3], series[3:]] if split else [series]
+        for rows in batches:
+            land(landing, rows)
+            stream = streaming_quota_gate(
+                streaming.file_stream(spark, landing, StructType.fromDDL(ddl)),
+                "user",
+                limit=3,
+            )
+            streaming.run_available_now(stream, sink, ckpt, output_mode="append")
+        return got
+
+    one = run(False, "one")
+    two = run(True, "two")
+    assert one == two
+    # u1: first 3 admitted, last 2 rejected; u2: admitted
+    assert one[("u1", "2024-01-01 00:00:01")][0] is True
+    assert one[("u1", "2024-01-01 00:00:03")] == (True, 3, 0)
+    assert one[("u1", "2024-01-01 00:00:04")] == (False, 3, 1)
+    assert one[("u1", "2024-01-01 00:00:05")] == (False, 3, 2)
+    assert one[("u2", "2024-01-01 00:00:01")] == (True, 1, 0)
