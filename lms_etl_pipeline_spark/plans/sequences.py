@@ -2913,3 +2913,182 @@ def lsh_s_curve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             theory.alias("theoretical_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson confidence intervals for conversion rates
+# --------------------------------------------------------------------------
+
+#: z for a 95% two-sided interval — ONE injected literal (no cross-libm
+#: inverse-erf), and its square, folded in Python like _SS_K.
+_WILSON_Z = 1.959963984540054
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+@query(
+    "wilson_conversion_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM per_user)
+    , raw AS (
+    SELECT n, k,
+           CAST(k AS DOUBLE) / n AS rate,
+           (CAST(k AS DOUBLE) / n + {_WILSON_Z2!r} / (2 * n)
+            - {_WILSON_Z!r} * SQRT(
+                (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                + {_WILSON_Z2!r} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z2!r} / n) AS ci_low_raw,
+           (CAST(k AS DOUBLE) / n + {_WILSON_Z2!r} / (2 * n)
+            + {_WILSON_Z!r} * SQRT(
+                (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                + {_WILSON_Z2!r} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z2!r} / n) AS ci_high_raw
+    FROM agg)
+    SELECT n, k, rate,
+           GREATEST(ci_low_raw, CAST(0 AS DOUBLE)) AS ci_low,
+           LEAST(ci_high_raw, CAST(1 AS DOUBLE)) AS ci_high
+    FROM raw
+    """,
+)
+def wilson_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level purchase-conversion rate with its Wilson 95% interval —
+    the binomial CI dashboards should quote instead of the Wald interval
+    (Wilson stays inside [0,1] and behaves at small n / extreme rates);
+    the uncertainty companion to ``funnel_conversion``'s point rates and
+    ``ab_test_lift_report``'s comparisons.
+
+    Determinism: n and k are exact integers; z and z² are injected
+    literals (z² folded in Python so no decimal-vs-double addition
+    differs); every emitted double is the same closed-form expression of
+    identical inputs on both engines — emitted RAW, no rounding call.
+
+    Scale: one user-keyed aggregate (map-side combinable) + a 1-row
+    reduction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    half = F.lit(_WILSON_Z) * F.sqrt(
+        p * (F.lit(1) - p) / n + F.lit(_WILSON_Z2) / (F.lit(4.0) * n * n)
+    )
+    center = p + F.lit(_WILSON_Z2) / (F.lit(2) * n)
+    denom = F.lit(1) + F.lit(_WILSON_Z2) / n
+    # clamp: the closed form can overshoot [0,1] by an ulp at k=0 / k=n
+    return agg.select(
+        "n",
+        "k",
+        p.alias("rate"),
+        F.greatest((center - half) / denom, F.lit(0.0)).alias("ci_low"),
+        F.least((center + half) / denom, F.lit(1.0)).alias("ci_high"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency (sweep line over sessions)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "peak_concurrency_daily",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS s_start,
+             MAX(ts) AS s_end
+      FROM (SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC) AS sid
+            FROM marks)
+      GROUP BY user_id, sid),
+    pts AS (
+      SELECT s_start AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s_end + INTERVAL 1 MICROSECOND, -1 FROM sess),
+    sweep AS (
+      SELECT CAST(t AS DATE) AS day,
+             SUM(delta) OVER (ORDER BY t ASC, delta DESC) AS live
+      FROM pts)
+    SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent_sessions
+    FROM sweep GROUP BY day
+    """,
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic SWEEP LINE:
+    sessions (30-min gap rule, as `events_sessionize_gap`) become
+    +1/-1 boundary marks, a single running sum over the time-ordered
+    marks IS the live-session count, and the daily max is the capacity-
+    planning headline ("size for peak, not average") that no
+    per-interval GROUP BY can produce.
+
+    Determinism: boundaries are exact µs instants; the sweep order is
+    total ((t, delta desc) — a start and an end at the same instant count
+    the session as live, matching the closed interval); counts exact.
+    The end mark sits 1 µs after s_end so a session's final event
+    instant is still covered.
+
+    Scale: the sweep's global window runs over SESSION boundaries (two
+    rows per session, far below event count); for fleet scale the same
+    sweep shards by coarse time range with per-shard offsets carried
+    forward — the standard distributed prefix-sum layout.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marks = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wsid = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    sess = (
+        marks.withColumn("sid", F.sum("is_start").over(wsid))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    pts = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            (F.col("s_end") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    sweep = pts.select(
+        F.col("t").cast("date").alias("day"),
+        F.sum("delta")
+        .over(Window.orderBy(F.col("t").asc(), F.col("delta").desc()))
+        .alias("live"),
+    )
+    return sweep.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("peak_concurrent_sessions")
+    )

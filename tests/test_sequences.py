@@ -710,3 +710,57 @@ def test_s_curve_monotone_and_matches_theory_shape(spark):
     assert theory == sorted(theory)
     if len(rows) >= 2 and rows[-1].bucket >= 5:
         assert rows[-1].empirical_rate >= rows[0].empirical_rate
+
+
+# ------------------------------------------------- Wilson CI
+
+
+def test_wilson_interval_contains_rate_and_is_proper(spark):
+    r = QUERIES["wilson_conversion_ci"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.k <= r.n
+    assert 0.0 <= r.ci_low <= r.rate <= r.ci_high <= 1.0
+    # Wilson never collapses to a point for 0 < k < n
+    if 0 < r.k < r.n:
+        assert r.ci_high - r.ci_low > 0
+
+
+# ------------------------------------------------- peak concurrency
+
+
+def test_peak_concurrency_bounds(spark):
+    rows = QUERIES["peak_concurrency_daily"](spark, SF_SMOKE).collect()
+    assert rows
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    n_users = e.select("user_id").distinct().count()
+    for r in rows:
+        # at least one session live at its own start; never more sessions
+        # live than users (sessions of one user never overlap)
+        assert 1 <= r.peak_concurrent_sessions <= n_users
+
+
+def test_peak_concurrency_known_intervals(spark):
+    import datetime as dt3
+
+    # u1: 00:00-00:10, u2: 00:05-00:15, u3: 00:20-00:25 -> peak 2
+    rows = []
+    for u, (a, b) in enumerate([(0, 10), (5, 15), (20, 25)], start=1):
+        rows.append((u, dt3.datetime(2024, 1, 1, 0, a)))
+        rows.append((u, dt3.datetime(2024, 1, 1, 0, b)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from pyspark.sql import Window as W3
+
+    sess = df.groupBy("user_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(
+            (F.col("e") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    live = pts.select(
+        F.sum("d").over(W3.orderBy(F.col("t").asc(), F.col("d").desc())).alias("x")
+    )
+    assert live.agg(F.max("x")).collect()[0][0] == 2
