@@ -3092,3 +3092,115 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep.groupBy("day").agg(
         F.max("live").cast("bigint").alias("peak_concurrent_sessions")
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences readout
+# --------------------------------------------------------------------------
+
+
+@query(
+    "diff_in_differences",
+    oracle="""
+    WITH mid AS (
+      SELECT MIN(CAST(ts AS DATE)) + CAST(FLOOR(
+               DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               / 2) AS INTEGER) AS m
+      FROM events),
+    cell AS (
+      SELECT TRY_CAST(CONCAT('0x', SUBSTRING(
+               MD5(CONCAT('ab1|', CAST(e.user_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % 2 AS arm,
+             CAST(CAST(e.ts AS DATE) >= mid.m AS INTEGER) AS period,
+             CAST(e.value AS DECIMAL(18,6)) AS v
+      FROM events e CROSS JOIN mid
+      WHERE e.event_type = 'purchase'),
+    m AS (
+      SELECT arm, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
+      FROM cell GROUP BY 1, 2)
+    SELECT t1.mu - t0.mu AS treat_delta,
+           c1.mu - c0.mu AS control_delta,
+           (t1.mu - t0.mu) - (c1.mu - c0.mu) AS did_estimate,
+           t0.n AS n_t0, t1.n AS n_t1, c0.n AS n_c0, c1.n AS n_c1
+    FROM (SELECT * FROM m WHERE arm = 1 AND period = 0) t0,
+         (SELECT * FROM m WHERE arm = 1 AND period = 1) t1,
+         (SELECT * FROM m WHERE arm = 0 AND period = 0) c0,
+         (SELECT * FROM m WHERE arm = 0 AND period = 1) c1
+    """,
+)
+def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: mean purchase value change from the
+    first to the second calendar half, treatment arm minus control arm
+    (salted-md5 assignment, `ab_test_lift_report`'s split) — the
+    quasi-experimental estimator used when randomization happens at
+    rollout time and both groups share a trend; on this A/A split the
+    estimate ≈ 0 (pinned), exactly what a placebo DiD should read.
+
+    Determinism: cell means are decimal sums cast to double then ONE
+    division (the `embedding_centroids` idiom); the estimate is raw
+    arithmetic of identical doubles — no round call.  The period split
+    derives from the data (calendar midpoint) as a 1-row broadcast.
+
+    Scale: one scan into a 4-cell aggregate; everything downstream is
+    4 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mid = e.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            F.floor(
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            ).cast("int"),
+        ).alias("m")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    cell = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            arm.alias("arm"),
+            (F.to_date("ts") >= F.col("m")).cast("int").alias("period"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    m = cell.groupBy("arm", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("v").cast("double") / F.count("*")).alias("mu"),
+    )
+
+    def slot(a, p, tag):
+        return m.filter((F.col("arm") == a) & (F.col("period") == p)).select(
+            F.col("mu").alias(f"mu_{tag}"), F.col("n").alias(f"n_{tag}")
+        )
+
+    j = (
+        slot(1, 0, "t0")
+        .crossJoin(slot(1, 1, "t1"))
+        .crossJoin(slot(0, 0, "c0"))
+        .crossJoin(slot(0, 1, "c1"))
+    )
+    return j.select(
+        (F.col("mu_t1") - F.col("mu_t0")).alias("treat_delta"),
+        (F.col("mu_c1") - F.col("mu_c0")).alias("control_delta"),
+        (
+            (F.col("mu_t1") - F.col("mu_t0"))
+            - (F.col("mu_c1") - F.col("mu_c0"))
+        ).alias("did_estimate"),
+        F.col("n_t0").alias("n_t0"),
+        F.col("n_t1").alias("n_t1"),
+        F.col("n_c0").alias("n_c0"),
+        F.col("n_c1").alias("n_c1"),
+    )

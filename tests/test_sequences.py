@@ -764,3 +764,23 @@ def test_peak_concurrency_known_intervals(spark):
         F.sum("d").over(W3.orderBy(F.col("t").asc(), F.col("d").desc())).alias("x")
     )
     assert live.agg(F.max("x")).collect()[0][0] == 2
+
+
+# ------------------------------------------------- DiD (A/A placebo)
+
+
+def test_did_placebo_near_zero_and_identity(spark):
+    r = QUERIES["diff_in_differences"](spark, SF_SMOKE).collect()[0]
+    assert r.n_t0 > 0 and r.n_t1 > 0 and r.n_c0 > 0 and r.n_c1 > 0
+    assert abs(r.did_estimate - (r.treat_delta - r.control_delta)) < 1e-12
+    # A/A placebo: both arms share the generator, so the DiD should be
+    # small relative to the mean purchase value
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    mu = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    assert abs(r.did_estimate) < mu  # loose placebo sanity bound

@@ -68,6 +68,7 @@ ALLOW_CROSS = {
     "price_volume_mix_decomposition",  # 1-row first-year broadcast (period anchor)
     "wasserstein_drift_1d",  # 1-row population-totals broadcast (CDF denominators)
     "ab_quantile_treatment_effect",  # 1-row x 1-row per-arm quantile combine
+    "diff_in_differences",   # 1-row midpoint broadcast + 4x 1-row cell combine
 }
 
 
