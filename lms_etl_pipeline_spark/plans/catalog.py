@@ -60,7 +60,8 @@ _PRIORITY: tuple[str, ...] = (
     # b3_blocking_eval, repeat_purchase_cycle, peer_benchmark_vs_median,
     # ab_quantile_treatment_effect, embedding_centroid_drift,
     # topn_plus_other_rollup, state_machine_audit, business_days_latency,
-    # export_shard_manifest, lsh_s_curve_calibration.
+    # export_shard_manifest, lsh_s_curve_calibration,
+    # wilson_conversion_ci, peak_concurrency_daily, diff_in_differences.
     #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",
