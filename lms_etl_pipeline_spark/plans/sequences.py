@@ -3204,3 +3204,195 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_c0").alias("n_c0"),
         F.col("n_c1").alias("n_c1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bayesian-smoothed rates (Beta prior shrinkage)
+# --------------------------------------------------------------------------
+
+#: Beta(2, 8) prior — a 20% pseudo-rate over 10 pseudo-observations,
+#: injected as integer literals (exact in every numeric system).
+_BETA_A = 2
+_BETA_B = 8
+
+
+@query(
+    "bayes_smoothed_return_rate",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem GROUP BY 1)
+    SELECT l_partkey, n, k,
+           CAST(k AS DOUBLE) / n AS raw_rate,
+           CAST(k + {_BETA_A} AS DOUBLE) / (n + {_BETA_A + _BETA_B})
+             AS smoothed_rate
+    FROM per_part
+    """,
+)
+def bayes_smoothed_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part return rate with Beta({_BETA_A}, {_BETA_B}) posterior-mean
+    smoothing — the empirical-Bayes shrinkage every ranking-by-rate
+    system applies so a 1-of-1 return doesn't outrank 20-of-100
+    (smoothed CTR, review scores, defect rates).  Low-n parts shrink
+    toward the prior rate {_BETA_A / (_BETA_A + _BETA_B):.0%}; high-n
+    parts keep their data (shrinkage-ordering pinned in tests).
+
+    Determinism: counts exact; both rates are ONE double division of
+    exact integers (prior folded as integer literals), emitted raw.
+
+    Scale: one map-side-combining aggregate keyed by part.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    return per_part.select(
+        "l_partkey",
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n")).alias("raw_rate"),
+        (
+            (F.col("k") + F.lit(_BETA_A)).cast("double")
+            / (F.col("n") + F.lit(_BETA_A + _BETA_B))
+        ).alias("smoothed_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash Jaccard-estimator error profile
+# --------------------------------------------------------------------------
+
+
+def _mh_err_oracle() -> str:
+    from lms_etl_pipeline_spark.plans.llm import (
+        _BASE_HASHES,
+        _SHINGLES,
+        _minhash_slots_sql,
+    )
+
+    match_sum = " + ".join(
+        f"CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+      WHERE doc_id < {_SC_ID_CAP}),
+    hs_t AS (SELECT doc_id, sh, {_BASE_HASHES} AS hs FROM sh_t WHERE LEN(sh) >= 1),
+    sigs AS (
+      SELECT doc_id,
+             {_minhash_slots_sql(8)}
+      FROM hs_t),
+    ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh_t),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ni
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS j,
+             ({match_sum}) AS n_match
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.ia
+      JOIN sz sb ON sb.doc_id = i.ib
+      JOIN sigs x ON x.doc_id = i.ia
+      JOIN sigs y ON y.doc_id = i.ib),
+    err AS (
+      SELECT LEAST(CAST(FLOOR(j * 10) AS INTEGER), 9) AS bucket,
+             CAST(ROUND(ABS(CAST(n_match AS DOUBLE) / 8 - j), 9)
+                  AS DECIMAL(18,9)) AS abs_err
+      FROM scored)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(abs_err) * 1000000000 AS HUGEINT) // COUNT(*)
+                AS DOUBLE) / 1000000000.0 AS mean_abs_err_floor9
+    FROM err GROUP BY bucket
+    """
+
+
+@query("minhash_estimator_error", oracle=_mh_err_oracle())
+def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard-ESTIMATOR quality on the bounded anchor slice: per
+    exact-Jaccard decile, the mean |matching-slots/8 − exact J| — the
+    estimator-variance read (expected ≈ √(J(1−J)/8)) that tells you
+    whether 8 slots is enough BEFORE trusting signature-level dedup
+    decisions; the estimator-side complement of
+    ``lsh_s_curve_calibration``'s banding-side read.
+
+    Determinism: slot matches and intersections are exact integers; the
+    per-pair error is one double expression rounded at 1e-9 then
+    DECIMAL-summed; the bucket mean uses floored integer division of the
+    exact decimal sum (scale-9 fixed point — no ROUND at a boundary).
+
+    Scale: same anchor layout as the s-curve — inverted-shingle
+    equi-join, signatures from the verified `with_minhash` path.
+    """
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SC_ID_CAP
+    )
+    sigs = dd.with_minhash(d, "doc_id", "text", k=8)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles(tx.tokens("text"), n=3))).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("ia"), "s")
+    b = sh.select(F.col("doc_id").alias("ib"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sz.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    x = sigs.select(
+        F.col("doc_id").alias("ia"), *[F.col(f"h{i}").alias(f"xa{i}") for i in range(8)]
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("ib"), *[F.col(f"h{i}").alias(f"yb{i}") for i in range(8)]
+    )
+    n_match = None
+    for i in range(8):
+        t = F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    j = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    scored = (
+        inter.join(sa, "ia")
+        .join(sb, "ib")
+        .join(x, "ia")
+        .join(y, "ib")
+        .select(
+            F.least(F.floor(j * 10).cast("int"), F.lit(9)).alias("bucket"),
+            F.round(F.abs(n_match.cast("double") / 8 - j), 9)
+            .cast("decimal(18,9)")
+            .alias("abs_err"),
+        )
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("abs_err").alias("_s"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            # exact-nano fixed point: scale the decimal sum to integers,
+            # floor-divide, then one power-of-ten double division
+            (
+                F.expr(
+                    "CAST(CAST(_s * 1000000000 AS DECIMAL(38,0)) div n_pairs"
+                    " AS BIGINT)"
+                ).cast("double")
+                / 1_000_000_000.0
+            ).alias("mean_abs_err_floor9"),
+        )
+    )

@@ -784,3 +784,31 @@ def test_did_placebo_near_zero_and_identity(spark):
         .collect()[0][0]
     )
     assert abs(r.did_estimate) < mu  # loose placebo sanity bound
+
+
+# ------------------------------------------------- Bayes smoothing
+
+
+def test_bayes_shrinkage_ordering(spark):
+    rows = QUERIES["bayes_smoothed_return_rate"](spark, SF_SMOKE).collect()
+    assert rows
+    prior = 2 / 10
+    for r in rows:
+        # posterior mean lies between the raw rate and the prior rate
+        lo, hi = sorted((r.raw_rate, prior))
+        assert lo - 1e-12 <= r.smoothed_rate <= hi + 1e-12
+        # shrinkage weight decays with n: |smoothed-raw| <= 10/(n+10)
+        assert abs(r.smoothed_rate - r.raw_rate) <= 10 / (r.n + 10) + 1e-12
+
+
+# ------------------------------------------------- MinHash estimator error
+
+
+def test_minhash_estimator_error_bounded_by_theory(spark):
+    rows = QUERIES["minhash_estimator_error"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_abs_err_floor9 <= 1.0
+        # with k=8 slots the estimator std is at most sqrt(.25/8) ~ .177;
+        # mean |err| can't plausibly exceed 3x that in any bucket
+        assert r.mean_abs_err_floor9 < 0.55
