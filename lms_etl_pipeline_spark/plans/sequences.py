@@ -3396,3 +3396,70 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_err_floor9"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Conditional path entropy (next-event predictability)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "path_conditional_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev,
+             event_type AS curr
+      FROM events),
+    c AS (
+      SELECT prev, curr, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT prev, SUM(n) AS rn FROM c GROUP BY 1)
+    SELECT c.prev,
+           CAST(r.rn AS BIGINT) AS n_transitions,
+           CAST(SUM(CAST(ROUND(
+             -(CAST(c.n AS DOUBLE) / r.rn)
+               * LN(CAST(c.n AS DOUBLE) / r.rn) / LN(2), 9)
+             AS DECIMAL(18,9))) AS DOUBLE) AS h_bits
+    FROM c JOIN r ON r.prev = c.prev
+    GROUP BY c.prev, r.rn
+    """,
+)
+def path_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | prev) in bits per prior
+    state — the predictability read on user journeys (low entropy after
+    'click' = a deterministic funnel; high = exploratory behavior) that
+    turns ``event_transition_matrix``'s probabilities into ONE comparable
+    number per state, the same way ``token_entropy_filter`` scores
+    documents.
+
+    Determinism: transition counts are exact; each -p·log2(p) term is one
+    double expression of identical integers (log2 via LN/LN(2) on both
+    engines), rounded at 1e-9 then DECIMAL-summed — the repo's LN-term
+    discipline (`survival_kaplan_meier`).
+
+    Scale: one user-partitioned window, then everything is
+    |types|²-bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("curr"),
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", "curr").agg(F.count("*").alias("n"))
+    r = c.groupBy(F.col("prev").alias("r_prev")).agg(F.sum("n").alias("rn"))
+    p = F.col("n").cast("double") / F.col("rn")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 9).cast("decimal(18,9)")
+    return (
+        c.join(F.broadcast(r), F.col("prev") == F.col("r_prev"))
+        .groupBy("prev", "rn")
+        .agg(F.sum(term).cast("double").alias("h_bits"))
+        .select(
+            "prev",
+            F.col("rn").cast("bigint").alias("n_transitions"),
+            "h_bits",
+        )
+    )

@@ -812,3 +812,21 @@ def test_minhash_estimator_error_bounded_by_theory(spark):
         # with k=8 slots the estimator std is at most sqrt(.25/8) ~ .177;
         # mean |err| can't plausibly exceed 3x that in any bucket
         assert r.mean_abs_err_floor9 < 0.55
+
+
+# ------------------------------------------------- path entropy
+
+
+def test_conditional_entropy_bounds(spark):
+    import math
+
+    rows = QUERIES["path_conditional_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    n_types = e.select("event_type").distinct().count()
+    for r in rows:
+        # 0 <= H <= log2(|types|)
+        assert -1e-9 <= r.h_bits <= math.log2(n_types) + 1e-6
+        assert r.n_transitions > 0
