@@ -37,6 +37,9 @@ _HEAVY = [
     ("retrieval_mrr_ndcg", 60),
     ("b3_blocking_eval", 120),
     ("embedding_centroid_drift", 60),
+    ("lsh_s_curve_calibration", 120),
+    ("minhash_estimator_error", 120),
+    ("peak_concurrency_daily", 60),
 ]
 
 
