@@ -172,3 +172,85 @@ def test_b3_pipeline_matches_reference(spark, labels):
     ref_r = sorted((cpg[(p, g)] * 1_000_000) // cg[g] for p, g in labels)
     assert sorted(r.p_micro for r in per_doc) == ref_p
     assert sorted(r.r_micro for r in per_doc) == ref_r
+
+
+@given(
+    lots=st.lists(
+        st.tuples(st.integers(1, 20), st.booleans()), min_size=1, max_size=12
+    )
+)
+@SET
+def test_fifo_clamp_formula_matches_simulation(spark, lots):
+    """The windowed clamp formula consumed_i = clamp(R - cum_prev, 0, qty)
+    equals an explicit FIFO simulation for ANY receipt/return mix."""
+    rows = [
+        (1, i, float(q), "R" if is_ret else "N")
+        for i, (q, is_ret) in enumerate(lots)
+    ]
+    df = spark.createDataFrame(
+        rows, "part long, seq int, qty double, flag string"
+    )
+    from pyspark.sql import Window as W
+
+    ret = df.filter(F.col("flag") == "R").groupBy("part").agg(
+        F.sum("qty").alias("r")
+    )
+    w = W.partitionBy("part").orderBy("seq").rowsBetween(W.unboundedPreceding, -1)
+    rec = df.filter(F.col("flag") != "R").select(
+        "part", "seq", "qty",
+        F.coalesce(F.sum("qty").over(w), F.lit(0.0)).alias("cum"),
+    )
+    out = {
+        r.seq: r.c
+        for r in rec.join(ret, "part").select(
+            "seq",
+            F.least(F.greatest(F.col("r") - F.col("cum"), F.lit(0.0)), F.col("qty")).alias("c"),
+        ).collect()
+    }
+    # explicit simulation
+    remaining = float(sum(q for q, ret_ in lots if ret_))
+    sim = {}
+    for i, (q, is_ret) in enumerate(lots):
+        if is_ret:
+            continue
+        take = min(remaining, q)
+        sim[i] = take
+        remaining -= take
+    # rows past the depletion frontier (consumed 0) and parts with no
+    # returns are absent from the query output by design — default to 0
+    for seq, expected in sim.items():
+        assert abs(out.get(seq, 0.0) - expected) < 1e-9
+    for seq in out:
+        assert seq in sim
+
+
+@given(days=st.sets(st.integers(0, 40), min_size=1, max_size=25))
+@SET
+def test_streak_islands_match_reference(spark, days):
+    """Constant-difference islands equal a direct consecutive-run scan for
+    ANY active-day set."""
+    import datetime as dtx
+
+    base = dtx.date(2024, 1, 1)
+    rows = [(1, base + dtx.timedelta(days=d)) for d in days]
+    df = spark.createDataFrame(rows, "user_id long, day date")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = (
+        df.select("user_id", "day", F.date_sub("day", F.row_number().over(w)).alias("g"))
+        .groupBy("user_id", "g")
+        .count()
+    )
+    lens = sorted(r["count"] for r in islands.collect())
+    # reference: split the sorted day set into consecutive runs
+    ref, run = [], 1
+    s = sorted(days)
+    for a, b in zip(s, s[1:]):
+        if b == a + 1:
+            run += 1
+        else:
+            ref.append(run)
+            run = 1
+    ref.append(run)
+    assert lens == sorted(ref)
