@@ -3463,3 +3463,65 @@ def path_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_bits",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (Church-Gale)
+# --------------------------------------------------------------------------
+
+_BURST_MIN_DF = 20
+
+
+@query(
+    "term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> t != '')) AS w
+      FROM documents),
+    per_doc AS (
+      SELECT w, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    stats AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS cf
+      FROM per_doc GROUP BY 1
+      HAVING COUNT(*) >= {_BURST_MIN_DF})
+    SELECT w, df, cf,
+           CAST(cf AS DOUBLE) / df AS burstiness
+    FROM stats
+    """,
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: collection frequency over document
+    frequency per term — the mean occurrences WITHIN documents that
+    contain the term.  Function words sit near 1x-per-mention-rate;
+    topical/bursty terms repeat heavily once they appear — the signal IR
+    models (and keyword-stuffing detectors) use beyond raw frequency,
+    completing the term-statistics family around TF-IDF and
+    ``cooccurrence_pmi``.
+
+    Determinism: df/cf are exact integers; burstiness is one raw double
+    division (no round call).  The df floor bounds the output to the
+    shared vocabulary.
+
+    Scale: explode → (term, doc) aggregate → term aggregate, all
+    map-side combinable on uniform hash keys; never materializes a
+    docs x vocab matrix.
+    """
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tx.tokens("text")).alias("w"))
+    per_doc = tok.groupBy("w", "doc_id").agg(F.count("*").alias("tf"))
+    stats = (
+        per_doc.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("cf"),
+        )
+        .filter(F.col("df") >= _BURST_MIN_DF)
+    )
+    return stats.select(
+        "w", "df", "cf", (F.col("cf").cast("double") / F.col("df")).alias("burstiness")
+    )

@@ -830,3 +830,14 @@ def test_conditional_entropy_bounds(spark):
         # 0 <= H <= log2(|types|)
         assert -1e-9 <= r.h_bits <= math.log2(n_types) + 1e-6
         assert r.n_transitions > 0
+
+
+# ------------------------------------------------- term burstiness
+
+
+def test_burstiness_at_least_one_and_cf_ge_df(spark):
+    rows = QUERIES["term_burstiness"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.cf >= r.df >= 20
+        assert r.burstiness >= 1.0  # each containing doc holds >= 1 copy
