@@ -3525,3 +3525,201 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "w", "df", "cf", (F.col("cf").cast("double") / F.col("df")).alias("burstiness")
     )
+
+
+# --------------------------------------------------------------------------
+# Jackknife standard error of the daily mean
+# --------------------------------------------------------------------------
+
+
+@query(
+    "jackknife_se_daily_mean",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM daily GROUP BY 1),
+    loo AS (
+      SELECT d.event_type, t.n, t.s,
+             (t.s - d.x) / (t.n - 1) AS mean_i
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+      WHERE t.n > 1)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           MAX(s) / MAX(n) AS mean_daily,
+           SQRT((CAST(MAX(n) - 1 AS DOUBLE) / MAX(n))
+                * SUM(CAST(ROUND(
+                    (mean_i - s / n) * (mean_i - s / n), 12)
+                    AS DECIMAL(28,12)))) AS jackknife_se
+    FROM loo GROUP BY event_type
+    """,
+)
+def jackknife_se_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error of each type's mean daily value —
+    leave-one-day-out resampling made DETERMINISTIC and closed-form
+    (mean_i = (S - x_i)/(n-1) needs only the total, no N re-aggregations)
+    — the uncertainty bar dashboards should attach to "avg daily revenue"
+    without bootstrap randomness; completes the inference family with
+    `wilson_conversion_ci` (rates) and `ab_test_lift_report` (contrasts).
+
+    Determinism: daily values and their total are exact decimals cast to
+    double once; each squared deviation is one double expression rounded
+    at 1e-12 then DECIMAL-summed; one final sqrt.
+
+    Scale: calendar-sized after the first collapse; the leave-one-out
+    terms come from a broadcast-join of the 1-row-per-type totals — n
+    loo means from ONE pass, not n passes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("x")
+    )
+    tot = daily.groupBy(F.col("event_type").alias("t_et")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    loo = (
+        daily.join(F.broadcast(tot), F.col("event_type") == F.col("t_et"))
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "n",
+            "s",
+            ((F.col("s") - F.col("x")) / (F.col("n") - 1)).alias("mean_i"),
+        )
+    )
+    dev2 = F.round(
+        (F.col("mean_i") - F.col("s") / F.col("n"))
+        * (F.col("mean_i") - F.col("s") / F.col("n")),
+        12,
+    ).cast("decimal(28,12)")
+    return loo.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        (F.max("s") / F.max("n")).alias("mean_daily"),
+        F.sqrt(
+            ((F.max("n") - 1).cast("double") / F.max("n")) * F.sum(dev2)
+        ).alias("jackknife_se"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test between the A/B arms
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_arms",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             TRY_CAST(CONCAT('0x', SUBSTRING(
+               MD5(CONCAT('ab1|', CAST(user_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % 2 AS arm,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+               AS s_fp
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1),
+    ranked AS (
+      SELECT arm,
+             -- average rank over ties: (min_rank + max_rank) / 2, exact
+             -- half-integers via RANK + COUNT over the tie group
+             CAST(RANK() OVER (ORDER BY s_fp ASC) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY s_fp) AS DOUBLE) - 1) / 2
+               AS r
+      FROM assign),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 1 THEN CAST(r * 2 AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS r1_x2,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM ranked)
+    SELECT n1, n0,
+           CAST(r1_x2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+             AS u_stat,
+           (CAST(r1_x2 AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * (n1 + 1) / 2
+              - CAST(n1 AS DOUBLE) * n0 / 2)
+             / SQRT(CAST(n1 AS DOUBLE) * n0 * (n1 + n0 + 1) / 12) AS z_approx
+    FROM agg
+    """,
+)
+def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the salted-md5 A/B arms
+    on per-user purchase spend — the NONPARAMETRIC two-sample test teams
+    reach for when spend is skewed and t/Welch assumptions wobble;
+    completes the experiment toolkit beside `ab_test_lift_report`
+    (parametric), `ab_quantile_treatment_effect` (distributional), and
+    `ks_test_drift` (the unpaired-distribution cousin).
+
+    Determinism: spends are integer fixed point, so ranking is over exact
+    integers; tie-averaged ranks are exact half-integers carried DOUBLED
+    as integers through the sum (no .5 accumulates in float); U and the
+    normal approximation z are raw closed-form doubles of exact integers
+    (A/A split here, so z ≈ 0 — pinned).
+
+    Scale: one user aggregate, one global sort-rank over users (the same
+    shape as `quality_ranker_auc`'s rank layout), a 1-row reduction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assign = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+        .select(
+            arm.alias("arm"),
+            (F.col("spend") * 1_000_000).cast("decimal(38,0)").alias("s_fp"),
+        )
+    )
+    wr = Window.orderBy(F.col("s_fp").asc())
+    wt = Window.partitionBy("s_fp")
+    ranked = assign.select(
+        "arm",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt).cast("double") - F.lit(1)) / 2
+        ).alias("r"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("arm") == 1, (F.col("r") * 2).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    u = F.col("r1_x2").cast("double") / 2 - n1d * (F.col("n1") + 1) / 2
+    z = (
+        F.col("r1_x2").cast("double") / 2
+        - n1d * (F.col("n1") + 1) / 2
+        - n1d * n0d / 2
+    ) / F.sqrt(n1d * n0d * (F.col("n1") + F.col("n0") + 1) / 12)
+    return agg.select("n1", "n0", u.alias("u_stat"), z.alias("z_approx"))

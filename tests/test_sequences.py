@@ -841,3 +841,56 @@ def test_burstiness_at_least_one_and_cf_ge_df(spark):
     for r in rows:
         assert r.cf >= r.df >= 20
         assert r.burstiness >= 1.0  # each containing doc holds >= 1 copy
+
+
+# ------------------------------------------------- jackknife SE
+
+
+def test_jackknife_se_positive_and_scales(spark):
+    rows = QUERIES["jackknife_se_daily_mean"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 1
+        assert r.jackknife_se >= 0
+        # SE of a mean over n days is below the daily spread itself:
+        # loose sanity vs the mean's magnitude
+        assert r.jackknife_se < abs(r.mean_daily) + 1e-6
+
+
+def test_jackknife_matches_numpy_reference(spark):
+    import numpy as np
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+             .cast("double").alias("x"))
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append(r.x)
+    got = {
+        r.event_type: r.jackknife_se
+        for r in QUERIES["jackknife_se_daily_mean"](spark, SF_SMOKE).collect()
+    }
+    for et, xs in by_type.items():
+        if len(xs) < 2:
+            continue
+        a = np.array(xs)
+        n = len(a)
+        loo = (a.sum() - a) / (n - 1)
+        ref = np.sqrt((n - 1) / n * ((loo - a.mean()) ** 2).sum())
+        assert abs(got[et] - ref) < max(1e-6, ref * 1e-6)
+
+
+# ------------------------------------------------- Mann-Whitney
+
+
+def test_mann_whitney_aa_split_z_small_and_u_range(spark):
+    r = QUERIES["mann_whitney_arms"](spark, SF_SMOKE).collect()[0]
+    assert r.n1 > 0 and r.n0 > 0
+    assert 0 <= r.u_stat <= r.n1 * r.n0  # U is bounded by n1*n2
+    assert abs(r.z_approx) < 4.0  # A/A split: no real effect
