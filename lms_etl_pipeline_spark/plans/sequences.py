@@ -3723,3 +3723,82 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         - n1d * n0d / 2
     ) / F.sqrt(n1d * n0d * (F.col("n1") + F.col("n0") + 1) / 12)
     return agg.select("n1", "n0", u.alias("u_stat"), z.alias("z_approx"))
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across event types
+# --------------------------------------------------------------------------
+
+
+@query(
+    "anova_f_event_types",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS s2
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(ROUND(SUM(s1), 4) AS DOUBLE) AS st1,
+             CAST(ROUND(SUM(s2), 4) AS DOUBLE) AS st2,
+             CAST(SUM(CAST(ROUND(
+               CAST(ROUND(s1, 4) AS DOUBLE) * CAST(ROUND(s1, 4) AS DOUBLE)
+                 / n, 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sum_gsq
+      FROM g)
+    SELECT n_total, k,
+           sum_gsq - st1 * st1 / n_total AS ss_between,
+           st2 - sum_gsq AS ss_within,
+           ((sum_gsq - st1 * st1 / n_total) / (k - 1))
+             / ((st2 - sum_gsq) / (n_total - k)) AS f_stat
+    FROM tot
+    """,
+)
+def anova_f_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event value differ across event types?
+    F = (SS_between/(k-1)) / (SS_within/(n-k)) from per-group exact
+    decimal moments — the k-group generalization of
+    ``ab_test_lift_report``'s two-sample contrast, and the screening test
+    run before per-pair drilldowns.
+
+    Determinism: group moments are exact decimals rounded at scale 4
+    before any double cast (the `dec_sum_of` 2^53 discipline — the
+    scale-12 squared sums overflow the exactly-convertible range
+    otherwise); the one non-mergeable
+    term (sum of squared-group-total/n) rounds each group's double at
+    1e-6 then DECIMAL-sums (order-independent over k groups); F is raw
+    closed-form arithmetic of those identical doubles.
+
+    Scale: one map-side-combining aggregate keyed by type, then a k-row
+    reduction — no second scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d6 = F.col("value").cast("decimal(18,6)")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d6).alias("s1"),
+        F.sum(d6 * d6).alias("s2"),
+    )
+    s1d = F.round(F.col("s1"), 4).cast("double")
+    gsq = F.round(s1d * s1d / F.col("n"), 6).cast("decimal(28,6)")
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("k"),
+        F.round(F.sum("s1"), 4).cast("double").alias("st1"),
+        F.round(F.sum("s2"), 4).cast("double").alias("st2"),
+        F.sum(gsq).cast("double").alias("sum_gsq"),
+    )
+    ssb = F.col("sum_gsq") - F.col("st1") * F.col("st1") / F.col("n_total")
+    ssw = F.col("st2") - F.col("sum_gsq")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return tot.select(
+        "n_total",
+        "k",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f.alias("f_stat"),
+    )

@@ -894,3 +894,29 @@ def test_mann_whitney_aa_split_z_small_and_u_range(spark):
     assert r.n1 > 0 and r.n0 > 0
     assert 0 <= r.u_stat <= r.n1 * r.n0  # U is bounded by n1*n2
     assert abs(r.z_approx) < 4.0  # A/A split: no real effect
+
+
+# ------------------------------------------------- ANOVA
+
+
+def test_anova_decomposition_and_scipy_free_reference(spark):
+    r = QUERIES["anova_f_event_types"](spark, SF_SMOKE).collect()[0]
+    assert r.k >= 2
+    assert r.ss_between >= -1e-6 and r.ss_within > 0
+    assert r.f_stat >= 0
+    # reference: recompute F from raw values with numpy
+    import numpy as np
+
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    vals = e.select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for row in vals:
+        groups.setdefault(row.event_type, []).append(row.value)
+    arrs = [np.array(v) for v in groups.values()]
+    all_v = np.concatenate(arrs)
+    ssb = sum(len(a) * (a.mean() - all_v.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f_ref = (ssb / (len(arrs) - 1)) / (ssw / (len(all_v) - len(arrs)))
+    assert abs(r.f_stat - f_ref) < max(1e-6, f_ref * 1e-6)
