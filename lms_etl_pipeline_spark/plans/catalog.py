@@ -61,7 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     # ab_quantile_treatment_effect, embedding_centroid_drift,
     # topn_plus_other_rollup, state_machine_audit, business_days_latency,
     # export_shard_manifest, lsh_s_curve_calibration,
-    # wilson_conversion_ci, peak_concurrency_daily, diff_in_differences.
+    # wilson_conversion_ci, peak_concurrency_daily, diff_in_differences,
+    # bayes_smoothed_return_rate, minhash_estimator_error,
+    # path_conditional_entropy, term_burstiness, jackknife_se_daily_mean,
+    # mann_whitney_arms, anova_f_event_types.
     #
     # relational / TPC-H composite shapes
     "flagship_regional_revenue",
