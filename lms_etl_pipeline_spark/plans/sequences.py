@@ -3802,3 +3802,112 @@ def anova_f_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw.alias("ss_within"),
         f.alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decision-stump split gain (Gini impurity screening)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stump_split_gain",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM pts),
+    per_q AS (
+      SELECT q, COUNT(*) AS cn, SUM(y) AS cpos FROM pts GROUP BY q),
+    cum AS (
+      SELECT q,
+             SUM(cn) OVER (ORDER BY q ASC) AS ln,
+             SUM(cpos) OVER (ORDER BY q ASC) AS lpos
+      FROM per_q),
+    gains AS (
+      SELECT c.q AS split_le, t.n, t.pos, c.ln, c.lpos,
+             -- gini(parent) - weighted gini(children), all raw doubles
+             (1 - (CAST(t.pos AS DOUBLE) / t.n) * (CAST(t.pos AS DOUBLE) / t.n)
+                - (1 - CAST(t.pos AS DOUBLE) / t.n)
+                  * (1 - CAST(t.pos AS DOUBLE) / t.n))
+             - (CAST(c.ln AS DOUBLE) / t.n)
+               * (1 - (CAST(c.lpos AS DOUBLE) / c.ln) * (CAST(c.lpos AS DOUBLE) / c.ln)
+                    - (1 - CAST(c.lpos AS DOUBLE) / c.ln)
+                      * (1 - CAST(c.lpos AS DOUBLE) / c.ln))
+             - (CAST(t.n - c.ln AS DOUBLE) / t.n)
+               * (1 - (CAST(t.pos - c.lpos AS DOUBLE) / (t.n - c.ln))
+                      * (CAST(t.pos - c.lpos AS DOUBLE) / (t.n - c.ln))
+                    - (1 - CAST(t.pos - c.lpos AS DOUBLE) / (t.n - c.ln))
+                      * (1 - CAST(t.pos - c.lpos AS DOUBLE) / (t.n - c.ln)))
+               AS gain
+      FROM cum c CROSS JOIN tot t
+      WHERE c.ln < t.n)
+    SELECT split_le,
+           CAST(ln AS BIGINT) AS n_left,
+           CAST(lpos AS BIGINT) AS pos_left,
+           gain
+    FROM gains
+    """,
+)
+def stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump screening: Gini-impurity gain of every candidate
+    split "quantity <= q" for predicting a return — the single-feature
+    split scan inside every tree learner, and the cheap feature-
+    importance probe analysts run before modeling ("does quantity
+    predict returns at all?").  All candidate splits come from ONE
+    cumulative pass over the value domain (the `ks_test_drift` CDF
+    layout), not one scan per threshold.
+
+    Determinism: class counts are exact integers; each gain is one raw
+    closed-form double expression of identical integers (no rounding
+    call).  Gain nonnegativity at the argmax and the
+    no-information-split=0 case are pinned in tests.
+
+    Scale: the fact table collapses to the (value, class) histogram
+    first; the cumulative window runs over the |distinct values| domain
+    with a 1-row totals broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    tot = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    per_q = pts.groupBy("q").agg(
+        F.count("*").alias("cn"), F.sum("y").alias("cpos")
+    )
+    w = Window.orderBy(F.col("q").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_q.select(
+        "q",
+        F.sum("cn").over(w).alias("ln"),
+        F.sum("cpos").over(w).alias("lpos"),
+    )
+
+    def gini(p):
+        return F.lit(1) - p * p - (F.lit(1) - p) * (F.lit(1) - p)
+
+    c = cum.crossJoin(F.broadcast(tot)).filter(F.col("ln") < F.col("n"))
+    p_parent = F.col("pos").cast("double") / F.col("n")
+    p_left = F.col("lpos").cast("double") / F.col("ln")
+    p_right = (F.col("pos") - F.col("lpos")).cast("double") / (
+        F.col("n") - F.col("ln")
+    )
+    gain = (
+        gini(p_parent)
+        - (F.col("ln").cast("double") / F.col("n")) * gini(p_left)
+        - ((F.col("n") - F.col("ln")).cast("double") / F.col("n")) * gini(p_right)
+    )
+    return c.select(
+        F.col("q").alias("split_le"),
+        F.col("ln").cast("bigint").alias("n_left"),
+        F.col("lpos").cast("bigint").alias("pos_left"),
+        gain.alias("gain"),
+    )

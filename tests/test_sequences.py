@@ -920,3 +920,35 @@ def test_anova_decomposition_and_scipy_free_reference(spark):
     ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
     f_ref = (ssb / (len(arrs) - 1)) / (ssw / (len(all_v) - len(arrs)))
     assert abs(r.f_stat - f_ref) < max(1e-6, f_ref * 1e-6)
+
+
+# ------------------------------------------------- stump split gain
+
+
+def test_stump_gain_nonneg_at_best_and_zero_when_uninformative(spark):
+    rows = QUERIES["stump_split_gain"](spark, SF_SMOKE).collect()
+    assert rows
+    best = max(r.gain for r in rows)
+    assert best >= -1e-12  # the best split can never lose information
+    for r in rows:
+        assert 0 < r.n_left
+        assert 0 <= r.pos_left <= r.n_left
+    # uninformative-split reference: identical class mix left and right
+    # yields gain exactly 0
+    df = spark.createDataFrame(
+        [(q, y) for q in (1, 2) for y in (0, 1)], "q long, y int"
+    )
+    tot = df.count()
+    pos = df.agg(F.sum("y")).collect()[0][0]
+    left = df.filter(F.col("q") <= 1)
+    ln, lp = left.count(), left.agg(F.sum("y")).collect()[0][0]
+
+    def gini(p):
+        return 1 - p * p - (1 - p) * (1 - p)
+
+    gain = (
+        gini(pos / tot)
+        - (ln / tot) * gini(lp / ln)
+        - ((tot - ln) / tot) * gini((pos - lp) / (tot - ln))
+    )
+    assert abs(gain) < 1e-12

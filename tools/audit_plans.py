@@ -69,6 +69,7 @@ ALLOW_CROSS = {
     "wasserstein_drift_1d",  # 1-row population-totals broadcast (CDF denominators)
     "ab_quantile_treatment_effect",  # 1-row x 1-row per-arm quantile combine
     "diff_in_differences",   # 1-row midpoint broadcast + 4x 1-row cell combine
+    "stump_split_gain",      # 1-row class-totals broadcast onto the value-domain CDF
 }
 
 
