@@ -3911,3 +3911,58 @@ def stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lpos").cast("bigint").alias("pos_left"),
         gain.alias("gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weekday x hour activity heatmap
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekday_hour_heatmap",
+    oracle="""
+    WITH cell AS (
+      SELECT ISODOW(CAST(ts AS DATE)) AS weekday,
+             EXTRACT(HOUR FROM ts) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS t FROM cell)
+    SELECT CAST(c.weekday AS INTEGER) AS weekday,
+           CAST(c.hour AS INTEGER) AS hour,
+           CAST(c.n AS BIGINT) AS n_events,
+           CAST(CAST(c.n AS HUGEINT) * 1000000 // t.t AS DOUBLE) / 1000000.0
+             AS share
+    FROM cell c CROSS JOIN tot t
+    """,
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (ISO weekday x hour) activity heatmap with each cell's share of
+    total traffic — the ops "when are we busy" front page, combining the
+    two calendar axes `timeseries_seasonal_profile` (hour) and
+    `seasonal_index_weekly` (weekday) read separately; at most 168 cells
+    at any fleet size.
+
+    Determinism: counts exact; shares are floored micro fixed point (the
+    repo's no-ROUND `div` discipline) with one power-of-ten double
+    division.
+
+    Scale: one map-side-combining aggregate on a bounded key + a 1-row
+    total broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        (F.weekday(F.to_date("ts")) + 1).alias("weekday"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    tot = cell.agg(F.sum("n").alias("t"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        F.col("weekday").cast("int").alias("weekday"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("share"),
+    )

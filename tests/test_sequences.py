@@ -952,3 +952,21 @@ def test_stump_gain_nonneg_at_best_and_zero_when_uninformative(spark):
         - ((tot - ln) / tot) * gini((pos - lp) / (tot - ln))
     )
     assert abs(gain) < 1e-12
+
+
+# ------------------------------------------------- weekday-hour heatmap
+
+
+def test_heatmap_cells_and_share_accounting(spark):
+    rows = QUERIES["weekday_hour_heatmap"](spark, SF_SMOKE).collect()
+    assert rows
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.n_events for r in rows) == e.count()
+    assert len(rows) <= 168
+    total_share = sum(r.share for r in rows)
+    # floored micro shares: the sum is <= 1 and within 168 floor steps
+    assert 1 - 168e-6 <= total_share <= 1 + 1e-9
+    for r in rows:
+        assert 1 <= r.weekday <= 7 and 0 <= r.hour <= 23

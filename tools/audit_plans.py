@@ -70,6 +70,7 @@ ALLOW_CROSS = {
     "ab_quantile_treatment_effect",  # 1-row x 1-row per-arm quantile combine
     "diff_in_differences",   # 1-row midpoint broadcast + 4x 1-row cell combine
     "stump_split_gain",      # 1-row class-totals broadcast onto the value-domain CDF
+    "weekday_hour_heatmap",  # 1-row traffic-total broadcast onto <=168 cells
 }
 
 
