@@ -26,110 +26,84 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation — slot economy: after four rounds, 22 queries are
-    # double-certified and ~80 certified at least once, while 54
-    # oracle-backed queries have NEVER had a driver row.  Every slot spent
-    # on an already-certified query is a wasted slot, so this window keeps
-    # only (a) the flagship (driver smoke anchor), (b) events_session_window
-    # (the streaming family has no never-certified oracle-backed candidate),
-    # and (c) the four round-4 HUGEINT-red rows — now fixed via
-    # CAST(... AS BIGINT) in their oracles — which MUST stay in-window to
-    # show green driver rows.  The other 44 slots go to never-certified
-    # queries, all pre-screened: every (Spark type, DuckDB type) column
-    # pairing they emit already appears in some ever-driver-green query,
-    # and the HUGEINT gate in tools/check_oracle.py rejects the one known
-    # driver/local comparator divergence class at registration time.
-    # Everything rotated out stays in the catalog and the full-catalog gate.
+    # Round-6 rotation — burn down driver-certification debt.  After five
+    # rounds 161 distinct queries have a driver-green row; 131 oracle-backed
+    # queries have never occupied a window slot.  Invariants of this list
+    # (stated per VERDICT r5 #2):
+    #   (a) the flagship and events_session_window stay in-window every
+    #       round as driver smoke anchors (streaming has no never-certified
+    #       oracle-backed candidate);
+    #   (b) every other slot goes to a NEVER-certified query — a slot spent
+    #       re-certifying is a wasted slot, since everything rotated out
+    #       remains in the full-catalog local gate (tools/check_oracle.py,
+    #       290/290 exact) which the driver check is a same-engine,
+    #       same-fixture subset of;
+    #   (c) candidates are pre-screened: each passes the local differential
+    #       gate exactly at sf0.001/0.01/0.1 and emits only (Spark type,
+    #       DuckDB type) column pairings already seen driver-green; the
+    #       HUGEINT comparator-divergence class is rejected at registration
+    #       by tools/check_oracle.py's preflight gate.
+    # This window: 48 never-certified (the full round-5c sequences wave —
+    # newest oracles, least driver exposure, most DECIMAL/fixed-point
+    # surface; ewma/sax/pinball hardened to truncated-integer-division
+    # fixed point this round — plus the two never-certified TPC-H shapes
+    # and one similarity-search representative).  Remaining debt after
+    # this window: ~83 names, ~2 more rounds at this rate.
     #
-    # Round-6 rotation candidates (round-5b additions, all locally exact at
-    # sf0.001/0.01/0.1 but never driver-certified): bloom_filter_probe,
-    # dup_ngram_spans, simhash_exact_pairs, pca_power_iteration,
-    # item_cooccurrence_cf, cdc_apply_changelog, fk_integrity_audit,
-    # watermark_loss_curve, weighted_median_price, active_users_rolling,
-    # correlation_matrix, gini_concentration, spelling_variants_symspell,
-    # hits_hubs_authorities, join_asof_next_purchase, pareto_front_2d,
-    # and the 5c wave: ewma_smoothing, acf_lags, activity_streaks,
-    # khop_reachability, retrieval_mrr_ndcg, scd2_snapshot_asof,
-    # fifo_returns_allocation, llr_collocations,
-    # systematic_sample_stratified, supplier_common_neighbors,
-    # surrogate_key_audit, churned_users_weekly, order_to_ship_latency,
-    # cumulative_unique_users, sax_symbolization, dedup_first_in_window,
-    # pinball_loss_eval, matryoshka_truncation_eval,
-    # ngram_containment_pairs, price_volume_mix_decomposition,
-    # ab_sample_size_planning, wasserstein_drift_1d, seasonal_index_weekly,
-    # b3_blocking_eval, repeat_purchase_cycle, peer_benchmark_vs_median,
-    # ab_quantile_treatment_effect, embedding_centroid_drift,
-    # topn_plus_other_rollup, state_machine_audit, business_days_latency,
-    # export_shard_manifest, lsh_s_curve_calibration,
-    # wilson_conversion_ci, peak_concurrency_daily, diff_in_differences,
-    # bayes_smoothed_return_rate, minhash_estimator_error,
-    # path_conditional_entropy, term_burstiness, jackknife_se_daily_mean,
-    # mann_whitney_arms, anova_f_event_types.
-    #
-    # relational / TPC-H composite shapes
+    # driver smoke anchors
     "flagship_regional_revenue",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q11_important_values",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_dormant_balances",
-    "agg_incremental_merge",
-    # window functions
-    "window_lag_lead",
-    "window_running_sum",
-    "window_first_last_nth",
-    # streaming family anchor (no never-certified candidate exists)
     "events_session_window",
-    # scalar function families
-    "scalar_higher_order_funcs",
-    "scalar_map_funcs",
-    "variant_semi_structured",
-    # text analysis + LLM-training-data ops
-    "text_redact_pii",
-    "token_count_bpe",
-    "doc_repetition_signals",
-    "sample_stable_per_group",
-    "cogroup_pandas_asof",
-    "triangle_count_cooccur",
-    "event_type_itemsets",
-    "winsorize_event_values",
-    # NEW round-5 training-mix operators — driver-certified in their first
-    # round (each exact vs oracle at sf0.001/0.01/0.1 locally)
-    "bpe_pair_merges",
-    "domain_cap_filter",
-    "score_calibration_bins",
-    "curriculum_phases",
-    "mixture_temperature_weights",
-    "intra_doc_dedup",
-    "prefix_dup_candidates",
-    "source_reputation",
-    "dataset_mix_allocation",
-    "packing_efficiency",
-    "scd2_history_build",
-    "events_sessionize_gap",
-    # round-4 HUGEINT-red rows, oracles fixed — must re-certify green
-    "countmin_heavy_hitters",
-    "ann_recall_eval",
-    "psi_drift_report",
-    "corpus_datasheet",
-    # latent-HUGEINT rows, oracles fixed — first driver rows
-    "token_budget_selection",
-    "corpus_pack_sequences",
-    "etl_dq_violations",
-    # deduplication
-    "dedup_fingerprint",
-    "dedup_winnowing",
-    # similarity search / embeddings
-    "funnel_conversion",
-    "retention_cohorts",
-    # multimodal plumbing
-    "multimodal_audio_decode",
-    # reference ETL parity chain
-    "etl_parse_datetime_strict",
-    # sources / sinks
-    "curated_corpus_partitioned_write",
+    # TPC-H shapes never driver-certified
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    # similarity-search representative
+    "knn_dot_product_mips",
+    # round-5c sequences wave (43) + r5-close additions (2)
+    "ewma_smoothing",
+    "acf_lags",
+    "activity_streaks",
+    "khop_reachability",
+    "retrieval_mrr_ndcg",
+    "scd2_snapshot_asof",
+    "fifo_returns_allocation",
+    "llr_collocations",
+    "systematic_sample_stratified",
+    "supplier_common_neighbors",
+    "surrogate_key_audit",
+    "churned_users_weekly",
+    "order_to_ship_latency",
+    "cumulative_unique_users",
+    "sax_symbolization",
+    "dedup_first_in_window",
+    "pinball_loss_eval",
+    "matryoshka_truncation_eval",
+    "ngram_containment_pairs",
+    "price_volume_mix_decomposition",
+    "ab_sample_size_planning",
+    "wasserstein_drift_1d",
+    "seasonal_index_weekly",
+    "b3_blocking_eval",
+    "repeat_purchase_cycle",
+    "peer_benchmark_vs_median",
+    "ab_quantile_treatment_effect",
+    "embedding_centroid_drift",
+    "topn_plus_other_rollup",
+    "state_machine_audit",
+    "business_days_latency",
+    "export_shard_manifest",
+    "lsh_s_curve_calibration",
+    "wilson_conversion_ci",
+    "peak_concurrency_daily",
+    "diff_in_differences",
+    "bayes_smoothed_return_rate",
+    "minhash_estimator_error",
+    "path_conditional_entropy",
+    "term_burstiness",
+    "jackknife_se_daily_mean",
+    "mann_whitney_arms",
+    "anova_f_event_types",
+    "stump_split_gain",
+    "weekday_hour_heatmap",
 )
 
 

@@ -38,8 +38,10 @@ export manifests, and LSH s-curve calibration — each with its own scale
 note and DuckDB oracle.  A recurring numeric discipline here: wherever a
 ROUND of a derived double could land on an exact .5 boundary (where Spark
 rounds the shortest decimal repr and DuckDB the binary value), the
-computation moves to exact integer fixed point with floored ``div`` —
-no round call, no boundary.
+computation moves to exact integer fixed point with truncated ``div``
+(Spark ``div`` ≡ DuckDB integer ``//``, both toward zero — empirically
+pinned by tests/test_numeric_conventions.py) — no round call, no
+boundary, sign-safe.
 
 Reference parity note: the reference (`/root/reference/src/lms_to_s3_lambda.py`,
 `src/s3_to_rds_lambda.py` — a 2-file pandas ETL) has no analytics layer;
@@ -71,29 +73,37 @@ from lms_etl_pipeline_spark.sources.tables import load_table
 # EWMA smoothing
 # --------------------------------------------------------------------------
 
-#: EWMA half-weights: alpha = 1/2, truncated at 8 lags.  Powers of two are
-#: exactly representable binary doubles, so x * w is pure exponent scaling
-#: (bit-exact in IEEE754) and both engines produce identical products.
+#: EWMA truncation depth: alpha = 1/2, truncated at 8 lags.  The 2^-k
+#: weights are carried as the exact INTEGERS 2^(LAGS-k) over a common
+#: 2^LAGS denominator, so the whole weighted sum is integer arithmetic.
 _EWMA_LAGS = 8
-_EWMA_W = [0.5**k for k in range(_EWMA_LAGS + 1)]
 
 
 def _ewma_oracle() -> str:
-    num = "x + " + " + ".join(
-        f"COALESCE(LAG(x, {k}) OVER w * {_EWMA_W[k]!r}, 0)"
+    # Integer fixed point: weight 2^-k scaled by 2^LAGS becomes the exact
+    # integer 2^(LAGS-k); the whole weighted sum stays in integer micro
+    # units and ONE truncated integer division emits the smoothed value
+    # (Spark `div` and DuckDB `//` both truncate toward zero — pinned by
+    # tests/test_numeric_conventions.py — so no rounding boundary exists).
+    num = f"x_u * {2 ** _EWMA_LAGS} + " + " + ".join(
+        f"COALESCE(LAG(x_u, {k}) OVER w, 0) * {2 ** (_EWMA_LAGS - k)}"
         for k in range(1, _EWMA_LAGS + 1)
     )
-    den = "1.0 + " + " + ".join(
-        f"CASE WHEN LAG(x, {k}) OVER w IS NOT NULL THEN {_EWMA_W[k]!r} ELSE 0 END"
+    den = f"{2 ** _EWMA_LAGS} + " + " + ".join(
+        f"CASE WHEN LAG(x_u, {k}) OVER w IS NOT NULL"
+        f" THEN {2 ** (_EWMA_LAGS - k)} ELSE 0 END"
         for k in range(1, _EWMA_LAGS + 1)
     )
     return f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS x
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) * 1000000
+                  AS HUGEINT) AS x_u
       FROM events GROUP BY 1, 2)
-    SELECT event_type, day, x,
-           ROUND(({num}) / ({den}), 6) AS ewma
+    SELECT event_type, day,
+           CAST(x_u AS DOUBLE) / 1000000.0 AS x,
+           CAST(CAST(({num}) // ({den}) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS ewma
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
     """
@@ -108,9 +118,12 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursive definition is unrolled into 9 explicit LAG terms, which
     keeps the whole thing ONE window pass (no recursion, no UDF).  With
     alpha = 1/2 the truncation error is bounded by 2^-9 of the oldest
-    mass, and all weights are exact binary doubles so the weighted terms
-    are bit-identical across engines; the daily base series is an exact
-    decimal sum rounded once before smoothing.
+    mass.  Numerics: the daily series moves to exact integer micro-units;
+    scaling each 2^-k weight by 2^8 makes every weighted term an exact
+    integer product, and the single closing truncated integer division
+    (Spark ``div`` ≡ DuckDB ``//``, both toward zero — pinned by
+    tests/test_numeric_conventions.py) emits micro-precision — no double
+    ratio is ever ROUNDed, so no .5 boundary can split the engines.
 
     Scale: events collapse to the (type x day) aggregate first (map-side
     combine); the window runs over that calendar-sized summary.  Nine lags
@@ -121,19 +134,31 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
-        .cast("double")
-        .alias("x")
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("x_u")
     )
     w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
-    num = F.col("x")
-    den = F.lit(1.0)
+    num = F.col("x_u") * F.lit(2**_EWMA_LAGS)
+    den = F.lit(2**_EWMA_LAGS)
     for k in range(1, _EWMA_LAGS + 1):
-        xk = F.lag("x", k).over(w)
-        num = num + F.coalesce(xk * F.lit(_EWMA_W[k]), F.lit(0.0))
-        den = den + F.when(xk.isNotNull(), F.lit(_EWMA_W[k])).otherwise(F.lit(0.0))
+        xk = F.lag("x_u", k).over(w)
+        num = num + F.coalesce(xk, F.lit(0)) * F.lit(2 ** (_EWMA_LAGS - k))
+        den = den + F.when(
+            xk.isNotNull(), F.lit(2 ** (_EWMA_LAGS - k))
+        ).otherwise(F.lit(0))
     return daily.select(
-        "event_type", "day", "x", F.round(num / den, 6).alias("ewma")
+        "event_type",
+        "day",
+        (F.col("x_u").cast("double") / 1_000_000.0).alias("x"),
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        (F.expr("CAST(_num div _den AS BIGINT)").cast("double") / 1_000_000.0)
+        .alias("ewma"),
     )
 
 
@@ -1235,14 +1260,16 @@ _SAX_ALPHABET = 4
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             SUM(CAST(value AS DECIMAL(18,6))) AS x
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+               AS x_u
       FROM events GROUP BY 1, 2),
     origin AS (SELECT MIN(day) AS d0 FROM daily),
     paa AS (
       SELECT event_type,
              CAST(FLOOR(DATEDIFF('day', o.d0, day) / {_PAA_DAYS})
                   AS INTEGER) AS win_idx,
-             ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS paa
+             CAST(CAST(SUM(x_u) // COUNT(*) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS paa
       FROM daily CROSS JOIN origin o
       GROUP BY 1, 2),
     sym AS (
@@ -1265,8 +1292,11 @@ def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensionality-reduction step behind time-series motif/anomaly mining
     at scale (symbols, not floats, feed the downstream index).
 
-    Determinism: frame means are decimal sums averaged then rounded once;
-    the quartile cut is NTILE over (paa, win_idx) — total order, no ties
+    Determinism: the daily series moves to exact integer micro-units and
+    each frame mean is ONE truncated integer division (Spark ``div`` ≡
+    DuckDB ``//``, pinned by tests/test_numeric_conventions.py) — no
+    double ratio is ROUNDed, so no .5 boundary can split the engines.
+    The quartile cut is NTILE over (paa, win_idx) — total order, no ties
     left to the engine.  Classic SAX uses Gaussian breakpoints on a
     z-normalized series; empirical quartiles keep the differential check
     exact while preserving the equal-occupancy property.
@@ -1276,7 +1306,9 @@ def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("x")
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("x_u")
     )
     origin = daily.agg(F.min("day").alias("d0"))
     paa = (
@@ -1288,9 +1320,14 @@ def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("win_idx"),
         )
         .agg(
-            F.round(
-                F.sum("x").cast("double") / F.count("*"), 6
-            ).alias("paa")
+            F.sum("x_u").alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "event_type",
+            "win_idx",
+            (F.expr("CAST(_s div _n AS BIGINT)").cast("double") / 1_000_000.0)
+            .alias("paa"),
         )
     )
     w = Window.partitionBy("event_type").orderBy(
@@ -1365,10 +1402,11 @@ def _pinball_oracle() -> str:
         arms.append(f"""
     SELECT t.event_type, CAST({q} AS DOUBLE) AS q,
            CAST(COUNT(*) AS BIGINT) AS n_test_days,
-           CAST(ROUND(SUM(CAST(ROUND(
+           CAST(CAST(CAST(SUM(CAST(ROUND(
              CASE WHEN t.x >= f.yhat THEN {q!r} * (t.x - f.yhat)
                   ELSE {q - 1!r} * (t.x - f.yhat) END, 6) AS DECIMAL(18,6)))
-             / COUNT(*), 6) AS DOUBLE) AS pinball_loss
+             * 1000000 AS HUGEINT) // COUNT(*) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS pinball_loss
     FROM test t JOIN (
       SELECT event_type, QUANTILE_CONT(x, {q}) AS yhat
       FROM train GROUP BY 1) f
@@ -1400,8 +1438,10 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the daily series is decimal-summed then rounded once;
     the train quantile interpolates the same sorted doubles in both
-    engines; per-day losses are rounded then DECIMAL-summed; one final
-    rounded division.
+    engines; per-day losses are rounded then DECIMAL-summed, and the
+    closing mean is a truncated integer division of exact micro-units
+    (Spark ``div`` ≡ DuckDB ``//``) — no ROUND of a derived double ratio
+    remains, so no .5 boundary can split the engines.
 
     Scale: events collapse to (type x day); everything after is
     report-sized.  The per-type quantile table is a broadcast join.
@@ -1430,13 +1470,18 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(
                 F.count("*").cast("bigint").alias("n_test_days"),
-                F.round(
-                    F.sum(F.round(loss, 6).cast("decimal(18,6)"))
-                    / F.count("*"),
-                    6,
-                )
-                .cast("double")
-                .alias("pinball_loss"),
+                (F.sum(F.round(loss, 6).cast("decimal(18,6)")) * 1_000_000)
+                .cast("decimal(38,0)")
+                .alias("_s"),
+            )
+            .select(
+                "event_type",
+                "n_test_days",
+                (
+                    F.expr("CAST(_s div n_test_days AS BIGINT)")
+                    .cast("double")
+                    / 1_000_000.0
+                ).alias("pinball_loss"),
             )
             .select(
                 "event_type",
@@ -1982,9 +2027,11 @@ def seasonal_index_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Numerics: the daily series moves to exact integer micro-units, the MA
     frame sum stays integer, and each day/trend ratio is an exact
-    FLOORED integer division to micro precision (``div`` / ``//``) — no
+    TRUNCATED integer division to micro precision (Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero — measured and pinned by
+    tests/test_numeric_conventions.py, so the idiom is sign-safe) — no
     double ratio exists, so no rounding boundary can straddle engines.
-    One final rounded division of exact integers emits the index.
+    One final truncated division of exact integers emits the index.
 
     Scale: calendar-sized after the first collapse; the centered frame is
     O(1) state per series; 128-bit intermediates bound the scaled
@@ -2019,7 +2066,8 @@ def seasonal_index_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_obs"),
         F.sum("r_micro").alias("_s"),
     )
-    # mean floored to exact integer micro-units (div), then ONE pure
+    # mean truncated to exact integer micro-units (div — identical to
+    # DuckDB's integer // toward zero, sign included), then ONE pure
     # double division by 1e6 — no ROUND call exists to straddle a .5
     # boundary (Spark rounds the shortest decimal repr, DuckDB the
     # binary value; an exact x.xxxxxx5 rational would split them).

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -37,11 +38,14 @@ def _make_first_seen_fn(state_ttl_ms: int | None):
             return
         seen, n_dropped = state.get if state.exists else (False, 0)
         out_rows = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # Arrow may deliver one micro-batch as several chunks in arbitrary
+        # order; concatenate and sort ONCE so "first" means first by ts
+        # across the whole micro-batch, not per-chunk.
+        batch = [pdf for pdf in pdfs if not pdf.empty]
+        if batch:
+            pdf = pd.concat(batch, ignore_index=True).sort_values("ts")
             if not seen:
-                first = pdf.sort_values("ts").iloc[0]
+                first = pdf.iloc[0]
                 out_rows.append((key[0], first["ts"], 0))
                 seen = True
                 n_dropped += len(pdf) - 1
@@ -277,18 +281,33 @@ def _make_ewma_fn(alpha: float):
             state.remove()
             return
         ew, has_prev = state.get if state.exists else (0.0, False)
-        out = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for _, row in pdf.sort_values("ts").iterrows():
-                x = float(row["x"])
-                ew = x if not has_prev else alpha * x + (1.0 - alpha) * ew
-                has_prev = True
-                out.append((key[0], row["ts"], x, ew))
+        # Concatenate the micro-batch's Arrow chunks and sort ONCE: the
+        # recurrence folds across the whole micro-batch in ts order, so a
+        # key whose rows span multiple chunks still folds correctly even
+        # when the chunks arrive out of order.
+        batch = [pdf for pdf in pdfs if not pdf.empty]
+        if batch:
+            pdf = pd.concat(batch, ignore_index=True).sort_values("ts")
+            xs = pdf["x"].astype(float)
+            if has_prev:
+                # Seed the vectorized recurrence with the carried state:
+                # prepend ew_{t-1}, run pandas' adjust=False EWM (exactly
+                # ew_t = alpha*x_t + (1-alpha)*ew_{t-1}), drop the seed row.
+                seeded = pd.concat([pd.Series([ew]), xs], ignore_index=True)
+                ews = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+            else:
+                ews = xs.ewm(alpha=alpha, adjust=False).mean()
+            ew = float(ews.iloc[-1])
+            has_prev = True
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "x": xs.to_numpy(),
+                    "ewma": ews.to_numpy(),
+                }
+            )
         state.update((ew, has_prev))
-        if out:
-            yield pd.DataFrame(out, columns=["key", "ts", "x", "ewma"])
 
     return ewma_fn
 
@@ -351,21 +370,31 @@ def _make_quota_fn(limit: int):
             state.remove()
             return
         used, rejected = state.get if state.exists else (0, 0)
-        out = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for _, row in pdf.sort_values("ts").iterrows():
-                admit = used < limit
-                used, rejected = (
-                    (used + 1, rejected) if admit else (used, rejected + 1)
-                )
-                out.append((key[0], row["ts"], admit, used, rejected))
-        state.update((used, rejected))
-        if out:
+        # Concatenate the micro-batch's chunks and sort ONCE so admission
+        # order is per-key ts order across the whole micro-batch (chunk
+        # boundaries within a batch carry no ordering guarantee).
+        batch = [pdf for pdf in pdfs if not pdf.empty]
+        if batch:
+            pdf = pd.concat(batch, ignore_index=True).sort_values("ts")
+            n = len(pdf)
+            # Admits form a prefix of the sorted batch: exactly the first
+            # max(0, limit - used) rows are admitted, the rest rejected.
+            n_admit = min(n, max(0, limit - used))
+            admit = np.arange(n) < n_admit
+            n_used = used + np.cumsum(admit)
+            n_rejected = rejected + np.cumsum(~admit)
+            used = int(n_used[-1])
+            rejected = int(n_rejected[-1])
             yield pd.DataFrame(
-                out, columns=["key", "ts", "admitted", "n_used", "n_rejected"]
+                {
+                    "key": key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "admitted": admit,
+                    "n_used": n_used,
+                    "n_rejected": n_rejected,
+                }
             )
+        state.update((used, rejected))
 
     return quota_fn
 

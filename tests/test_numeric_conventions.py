@@ -1,0 +1,70 @@
+"""Cross-engine numeric-convention pins.
+
+The fixed-point discipline in plans/sequences.py (and friends) rests on
+ONE measured fact: Spark's ``div`` and DuckDB's integer ``//`` are the
+SAME operation — integer division truncated toward zero, sign included —
+so replacing a ROUNDed double ratio with a single integer division leaves
+no rounding boundary for the engines to disagree on.  These tests pin
+that fact (and the hazards around it) so a Spark or DuckDB upgrade that
+changes division semantics fails loudly here instead of as a silent
+oracle drift.
+
+Measured on this stack (pyspark 4.x / duckdb 1.x):
+  Spark  ``-7 div 2``            -> -3  (truncate toward zero)
+  DuckDB ``-7 // 2``             -> -3  (truncate toward zero)
+  DuckDB ``CAST(-7 AS HUGEINT) // 2`` -> -3
+  DuckDB ``DECIMAL // DECIMAL``  -> plain division (-3.5!)  <- hazard:
+      oracles must cast to HUGEINT/BIGINT before ``//``.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+CASES = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (1, 3), (0, 5)]
+
+
+def test_spark_div_equals_duckdb_intdiv(spark):
+    """Spark `div` and DuckDB integer `//` truncate identically, all signs."""
+    exprs = ", ".join(f"{a} div ({b}) AS c{i}" for i, (a, b) in enumerate(CASES))
+    srow = spark.sql(f"SELECT {exprs}").collect()[0]
+    dexprs = ", ".join(f"{a} // ({b}) AS c{i}" for i, (a, b) in enumerate(CASES))
+    drow = duckdb.sql(f"SELECT {dexprs}").fetchall()[0]
+    for i, (a, b) in enumerate(CASES):
+        want = int(a / b)  # Python int() truncates toward zero
+        assert srow[i] == want, f"Spark div changed semantics on {a}/{b}"
+        assert drow[i] == want, f"DuckDB // changed semantics on {a}/{b}"
+
+
+def test_spark_decimal_div_truncates(spark):
+    """Spark `div` on DECIMAL operands is still integral truncation."""
+    row = spark.sql(
+        "SELECT CAST(-7 AS DECIMAL(38,0)) div CAST(2 AS DECIMAL(38,0)) AS c"
+    ).collect()[0]
+    assert row.c == -3
+
+
+def test_duckdb_hugeint_intdiv_truncates():
+    """The HUGEINT // path used by micro-unit oracles truncates toward zero."""
+    got = duckdb.sql(
+        "SELECT CAST(-7 AS HUGEINT) // CAST(2 AS HUGEINT),"
+        "       CAST(7 AS HUGEINT) // CAST(2 AS HUGEINT)"
+    ).fetchall()[0]
+    assert got == (-3, 3)
+
+
+def test_duckdb_decimal_floordiv_is_not_integer_division():
+    """DECIMAL // DECIMAL in DuckDB is PLAIN division — the hazard the
+    fixed-point oracles avoid by casting to HUGEINT before //.  If an
+    upgrade makes this integral, the hazard note is stale (benignly), but
+    if an oracle ever skips the HUGEINT cast this documents why it broke."""
+    (got,) = duckdb.sql(
+        "SELECT CAST(-7 AS DECIMAL(38,0)) // CAST(2 AS DECIMAL(38,0))"
+    ).fetchall()[0]
+    assert got in (-3.5, -3), got
+    if got == -3:  # pragma: no cover - future-version signpost
+        pytest.fail(
+            "DuckDB DECIMAL // became integral division; update the "
+            "hazard note in tests/test_numeric_conventions.py"
+        )

@@ -105,16 +105,47 @@ def test_streaks_known_sequence(spark):
 # --------------------------------------------------- k-hop reachability
 
 
-def test_khop_monotone_closure(spark):
+def test_khop_against_independent_closure(spark):
+    """Recompute the bounded BFS with plain Python sets over the same
+    edge list and require exact equality per source — provable on ANY
+    fixture, unlike a monotonicity heuristic (a supplier used solely by
+    the source is excluded from hop3 because hop2 filters cocust != cust,
+    so 3hop >= direct is density-dependent, not an invariant)."""
     df = QUERIES["khop_reachability"](spark, SF_SMOKE)
     rows = df.collect()
     assert rows
-    for r in rows:
-        # the 3-hop supplier closure contains every direct supplier
-        # (src is one of its own co-customers' co-customers via any
-        # shared supplier path of length 2), so it can never shrink
-        assert r.n_suppliers_3hop >= r.n_direct_suppliers
-        assert r.n_direct_suppliers >= 1  # src drawn from edge list
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    edges = {
+        (r.cust, r.supp)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+        .collect()
+    }
+    by_cust: dict[int, set[int]] = {}
+    by_supp: dict[int, set[int]] = {}
+    for cust, supp in edges:
+        by_cust.setdefault(cust, set()).add(supp)
+        by_supp.setdefault(supp, set()).add(cust)
+    expected = {}
+    for src in {c for c, _ in edges if c < 25}:
+        h1 = by_cust[src]
+        h2 = {c for s in h1 for c in by_supp[s] if c != src}
+        h3 = {s for c in h2 for s in by_cust[c]}
+        expected[src] = (len(h1), len(h2), len(h3))
+    got = {
+        r.src_custkey: (
+            r.n_direct_suppliers,
+            r.n_cocustomers_2hop,
+            r.n_suppliers_3hop,
+        )
+        for r in rows
+    }
+    assert got == expected
 
 
 # ------------------------------------------------------ MRR / NDCG
