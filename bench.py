@@ -122,6 +122,33 @@ def main() -> int:
         timings[name] = round(best, 3)
         plans[name] = plan_fingerprint(fn(spark, sf_dir))
 
+    # Label each timing against the PREVIOUS round's recorded fingerprints:
+    # a delta with plan_changed=false is box noise by construction; one
+    # with plan_changed=true names its own cause.  "new" = first recording.
+    prev_hashes: dict[str, str] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as fh:
+                doc = json.load(fh)
+            # the driver's BENCH_r{N}.json wraps our JSON line under
+            # "parsed"; a raw bench.py capture has plan_hashes at top level
+            doc = doc.get("parsed", doc) or doc
+            prev_hashes = doc.get("plan_hashes", {}) or {}
+        except (OSError, ValueError, AttributeError):
+            prev_hashes = {}
+    plan_changed = {
+        name: (
+            "new" if name not in prev_hashes
+            else plans[name] != prev_hashes[name]
+        )
+        for name in plans
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,6 +159,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "plan_hashes": plans,
+                "plan_changed": plan_changed,
+                "plan_baseline": prior[-1] if prior else None,
             }
         )
     )

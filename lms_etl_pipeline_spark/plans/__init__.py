@@ -19,6 +19,9 @@ from lms_etl_pipeline_spark.plans import training_mix  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import profiling  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import behavior  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import governance  # noqa: E402,F401
-from lms_etl_pipeline_spark.plans import sequences  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import timeseries  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import graph_retrieval  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import stats_eval  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import business_analytics  # noqa: E402,F401
 
 __all__ = ["query", "all_queries", "all_oracles"]

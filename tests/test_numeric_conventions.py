@@ -1,6 +1,6 @@
 """Cross-engine numeric-convention pins.
 
-The fixed-point discipline in plans/sequences.py (and friends) rests on
+The fixed-point discipline in plans/timeseries.py and its sibling family modules rests on
 ONE measured fact: Spark's ``div`` and DuckDB's integer ``//`` are the
 SAME operation — integer division truncated toward zero, sign included —
 so replacing a ROUNDed double ratio with a single integer division leaves

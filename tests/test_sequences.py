@@ -1,4 +1,4 @@
-"""Behavioral invariants for plans/sequences.py (round-5c additions).
+"""Behavioral invariants for the round-5c wave (plans/timeseries.py, graph_retrieval.py, stats_eval.py, business_analytics.py).
 
 Value-level cross-engine equality is covered by tools/check_oracle.py;
 these pin the semantic contracts a hash comparison can't express.
@@ -465,7 +465,7 @@ def test_sample_size_scales_with_variance(spark):
         assert r.variance >= 0
         assert r.mde > 0
         # recompute the formula end-to-end from the emitted columns
-        from lms_etl_pipeline_spark.plans.sequences import _SS_K
+        from lms_etl_pipeline_spark.plans.stats_eval import _SS_K
 
         import math
 
@@ -638,7 +638,7 @@ def test_topn_other_reconciles_to_total(spark):
 
 
 def test_state_machine_flags_match_allowlist(spark):
-    from lms_etl_pipeline_spark.plans.sequences import _ALLOWED_TRANSITIONS
+    from lms_etl_pipeline_spark.plans.business_analytics import _ALLOWED_TRANSITIONS
 
     rows = QUERIES["state_machine_audit"](spark, SF_SMOKE).collect()
     assert rows
@@ -654,7 +654,7 @@ def test_state_machine_flags_match_allowlist(spark):
 def test_business_days_closed_form_matches_iteration(spark):
     import datetime as dt2
 
-    from lms_etl_pipeline_spark.plans.sequences import _BD_EXTRA
+    from lms_etl_pipeline_spark.plans.business_analytics import _BD_EXTRA
 
     def iterate(a, g):
         return sum(
