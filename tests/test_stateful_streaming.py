@@ -328,3 +328,59 @@ def test_streaming_quota_gate_split_invariant(spark, tmp_path):
     assert one[("u1", "2024-01-01 00:00:04")] == (False, 3, 1)
     assert one[("u1", "2024-01-01 00:00:05")] == (False, 3, 2)
     assert one[("u2", "2024-01-01 00:00:01")] == (True, 1, 0)
+
+
+def test_streaming_ewma_cross_chunk_order(spark, tmp_path):
+    """One key's micro-batch delivered as MULTIPLE Arrow chunks in
+    reverse ts order must still fold the recurrence in event-time order
+    — the scenario the per-chunk sort of the original implementation
+    silently got wrong (each chunk was sorted internally, but the fold
+    ran across chunks in arrival order).  Forcing 2-row Arrow batches on
+    a descending-ts file makes every chunk boundary an ordering hazard."""
+    from pyspark.sql.types import StructType
+
+    from lms_etl_pipeline_spark.streaming.stateful import streaming_ewma
+
+    ddl = "user STRING, ts TIMESTAMP, v DOUBLE"
+    series = [
+        ("u1", f"2024-01-01 00:00:0{i}", float(v))
+        for i, v in zip(range(1, 7), (10, 20, 30, 40, 50, 60))
+    ]
+
+    def reference(alpha=0.5):
+        out = {}
+        ew = None
+        for u, ts, v in series:
+            ew = v if ew is None else alpha * v + (1 - alpha) * ew
+            out[(u, ts)] = ew
+        return out
+
+    landing = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    # land ts-DESCENDING in one file: chunk order != event order
+    spark.createDataFrame(
+        list(reversed(series)), "user STRING, ts_s STRING, v DOUBLE"
+    ).selectExpr("user", "CAST(ts_s AS TIMESTAMP) AS ts", "v").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+
+    got: dict[tuple, float] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[(r.key, str(r.ts))] = r.ewma
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = streaming_ewma(
+            streaming.file_stream(spark, landing, StructType.fromDDL(ddl)),
+            "user",
+            "v",
+        )
+        streaming.run_available_now(stream, sink, ckpt, output_mode="append")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert got == reference(), got
