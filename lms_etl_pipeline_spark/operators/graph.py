@@ -50,29 +50,30 @@ def connected_components(
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # each node's candidate label: min of its own and all neighbors'
+        # each node's candidate label: min of its own and all neighbors'.
+        # The node's OWN row is tagged so the same min-aggregation also
+        # recovers the previous label (exactly one own row per node) —
+        # the convergence check then reads the materialized frame instead
+        # of joining old vs new labels in a second per-iteration job.
         neighbor_labels = (
             sym.join(labels, sym.v == labels.node)
-            .select(F.col("u").alias("node"), "label")
+            .select(F.col("u").alias("node"), "label", F.lit(False).alias("own"))
         )
         new_labels = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.lit(True).alias("own"))
             .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("new_label"))
-            .withColumnRenamed("new_label", "label")
-            # materialization barrier first: the convergence check below
-            # then joins two ALREADY-materialized frames (cheap), and the
-            # lineage can't grow unboundedly across iterations
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+            )
+            # materialization barrier: the convergence scan below reads
+            # this ALREADY-materialized frame (no join), and the lineage
+            # can't grow unboundedly across iterations
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(new_labels, "node")
-            .filter(F.col("label") < F.col("old_label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
