@@ -57,6 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver (and any embedding application) builds its OWN session;
+    # engine conf must not be assumed.  UTC is load-bearing twice: the
+    # NTZ->LTZ cast below is value-preserving only under UTC, and every
+    # to_date/weekday derivation must agree with the DuckDB oracle (which
+    # computes in UTC).  Runtime-set like nanosAsLong, so a plain
+    # SparkSession gets identical semantics to session.get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     df = _normalize_ts(df)
     return df

@@ -123,3 +123,20 @@ def test_orc_roundtrip_pushes_filter_into_scan(spark):
     pushed = scan.split("PushedFilters:")[1].split("]")[0]
     assert "o_orderstatus" in pushed, "status filter must reach the ORC reader"
     assert df.count() > 0
+
+
+def test_load_table_pins_utc_in_foreign_session(spark):
+    """The driver builds its OWN session; engine conf must not be assumed.
+    load_table pins the session timezone to UTC at runtime (like
+    nanosAsLong) because the NTZ->LTZ events cast and every to_date /
+    weekday derivation are oracle-consistent only under UTC."""
+    from lms_etl_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_table(spark, SF_SMOKE, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
