@@ -43,6 +43,18 @@ _PRIORITY: tuple[str, ...] = (
     #       DuckDB type) column pairings already seen driver-green; the
     #       HUGEINT comparator-divergence class is rejected at registration
     #       by tools/check_oracle.py's preflight gate.
+    # ROUND-7 ROTATION PREP (mechanical — three steps):
+    #   1. python tools/cert_ledger.py        -> confirm debt & wasted slots
+    #   2. replace the 48 fresh names below with the next 48 of the 83
+    #      remaining debt names (cert_ledger --names prints them; all 83
+    #      are already pre-cleared: exact at sf0.001/0.01 in the round-6
+    #      full-catalog gates and covered by the 9 driver-certified type
+    #      pairings per `python tools/type_pairings.py --all` — zero novel
+    #      pairings exist anywhere in the catalog)
+    #   3. extend tests/test_catalog.py's rotation_baseline with
+    #      CORRECTNESS_r06.json
+    # After round 7 the residual debt is ~35 names: one final window.
+    #
     # This window: 48 never-certified (the full round-5c sequences wave —
     # newest oracles, least driver exposure, most DECIMAL/fixed-point
     # surface; ewma/sax/pinball hardened to truncated-integer-division
