@@ -717,12 +717,15 @@ def b3_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _centroid_sql(pred: str, alias: str) -> str:
-    """Per-dimension decimal-exact centroid of a filtered embedding set."""
+    """Per-dimension tie-free centroid of a filtered embedding set:
+    FLOOR(val*1e9) quantization (identical IEEE multiply + floor in both
+    engines — no rounding tie, unlike a decimal cast) then exact integer
+    sum."""
     return f"""
     {alias} AS (
       SELECT dim,
-             CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9)))
-                  AS DOUBLE) / COUNT(*) AS c
+             CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000000) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
       FROM (SELECT UNNEST(embedding) AS val,
                    GENERATE_SUBSCRIPTS(embedding, 1) AS dim
             FROM embeddings WHERE {pred})
@@ -753,11 +756,11 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     catch encoder regressions and upstream-content shifts that no scalar
     column would show.
 
-    Numerics: centroids follow the ``embedding_centroids`` idiom (decimal
-    sum cast to double, ONE double division, no decimal-division path);
-    the cross-dimension L2/cosine reductions round each
-    product term at 1e-12 then DECIMAL-sum (order-independent), with one
-    final rounding per output.
+    Numerics: centroids follow the ``embedding_centroids`` idiom —
+    FLOOR(val*1e9) integer quantization (tie-free in both engines) and
+    exact integer sums closed by double division; the cross-dimension
+    L2/cosine reductions round each product term at 1e-12 then
+    DECIMAL-sum (order-independent), with one final rounding per output.
 
     Scale: ONE corpus scan explodes to (dim, val) pairs aggregated
     map-side per dimension — state is 2×{EMB_DIM} cells regardless of
@@ -769,26 +772,21 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 10 == 7).alias("in_delta"),
         F.posexplode("embedding").alias("dim0", "val"),
     ).select("in_delta", (F.col("dim0") + 1).alias("dim"), "val")
-    # the embedding_centroids idiom: decimal sum cast to double FIRST,
-    # then one double division — no decimal-division path (whose scale
-    # handling differs between engines) ever runs
+    # the embedding_centroids idiom: FLOOR(val*1e9) integer quantization
+    # (identical IEEE multiply + floor in both engines — a decimal cast
+    # has rounding TIES on odd multiples of 2^-10, found live at sf0.1),
+    # exact integer sum, then double division — no decimal-division path
+    # (whose scale handling differs between engines) ever runs
+    val_u = F.floor(F.col("val").cast("double") * 1_000_000_000).cast("bigint")
     cent = pairs.groupBy("dim").agg(
         (
-            F.sum(
-                F.when(
-                    ~F.col("in_delta"),
-                    F.col("val").cast("double").cast("decimal(18,9)"),
-                )
-            ).cast("double")
+            F.sum(F.when(~F.col("in_delta"), val_u)).cast("double")
+            / 1_000_000_000.0
             / F.sum(F.when(~F.col("in_delta"), 1).otherwise(0))
         ).alias("ci"),
         (
-            F.sum(
-                F.when(
-                    F.col("in_delta"),
-                    F.col("val").cast("double").cast("decimal(18,9)"),
-                )
-            ).cast("double")
+            F.sum(F.when(F.col("in_delta"), val_u)).cast("double")
+            / 1_000_000_000.0
             / F.sum(F.when(F.col("in_delta"), 1).otherwise(0))
         ).alias("cd"),
     )

@@ -1599,22 +1599,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT label,
            COUNT(*) AS n_vectors,
-           CAST(SUM(CAST(SQRT({vec.dot_sql('embeddings.embedding', 'embeddings.embedding', EMB_DIM)})
-                AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm
+           CAST(SUM(CAST(FLOOR(SQRT({vec.dot_sql('embeddings.embedding', 'embeddings.embedding', EMB_DIM)})
+                * 1000000000) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*)
+             AS avg_norm
     FROM embeddings
     GROUP BY label
     """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label vector-norm statistics.  Norms go through DECIMAL before
-    the (order-free) sum so the group aggregate is bit-stable."""
+    """Per-label vector-norm statistics.  Norms are quantized by
+    FLOOR(norm*1e9) — identical IEEE multiply + floor in both engines, no
+    rounding tie possible — then summed as exact integers (order-free)."""
     e = load_table(spark, sf_dir, "embeddings")
-    nrm = vec.norm(F.col("embedding")).cast("DECIMAL(18,9)")
+    n_u = F.floor(vec.norm(F.col("embedding")) * 1_000_000_000).cast("bigint")
     return (
         e.groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
-            (F.sum(nrm).cast("double") / F.count("*")).alias("avg_norm"),
+            (F.sum(n_u).cast("double") / 1_000_000_000.0 / F.count("*"))
+            .alias("avg_norm"),
         )
     )
 
@@ -1629,17 +1632,21 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, dim,
-           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
-               AS mean_val
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 / COUNT(*) AS mean_val
     FROM ex GROUP BY label, dim
     """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors in long form (label, dim, mean) — the
     k-means/IVF training step (`knn_cosine_ivf` consumes exactly these cell
-    centroids) made oracle-exact: per-dimension sums go through DECIMAL so
-    the distributed reduction is order-free and bit-identical to the
-    sequential oracle.
+    centroids) made oracle-exact: each value is quantized by FLOOR(x*1e9)
+    — the same IEEE multiply then the same floor in both engines, so no
+    rounding TIE can ever split them (a float that is an odd multiple of
+    2^-10, e.g. 0.1494140625, lands exactly on a .5 nano boundary, where
+    Spark's HALF_UP decimal cast and DuckDB's multiply-and-round disagree
+    — found live at sf0.1, pinned in tests/test_numeric_conventions.py)
+    — then summed as exact integers (order-free distributed reduction).
 
     Plan: ONE posexplode to (label, dim, x) long form — 64 rows per vector —
     then a partial+final hash agg on (label, dim); both keys are uniform, no
@@ -1649,11 +1656,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    x_u = F.floor(F.col("x").cast("double") * 1_000_000_000).cast("bigint")
     return ex.groupBy("label", "dim").agg(
-        (
-            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
-            / F.count("*")
-        ).alias("mean_val")
+        (F.sum(x_u).cast("double") / 1_000_000_000.0 / F.count("*"))
+        .alias("mean_val")
     )
 
 

@@ -68,3 +68,34 @@ def test_duckdb_decimal_floordiv_is_not_integer_division():
             "DuckDB DECIMAL // became integral division; update the "
             "hazard note in tests/test_numeric_conventions.py"
         )
+
+
+def test_float_decimal_cast_tie_divergence_and_floor_idiom(spark):
+    """A float that is an odd multiple of 2^-10 (here 0.1494140625) lands
+    EXACTLY on a .5 nano boundary when quantized at 1e-9: Spark's decimal
+    cast rounds the exact value HALF_UP while DuckDB multiplies in double
+    and rounds — the engines disagree (found live: embedding_centroids at
+    sf0.1, label 8 / dim 58 / vec_id 364).  The FLOOR(x*1e9) idiom is
+    tie-free: both engines run the identical IEEE multiply then the
+    identical floor.  This pins BOTH facts so an engine upgrade that
+    changes either behavior is caught here, not as oracle drift."""
+    import duckdb
+
+    x = 0.1494140625  # 153/1024; x*1e9 == 149414062.5 exactly
+    (s_dec,) = spark.sql(
+        f"SELECT CAST(CAST({x!r} AS DOUBLE) AS DECIMAL(18,9))"
+    ).collect()[0]
+    (d_dec,) = duckdb.sql(
+        f"SELECT CAST(CAST({x!r} AS DOUBLE) AS DECIMAL(18,9))"
+    ).fetchall()[0]
+    assert str(s_dec) != str(d_dec), (
+        "engines now agree on the .5-nano tie — the decimal-cast hazard "
+        "note is stale; re-evaluate whether the FLOOR idiom is still needed"
+    )
+    (s_u,) = spark.sql(
+        f"SELECT CAST(FLOOR(CAST({x!r} AS DOUBLE) * 1000000000) AS BIGINT)"
+    ).collect()[0]
+    (d_u,) = duckdb.sql(
+        f"SELECT CAST(FLOOR(CAST({x!r} AS DOUBLE) * 1000000000) AS BIGINT)"
+    ).fetchall()[0]
+    assert s_u == d_u == 149414062
