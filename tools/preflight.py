@@ -14,6 +14,13 @@ snapshot commit / PROGRESS entry.  (Round-3 retro: every gate existed and
 each would have caught the shipped NTZ regression — they just were not run
 after the final environment change.  This wrapper makes "run the gates" one
 command with one exit code.)
+
+Round-6 retro: ALSO run the full-catalog differential one scale up at
+least once per round (``python tools/check_oracle.py /root/testdata/sf0.1``)
+— the sf0.1 sweep caught a cross-engine rounding tie (embedding_centroids,
+odd-multiple-of-2^-10 float on a .5 nano boundary) that three rounds of
+sf0.001/0.01 gates never hit, because the tie needs a specific float VALUE
+to appear in the data.  Bigger fixtures sample more of the value space.
 """
 
 from __future__ import annotations
