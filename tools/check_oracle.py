@@ -12,6 +12,7 @@ Exit code 0 iff every checked query matches.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -88,8 +89,13 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written fixtures (the
+        # synthetic deep-sweep scales under .scratch/) are directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     n_pass = n_fail = n_rows_only = 0
