@@ -275,8 +275,8 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     oracle="""
     SELECT o_orderpriority,
-           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
-           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
+           (MIN({'p': o_totalprice, 'k': o_orderkey})).k AS cheapest_order,
+           (MAX({'p': o_totalprice, 'k': o_orderkey})).k AS priciest_order,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
     FROM orders
@@ -286,15 +286,25 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax) aggregates — one pass, no self-join.
 
-    Deterministic here because o_totalprice values are unique per priority
-    group in the fixture at the extremes; ties would need a tiebreak struct.
+    Tie-DETERMINISTIC: the argmin/argmax runs over the lexicographic
+    (price, orderkey) struct, so among equally-cheap orders the lowest
+    orderkey wins and among equally-pricey orders the highest — a total
+    order with no choice left to the engine.  (Found by the ~sf1
+    adversarial sweep: replicated data makes extreme-price ties real, and
+    a bare min_by/max_by then diverges between engines.)  Same plan as
+    the bare form: one partial+final aggregate, struct comparison is
+    codegen'd.
     """
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min(F.struct(F.col("o_totalprice").alias("p"),
+                           F.col("o_orderkey").alias("k")))["k"]
+            .alias("cheapest_order"),
+            F.max(F.struct(F.col("o_totalprice").alias("p"),
+                           F.col("o_orderkey").alias("k")))["k"]
+            .alias("priciest_order"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
