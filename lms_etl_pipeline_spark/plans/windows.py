@@ -330,8 +330,10 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, ts, masked,
            CASE WHEN NOT masked THEN value
-                WHEN p_us IS NOT NULL AND n_us IS NOT NULL
-                  THEN p_v + (n_v - p_v) * ((us - p_us) / (n_us - p_us))
+                WHEN p_us IS NOT NULL AND n_us IS NOT NULL THEN
+                  CASE WHEN n_us = p_us THEN p_v
+                       ELSE p_v + (n_v - p_v) * ((us - p_us) / (n_us - p_us))
+                  END
                 ELSE COALESCE(p_v, n_v) END AS value_filled
     FROM w
     """,
@@ -345,6 +347,8 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     no NULL values), so the differential check proves the interpolation
     arithmetic itself, bit-exactly: the time fraction is a ratio of exact
     integer µs deltas and the blend is three IEEE-exact ops, no rounding.
+    Zero-width bracketing intervals (duplicate timestamps) resolve to the
+    earlier neighbor's value instead of dividing by zero.
 
     Plan: ONE window shuffle on user_id serves all four neighbor lookups
     (last/first IGNORE NULLS over prefix/suffix frames); per-key state is
@@ -379,8 +383,17 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first(known_us, ignorenulls=True).over(fw).alias("n_us"),
         F.first(known_v, ignorenulls=True).over(fw).alias("n_v"),
     )
-    frac = (F.col("us") - F.col("p_us")) / (F.col("n_us") - F.col("p_us"))
-    interp = F.col("p_v") + (F.col("n_v") - F.col("p_v")) * frac
+    # try_divide: a masked reading bracketed by two known readings with
+    # the SAME timestamp (duplicate-ts data — real at ingest scale, and
+    # exercised by the tie-heavy ~sf1 sweep, where the bare division
+    # crashed under ANSI) has a zero-width interval; define the blend as
+    # the earlier neighbor's value in that case, in both engines.
+    frac = F.try_divide(
+        F.col("us") - F.col("p_us"), F.col("n_us") - F.col("p_us")
+    )
+    interp = F.when(
+        F.col("n_us") == F.col("p_us"), F.col("p_v")
+    ).otherwise(F.col("p_v") + (F.col("n_v") - F.col("p_v")) * frac)
     filled = (
         F.when(~F.col("masked"), F.col("value"))
         .when(
