@@ -26,96 +26,90 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation — burn down driver-certification debt.  After five
-    # rounds 161 distinct queries have a driver-green row; 131 oracle-backed
-    # queries have never occupied a window slot.  Invariants of this list
-    # (stated per VERDICT r5 #2):
+    # Round-7 rotation — burn down driver-certification debt (third wave).
+    # After six rounds 207 distinct queries are driver-green; 83
+    # oracle-backed queries have never occupied a window slot.  Invariants
+    # (unchanged since r5; see VERDICT r6 "Next round" #1):
     #   (a) the flagship and events_session_window stay in-window every
-    #       round as driver smoke anchors (streaming has no never-certified
-    #       oracle-backed candidate);
-    #   (b) every other slot goes to a NEVER-certified query — a slot spent
-    #       re-certifying is a wasted slot, since everything rotated out
-    #       remains in the full-catalog local gate (tools/check_oracle.py,
-    #       290/290 exact) which the driver check is a same-engine,
-    #       same-fixture subset of;
+    #       round as driver smoke anchors;
+    #   (b) every other slot goes to a NEVER-certified query — rotated-out
+    #       queries remain in the full-catalog local gate
+    #       (tools/check_oracle.py, 290/290 exact) which the driver check
+    #       is a same-engine, same-fixture subset of;
     #   (c) candidates are pre-screened: each passes the local differential
     #       gate exactly at sf0.001/0.01/0.1 and emits only (Spark type,
-    #       DuckDB type) column pairings already seen driver-green; the
-    #       HUGEINT comparator-divergence class is rejected at registration
-    #       by tools/check_oracle.py's preflight gate.
-    # ROUND-7 ROTATION PREP (mechanical — three steps):
+    #       DuckDB type) column pairings already seen driver-green
+    #       (tools/type_pairings.py --all: zero novel pairings in the
+    #       catalog); the HUGEINT comparator-divergence class is rejected
+    #       at registration by tools/check_oracle.py's preflight gate.
+    # ROUND-8 ROTATION PREP (mechanical):
     #   1. python tools/cert_ledger.py        -> confirm debt & wasted slots
-    #   2. replace the 48 fresh names below with the next 48 of the 83
-    #      remaining debt names (cert_ledger --names prints them; all 83
-    #      are already pre-cleared: exact at sf0.001/0.01 in the round-6
-    #      full-catalog gates and covered by the 9 driver-certified type
-    #      pairings per `python tools/type_pairings.py --all` — zero novel
-    #      pairings exist anywhere in the catalog)
+    #   2. replace the 48 fresh names below with the remaining ~35 debt
+    #      names (cert_ledger --names prints them) plus any queries added
+    #      this round (e.g. the sharded global-window twins); pad leftover
+    #      slots with the highest-value re-certs only if debt < 48
     #   3. extend tests/test_catalog.py's rotation_baseline with
-    #      CORRECTNESS_r06.json
-    # After round 7 the residual debt is ~35 names: one final window.
+    #      CORRECTNESS_r07.json
+    # After round 8 the certification debt should be ZERO.
     #
-    # This window: 48 never-certified (the full round-5c sequences wave —
-    # newest oracles, least driver exposure, most DECIMAL/fixed-point
-    # surface; ewma/sax/pinball hardened to truncated-integer-division
-    # fixed point this round — plus the two never-certified TPC-H shapes
-    # and one similarity-search representative).  Remaining debt after
-    # this window: ~83 names, ~2 more rounds at this rate.
+    # This window: 48 never-certified — the first 48 of the 83-name debt
+    # list in cert_ledger registration order (ETL/text/embedding/profiling
+    # wave: doc-quality filters, embedding stats, round-trip sinks,
+    # sketch/histogram profilers, stats tests).  Remaining debt after this
+    # window: 35 names + round-7 additions, one final window.
     #
     # driver smoke anchors
     "flagship_regional_revenue",
     "events_session_window",
-    # TPC-H shapes never driver-certified
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    # similarity-search representative
-    "knn_dot_product_mips",
-    # round-5c sequences wave (43) + r5-close additions (2)
-    "ewma_smoothing",
-    "acf_lags",
-    "activity_streaks",
-    "khop_reachability",
-    "retrieval_mrr_ndcg",
-    "scd2_snapshot_asof",
-    "fifo_returns_allocation",
-    "llr_collocations",
-    "systematic_sample_stratified",
-    "supplier_common_neighbors",
-    "surrogate_key_audit",
-    "churned_users_weekly",
-    "order_to_ship_latency",
-    "cumulative_unique_users",
-    "sax_symbolization",
-    "dedup_first_in_window",
-    "pinball_loss_eval",
-    "matryoshka_truncation_eval",
-    "ngram_containment_pairs",
-    "price_volume_mix_decomposition",
-    "ab_sample_size_planning",
-    "wasserstein_drift_1d",
-    "seasonal_index_weekly",
-    "b3_blocking_eval",
-    "repeat_purchase_cycle",
-    "peer_benchmark_vs_median",
-    "ab_quantile_treatment_effect",
-    "embedding_centroid_drift",
-    "topn_plus_other_rollup",
-    "state_machine_audit",
-    "business_days_latency",
-    "export_shard_manifest",
-    "lsh_s_curve_calibration",
-    "wilson_conversion_ci",
-    "peak_concurrency_daily",
-    "diff_in_differences",
-    "bayes_smoothed_return_rate",
-    "minhash_estimator_error",
-    "path_conditional_entropy",
-    "term_burstiness",
-    "jackknife_se_daily_mean",
-    "mann_whitney_arms",
-    "anova_f_event_types",
-    "stump_split_gain",
-    "weekday_hour_heatmap",
+    # round-7 fresh wave (48 never-certified, registration order)
+    "zorder_layout_stats",
+    "histogram_width_bucket",
+    "text_normalize",
+    "case_when_bucketing",
+    "watermark_loss_curve",
+    "stopword_removal_bigrams",
+    "text_sentiment_lexicon",
+    "contrastive_triplets",
+    "doc_outlier_filter_iqr",
+    "doc_zscore_normalize",
+    "doc_quality_score_logistic",
+    "fuzzy_match_names",
+    "knn_filtered_exact",
+    "embedding_norm_stats",
+    "embedding_centroids",
+    "etl_rename_bulk",
+    "jsonl_roundtrip_documents",
+    "etl_snapshot_diff",
+    "boilerplate_ngram_filter",
+    "charlm_perplexity_filter",
+    "span_corruption_samples",
+    "lsh_recall_eval",
+    "bloom_filter_probe",
+    "dup_ngram_spans",
+    "token_entropy_filter",
+    "zipf_slope_fit",
+    "pca_power_iteration",
+    "assoc_rules_confidence",
+    "equidepth_histogram",
+    "mad_robust_outliers",
+    "abc_pareto_classification",
+    "rfm_segmentation",
+    "source_overlap_matrix",
+    "dedup_cluster_size_histogram",
+    "timeseries_seasonal_profile",
+    "score_quantile_normalize",
+    "length_match_resample",
+    "ngram_novelty_rate",
+    "key_skew_profile",
+    "cusum_changepoints",
+    "table_profile_orders",
+    "simhash_exact_pairs",
+    "text_readability_flesch",
+    "correlation_matrix",
+    "ols_regression_by_group",
+    "benford_digit_test",
+    "gini_concentration",
+    "max_token_runlength",
 )
 
 
