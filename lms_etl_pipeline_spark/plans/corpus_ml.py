@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.operators import vectors as vec
+from lms_etl_pipeline_spark.operators.rank import global_running_sum
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS, EMB_DIM
@@ -1483,11 +1484,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic order makes the selection reproducible and auditable
     (the cum_toks column IS the audit trail).
 
-    Scale: one projection + one global running-sum window. A single global
-    ordering is inherently one-partition at the window — at 100 TB you run
-    the same logic per (domain, shard) with per-shard budgets (the window
-    gains a partitionBy and parallelism returns); the global form here is
-    the oracle-checkable anchor of that sharded plan."""
+    Scale: the running sum spans the WHOLE corpus in hash order, so a
+    naive global window would single-partition it.  Instead the exact
+    cumulative total comes from operators/rank.py's
+    ``global_running_sum`` with the hash key's high 6 bits as the coarse
+    bucket (hk is a uniform 60-bit MD5-derived integer, so ``hk >> 54``
+    is a pure, monotone, CONSTANT-domain 64-way split): one ordinary
+    hash shuffle, a partitioned within-bucket running sum, and a 64-row
+    broadcast prefix table — the only unpartitioned window left is over
+    those 64 rows (machine-checked by tools/audit_plans.py).  The
+    per-(domain, shard) budget variant is
+    ``token_budget_selection_sharded``."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -1495,10 +1502,67 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tx.tokens("text")).alias("n_toks"),
         _bucket(F.col("doc_id")).alias("hk"),
     )
-    w = Window.orderBy("hk", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        global_running_sum(
+            t,
+            "n_toks",
+            [F.col("hk").asc(), F.col("doc_id").asc()],
+            F.shiftright("hk", 54),
+            out_col="cum_toks",
+        )
+        .filter(F.col("cum_toks") <= _BUDGET_TOKENS)
+        .select("doc_id", "lang", "n_toks", "cum_toks")
+    )
+
+
+_BUDGET_TOKENS_PER_LANG = 5_000
+
+
+@query(
+    "token_budget_selection_sharded",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, LEN({_TOKS}) AS n_toks,
+             {_BUCKET_SQL.format(c="doc_id")} AS hk
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, lang, n_toks,
+             CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_toks
+      FROM t)
+    SELECT doc_id, lang, n_toks, cum_toks
+    FROM ordered WHERE cum_toks <= {_BUDGET_TOKENS_PER_LANG}
+    """,
+)
+def token_budget_selection_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of ``token_budget_selection``: a per-shard
+    token budget (here per ``lang`` — in a real mix, per (domain, shard)
+    with the budget split by the mix weights), so the running-sum window
+    is partitioned and parallelism scales with the shard count.  This is
+    also the semantically-preferred form: a single global budget lets one
+    over-represented language crowd out the rest, while per-lang budgets
+    ARE the mixture specification.
+
+    Equivalence to the global anchor is pinned by
+    tests/test_rank_operators.py::test_sharded_budget_matches_global_per_lang:
+    running the GLOBAL query on a single-lang slice yields exactly this
+    query's rows for that lang at the same budget."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens("text")).alias("n_toks"),
+        _bucket(F.col("doc_id")).alias("hk"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         t.withColumn("cum_toks", F.sum("n_toks").over(w))
-        .filter(F.col("cum_toks") <= _BUDGET_TOKENS)
+        .filter(F.col("cum_toks") <= _BUDGET_TOKENS_PER_LANG)
         .select("doc_id", "lang", "n_toks", "cum_toks")
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.functions.numeric import dec, dec_avg, dec_sum, dec_sum_of
+from lms_etl_pipeline_spark.operators.rank import global_ntile
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
 
@@ -2043,17 +2044,28 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same key feeds ``repartitionByRange(zkey)`` + sorted parquet
     writes (``tests/test_parquet_partitioning.py`` pins the pruned-scan
     side).  NTILE over (zkey, tiebreak) stands in for the range split —
-    deterministic total order, exact in both engines."""
+    deterministic total order, exact in both engines.
+
+    Scale: the NTILE runs over ALL of lineitem, so a naive global window
+    would single-partition the corpus.  Instead the exact bucket comes
+    from operators/rank.py's ``global_ntile`` with the zkey's high 6 bits
+    as the coarse bucket (zkey is a 20-bit Morton code, so ``zkey >> 14``
+    is a pure, monotone, CONSTANT-domain 64-way split): one ordinary hash
+    shuffle, partitioned row_number, and a 64-row broadcast prefix table —
+    the only unpartitioned window left is over those 64 rows
+    (machine-checked by tools/audit_plans.py ALLOW_GLOBAL_WINDOW)."""
     li = load_table(spark, sf_dir, "lineitem")
     ok = F.col("l_orderkey") % 1024
     pk = F.col("l_partkey") % 1024
     z = li.select(
         "l_orderkey", "l_partkey", _morton_col(ok, pk).alias("zkey")
     )
-    w = Window.orderBy(
+    order = [
         F.col("zkey").asc(), F.col("l_orderkey").asc(), F.col("l_partkey").asc()
-    )
-    b = z.select(ok.alias("ok"), pk.alias("pk"), F.ntile(16).over(w).alias("bucket"))
+    ]
+    b = global_ntile(
+        z, 16, order, F.shiftright("zkey", 14), bucket_col="bucket"
+    ).select(ok.alias("ok"), pk.alias("pk"), "bucket")
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"),
         F.min("ok").alias("min_ok"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.operators import text as tx
+from lms_etl_pipeline_spark.operators.rank import global_ntile
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import _TOKS
 from lms_etl_pipeline_spark.sources.tables import load_table
@@ -200,10 +201,17 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     the phase column a curriculum-learning scheduler feeds from, and the
     oracle-checkable anchor of any staged data schedule.
 
-    Scale: one projection + one NTILE window.  The global ordering is
-    single-partition at the window — at 100 TB you run the same plan per
-    (domain, shard) with a partitionBy (the token_budget_selection
-    precedent); the global form is the exactly-checkable anchor.
+    Scale: the NTILE spans the WHOLE corpus, so a naive global window
+    would single-partition it.  Instead the exact phase comes from
+    operators/rank.py's ``global_ntile`` with ``least(floor(difficulty
+    * 2), 63)`` as the coarse bucket — pure and monotone in the order
+    key with a CONSTANT 64-value domain (difficulty is mean word length,
+    concentrated in [2, 15]; the cap keeps outliers correct, merely
+    skewing the last bucket): one ordinary hash shuffle, partitioned
+    row_number, and a <=64-row broadcast prefix table — the only
+    unpartitioned window left is over those rows (machine-checked by
+    tools/audit_plans.py).  The per-(domain, shard) variant is
+    ``curriculum_phases_sharded``.
     Determinism: the (difficulty, doc_id) order key is unique."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -212,9 +220,57 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / (F.size(tx.tokens("text")) + 1), 6
         ).alias("difficulty"),
     )
-    w = Window.orderBy("difficulty", "doc_id")
+    return global_ntile(
+        t,
+        _PHASES,
+        [F.col("difficulty").asc(), F.col("doc_id").asc()],
+        F.least(F.floor(F.col("difficulty") * 2), F.lit(63)),
+        bucket_col="phase",
+    ).select("doc_id", "difficulty", "phase")
+
+
+@query(
+    "curriculum_phases_sharded",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(n_chars AS DOUBLE) / (LEN({_TOKS}) + 1), 6)
+                 AS difficulty
+      FROM documents)
+    SELECT doc_id, lang, difficulty,
+           CAST(NTILE({_PHASES}) OVER (PARTITION BY lang
+                                       ORDER BY difficulty, doc_id) AS BIGINT)
+               AS phase
+    FROM t
+    """,
+)
+def curriculum_phases_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of ``curriculum_phases``: difficulty phases
+    assigned WITHIN each shard key (here ``lang`` — in a real mix,
+    (domain, shard)), so the window is partitioned and parallelism scales
+    with the shard count instead of the coarse-bucket count.  Each shard
+    gets its own curriculum, which is also what multi-lingual schedules
+    actually want — a hard-for-English phase boundary says nothing about
+    Python code.
+
+    Equivalence to the global anchor is pinned by
+    tests/test_rank_operators.py::test_sharded_curriculum_matches_global_per_lang:
+    running the GLOBAL query on a single-lang slice of the corpus yields
+    exactly this query's rows for that lang."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("n_chars").cast("double") / (F.size(tx.tokens("text")) + 1), 6
+        ).alias("difficulty"),
+    )
+    w = Window.partitionBy("lang").orderBy("difficulty", "doc_id")
     return t.select(
-        "doc_id", "difficulty", F.ntile(_PHASES).over(w).cast("long").alias("phase")
+        "doc_id",
+        "lang",
+        "difficulty",
+        F.ntile(_PHASES).over(w).cast("long").alias("phase"),
     )
 
 

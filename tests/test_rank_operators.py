@@ -1,0 +1,156 @@
+"""operators/rank.py: scalable exact global rank / NTILE / running sum.
+
+Each operator is differentially tested against the semantically-identical
+single-partition global window on the same data — the operators exist
+precisely so production plans can avoid that window, so equality with it
+IS the correctness contract.  Edge cases pinned: NTILE remainder
+handling, n < k, empty coarse buckets (gaps in the bucket domain), and
+a single-bucket degenerate case (everything collapses to one bucket and
+the operator must still be exact).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators.rank import (
+    attach_global_rank,
+    global_ntile,
+    global_running_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # Deterministic pseudo-random order key with duplicates in the coarse
+    # bucket and gaps in the bucket domain; id is the unique tiebreak.
+    rows = [(i, (i * 2654435761) % 997, (i * 7) % 13) for i in range(501)]
+    return spark.createDataFrame(rows, "id long, key long, val long")
+
+
+def ORDER():
+    return [F.col("key").asc(), F.col("id").asc()]
+
+
+def COARSE():
+    # High bits of the key: pure + monotone in `key`, leaves buckets empty.
+    return (F.col("key") / 64).cast("long")
+
+
+def test_global_rank_matches_single_partition_window(df):
+    got = attach_global_rank(df, ORDER(), COARSE(), rank_col="r").select("id", "r")
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy(*ORDER())).alias("r")
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+@pytest.mark.parametrize("k", [3, 16, 500, 501, 502, 1000])
+def test_global_ntile_matches_builtin(df, k):
+    # 501 rows: k=3 -> remainder 0; k=16 -> remainder 5; k=500/502 ->
+    # n%k big; k >= n -> every bucket holds <= 1 row (base = 0 path).
+    got = global_ntile(df, k, ORDER(), COARSE(), bucket_col="b").select("id", "b")
+    want = df.select(
+        "id", F.ntile(k).over(Window.orderBy(*ORDER())).cast("long").alias("b")
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_global_running_sum_matches_single_partition_window(df):
+    got = global_running_sum(df, "val", ORDER(), COARSE(), out_col="s").select(
+        "id", "s"
+    )
+    w = Window.orderBy(*ORDER()).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select("id", F.sum("val").over(w).alias("s"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_degenerate_single_bucket_still_exact(df):
+    got = attach_global_rank(df, ORDER(), F.lit(0), rank_col="r").select("id", "r")
+    want = df.select("id", F.row_number().over(Window.orderBy(*ORDER())).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_no_corpus_sized_unpartitioned_window_in_plan(df):
+    """The whole point: the executed plan's only unpartitioned window runs
+    over the per-bucket aggregate (bounded by the bucket domain), never
+    over the input rows."""
+    out = attach_global_rank(df, ORDER(), COARSE(), rank_col="r")
+    out.collect()
+    from tools.audit_plans import _global_window_inputs
+
+    plan = out._jdf.queryExecution().executedPlan()
+    inputs = _global_window_inputs(plan)
+    n_buckets = 997 // 64 + 1
+    assert inputs, "expected the tiny per-bucket prefix window"
+    assert max(inputs) <= n_buckets
+
+
+def test_sharded_curriculum_matches_global_per_lang(spark):
+    """Pin the global-anchor <-> sharded-twin relationship: the sharded
+    query's rows for one lang equal the GLOBAL window applied to just
+    that lang's slice (partitionBy == per-group global ordering)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    sharded = em.queries()["curriculum_phases_sharded"](spark, SF_SMOKE).cache()
+    langs = [r[0] for r in sharded.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    for lang in langs[:3]:
+        got = sharded.filter(F.col("lang") == lang).select(
+            "doc_id", "difficulty", "phase"
+        )
+        slice_ = sharded.filter(F.col("lang") == lang).select(
+            "doc_id", "difficulty"
+        )
+        from lms_etl_pipeline_spark.plans.training_mix import _PHASES
+
+        w = Window.orderBy("difficulty", "doc_id")
+        want = slice_.select(
+            "doc_id",
+            "difficulty",
+            F.ntile(_PHASES).over(w).cast("long").alias("phase"),
+        )
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    sharded.unpersist()
+
+
+def test_sharded_budget_matches_global_per_lang(spark):
+    """Same pin for the running-sum pair: per-lang cumulative totals in
+    the sharded query equal the global running sum over that lang's
+    slice (same hash order, same budget)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+    from lms_etl_pipeline_spark.plans.corpus_ml import (
+        _BUDGET_TOKENS_PER_LANG,
+        _bucket,
+    )
+    from lms_etl_pipeline_spark.operators import text as tx
+    from lms_etl_pipeline_spark.sources.tables import load_table
+
+    sharded = em.queries()["token_budget_selection_sharded"](spark, SF_SMOKE).cache()
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens("text")).alias("n_toks"),
+        _bucket(F.col("doc_id")).alias("hk"),
+    )
+    langs = [r[0] for r in sharded.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    for lang in langs[:3]:
+        got = sharded.filter(F.col("lang") == lang).select(
+            "doc_id", "n_toks", "cum_toks"
+        )
+        w = Window.orderBy("hk", "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = (
+            d.filter(F.col("lang") == lang)
+            .withColumn("cum_toks", F.sum("n_toks").over(w))
+            .filter(F.col("cum_toks") <= _BUDGET_TOKENS_PER_LANG)
+            .select("doc_id", "n_toks", "cum_toks")
+        )
+        assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    sharded.unpersist()

@@ -4,11 +4,16 @@ Flags the plan shapes that are fine at sf0.01 and fatal at 100 TB:
 
 - CartesianProduct / BroadcastNestedLoopJoin (unless the query is an
   intentional bounded cross join, declared in ALLOW_CROSS)
-- for every ALLOW_CROSS query, the boundedness claim is MACHINE-CHECKED:
-  the query is executed and each cartesian/nested-loop join's small side
-  (BroadcastExchange output rows, or the smaller child for a true
-  CartesianProduct) must be <= the declared row bound.  Deliberately
-  unbounding one side therefore fails preflight, not just the comment.
+- unpartitioned Window nodes — Exchange SinglePartition funnels, the
+  other classic scale killer — unless declared in ALLOW_GLOBAL_WINDOW
+  (SF-independent domain bound) or ALLOW_GLOBAL_WINDOW_CORPUS (input
+  proportional to a named table, with the scalable form documented)
+- every allowlisted claim is MACHINE-CHECKED: the query is executed and
+  each cartesian/nested-loop join's small side (BroadcastExchange output
+  rows, or the smaller child for a true CartesianProduct) and each
+  unpartitioned window's input rows must be <= the declared bound.
+  Deliberately unbounding a side or removing a partitionBy therefore
+  fails preflight, not just the comment.
 
 Usage: python tools/audit_plans.py [sf_dir]
 Exit 1 if any unallowed red flag is found or any declared bound is exceeded.
@@ -80,7 +85,69 @@ ALLOW_CROSS: dict[str, int] = {
     "weekday_hour_heatmap": 4,   # 1-row traffic-total broadcast onto <=168 cells
 }
 
+# --- Global (unpartitioned) windows: the OTHER classic scale killer. ---
+# A Window with an empty partitionSpec forces Exchange SinglePartition:
+# every input row funnels through one task, so the stage is sequential no
+# matter the cluster size.  (A global SORT is deliberately NOT flagged:
+# Spark range-partitions global sorts — the TeraSort pattern — so they
+# scale; only windows single-partition.)  Any query whose plan contains
+# an unpartitioned window node must appear in exactly one of the two
+# allowlists below, and the allowlisted claim is MACHINE-CHECKED from
+# executed-plan metrics, mirroring ALLOW_CROSS.
+
+# SF-INDEPENDENT window inputs: the rows entering every unpartitioned
+# window are bounded by a domain constant of the algorithm (calendar
+# buckets, a value-domain CDF, a vocabulary, a per-bucket offset table),
+# NOT by corpus size.  Value = declared upper bound, checked at any SF.
+ALLOW_GLOBAL_WINDOW: dict[str, int] = {
+    "churned_users_weekly": 64,       # weekly series: calendar-bounded
+    "cumulative_unique_users": 128,   # daily series: calendar-bounded
+    "cusum_changepoints": 2048,       # hourly series: calendar-bounded
+    "dataset_mix_allocation": 64,     # one row per lang domain
+    "mixture_temperature_weights": 64,  # one row per lang domain
+    "ks_test_drift": 1024,            # CDF over rounded-value domain
+    "wasserstein_drift_1d": 1024,     # CDF over rounded-value domain
+    "stump_split_gain": 256,          # candidate splits: value domain
+    "survival_kaplan_meier": 2048,    # distinct durations: day-span domain
+    "tokenize_to_vocab_ids": 512,     # vocabulary-bounded rank window
+    "topn_plus_other_rollup": 128,    # top-N + residual rows per group
+    "zipf_slope_fit": 512,            # top-K term ranks
+    # scalable-exact global-order rewrites (operators/rank.py): the only
+    # unpartitioned window left is the per-coarse-bucket prefix table,
+    # bounded by the constant bucket count (<= 64 in all three plans).
+    "curriculum_phases": 4096,
+    "token_budget_selection": 4096,
+    "zorder_layout_stats": 4096,
+}
+
+# CORPUS-PROPORTIONAL window inputs: the window is the algorithm (exact
+# equi-depth quantiles, Lorenz curves, percentile ranks, ROC sweeps over
+# raw scores) and its input grows with a named table.  These are honest
+# oracle-checkable anchors of data-dependent-bucketed production forms
+# (the operators/rank.py pattern needs a known key domain for a CONSTANT
+# bucket count; these keys are data-dependent, so the production rewrite
+# buckets on approx quantiles of the key — documented per docstring).
+# Value = (driving parquet table, max ratio to that table's row count at
+# the audited SF, scalable-form pointer).  The ratio claim is checked.
+ALLOW_GLOBAL_WINDOW_CORPUS: dict[str, tuple[str, float, str]] = {
+    "abc_pareto_classification": ("part", 1.2, "bucket on approx rev quantiles"),
+    "equidepth_histogram": ("orders", 1.1, "approx_percentile pre-split"),
+    "key_skew_profile": ("orders", 1.1, "bucket on approx count quantiles"),
+    "pareto_front_2d": ("orders", 1.1, "bucket on price quantiles"),
+    "peak_concurrency_daily": ("events", 2.2, "per-day partitionBy (sweep is day-local)"),
+    "rfm_segmentation": ("customer", 1.1, "bucket on approx R/F/M quantiles"),
+    "watermark_loss_curve": ("events", 1.1, "per-hour partitionBy twin"),
+    "window_ntile_percentile": ("customer", 1.1, "rank.py w/ acctbal-domain buckets"),
+    "window_range_between": ("customer", 1.1, "range-bin equi-join (range_join_binned)"),
+    "gini_concentration": ("supplier", 1.1, "bucket on approx rev quantiles"),
+    "mann_whitney_arms": ("events", 0.5, "rank over distinct-user fingerprints"),
+    "length_match_resample": ("documents", 1.1, "bucket on n_chars quantiles"),
+    "model_gains_table": ("documents", 1.1, "bucket on score quantiles"),
+    "quality_ranker_auc": ("documents", 1.1, "ROC over quantized score domain"),
+}
+
 _JOIN_NODES = ("CartesianProductExec", "BroadcastNestedLoopJoinExec")
+_WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
 
 
 def _children(node) -> list:
@@ -130,41 +197,108 @@ def _small_side_rows(node) -> list[tuple[str, int]]:
     return out
 
 
+def _has_global_window(node) -> bool:
+    """True if any window node in the plan has an empty partitionSpec."""
+    cls = node.getClass().getSimpleName()
+    if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
+        return True
+    return any(_has_global_window(c) for c in _children(node))
+
+
+def _global_window_inputs(node) -> list[int]:
+    """Input rows (child numOutputRows) of every unpartitioned window node
+    in the executed plan.  Metrics absent -> huge sentinel, so the caller
+    fails loudly instead of passing vacuously."""
+    out: list[int] = []
+    cls = node.getClass().getSimpleName()
+    if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
+        ins = [
+            v
+            for v in (_num_output_rows(c) for c in _children(node))
+            if v is not None
+        ]
+        out.append(max(ins) if ins else 1 << 62)
+    for c in _children(node):
+        out.extend(_global_window_inputs(c))
+    return out
+
+
 def check_bounds(spark, entrymod, sf_dir: str) -> list[str]:
-    """Execute every ALLOW_CROSS query and verify each declared bound."""
+    """Execute every allowlisted query once and verify each declared
+    cross-join small-side bound and global-window input bound from the
+    executed plan's metrics."""
     failures: list[str] = []
     queries = entrymod.queries()
-    for name, bound in sorted(ALLOW_CROSS.items()):
+    table_rows: dict[str, int] = {}
+
+    def _table_rows(t: str) -> int:
+        if t not in table_rows:
+            table_rows[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        return table_rows[t]
+
+    names = sorted(
+        set(ALLOW_CROSS) | set(ALLOW_GLOBAL_WINDOW) | set(ALLOW_GLOBAL_WINDOW_CORPUS)
+    )
+    for name in names:
         fn = queries.get(name)
         if fn is None:
-            failures.append(f"{name}: in ALLOW_CROSS but not registered")
+            failures.append(f"{name}: allowlisted but not registered")
             continue
         try:
             df = fn(spark, sf_dir)
             # collect() (not a write/count wrapper) so the metrics land on
             # THIS DataFrame's queryExecution — a writer or count() builds
             # a separate execution whose metrics we couldn't traverse.
-            # Every ALLOW_CROSS query is report-sized by construction.
+            # Every allowlisted query is report-sized by construction.
             df.collect()
             plan = df._jdf.queryExecution().executedPlan()
-            sides = _small_side_rows(plan)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: BOUND CHECK FAILED {type(exc).__name__}: {exc}")
             continue
-        if not sides:
-            # The allowlisted cross join optimized away at this SF — fine
-            # for the shape audit, but there is nothing to measure.
-            print(f"  bound {'n/a':10s} {name}: no cross/NL join in executed plan")
-            continue
-        worst = max(r for _, r in sides)
-        status = "ok" if worst <= bound else "OVER BOUND"
-        print(f"  bound {status:10s} {name}: worst small side {worst} <= {bound}"
-              f" ({len(sides)} cross/NL joins)")
-        if worst > bound:
-            failures.append(
-                f"{name}: cross-join small side {worst} rows exceeds the "
-                f"declared bound {bound} — the boundedness claim is false"
+
+        if name in ALLOW_CROSS:
+            bound = ALLOW_CROSS[name]
+            sides = _small_side_rows(plan)
+            if not sides:
+                # The allowlisted cross join optimized away at this SF —
+                # fine for the shape audit, nothing to measure.
+                print(f"  bound {'n/a':10s} {name}: no cross/NL join in executed plan")
+            else:
+                worst = max(r for _, r in sides)
+                status = "ok" if worst <= bound else "OVER BOUND"
+                print(
+                    f"  bound {status:10s} {name}: worst small side {worst} <= {bound}"
+                    f" ({len(sides)} cross/NL joins)"
+                )
+                if worst > bound:
+                    failures.append(
+                        f"{name}: cross-join small side {worst} rows exceeds the "
+                        f"declared bound {bound} — the boundedness claim is false"
+                    )
+
+        if name in ALLOW_GLOBAL_WINDOW or name in ALLOW_GLOBAL_WINDOW_CORPUS:
+            inputs = _global_window_inputs(plan)
+            if not inputs:
+                print(f"  gwin  {'n/a':10s} {name}: no unpartitioned window executed")
+                continue
+            worst = max(inputs)
+            if name in ALLOW_GLOBAL_WINDOW:
+                bound = ALLOW_GLOBAL_WINDOW[name]
+                desc = f"<= {bound} (SF-independent)"
+            else:
+                table, ratio, alt = ALLOW_GLOBAL_WINDOW_CORPUS[name]
+                bound = int(ratio * _table_rows(table))
+                desc = f"<= {ratio} x |{table}| = {bound} (scalable form: {alt})"
+            status = "ok" if worst <= bound else "OVER BOUND"
+            print(
+                f"  gwin  {status:10s} {name}: worst window input {worst} {desc}"
+                f" ({len(inputs)} global windows)"
             )
+            if worst > bound:
+                failures.append(
+                    f"{name}: unpartitioned-window input {worst} rows exceeds "
+                    f"the declared bound {desc} — the boundedness claim is false"
+                )
     return failures
 
 
@@ -190,12 +324,18 @@ def main() -> int:
             flags.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_CROSS:
             flags.append("BroadcastNestedLoopJoin")
+        if (
+            name not in ALLOW_GLOBAL_WINDOW
+            and name not in ALLOW_GLOBAL_WINDOW_CORPUS
+            and _has_global_window(df._jdf.queryExecution().sparkPlan())
+        ):
+            flags.append("UnpartitionedWindow")
         status = "⚠ " + ",".join(flags) if flags else "ok"
         print(f"  {status:28s} {name}")
         if flags:
             failures.append(f"{name}: {flags}")
 
-    print("\n== ALLOW_CROSS declared-bound verification ==")
+    print("\n== allowlist declared-bound verification (cross joins + global windows) ==")
     failures.extend(check_bounds(spark, entrymod, sf_dir))
 
     if failures:
