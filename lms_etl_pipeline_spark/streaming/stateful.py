@@ -40,10 +40,15 @@ def _make_first_seen_fn(state_ttl_ms: int | None):
         out_rows = []
         # Arrow may deliver one micro-batch as several chunks in arbitrary
         # order; concatenate and sort ONCE so "first" means first by ts
-        # across the whole micro-batch, not per-chunk.
+        # across the whole micro-batch, not per-chunk.  Stable mergesort:
+        # with duplicate min-ts rows the choice among them is arbitrary,
+        # but this operator's OUTPUT is invariant to that choice (it emits
+        # only (key, ts, 0), identical for every tied row).
         batch = [pdf for pdf in pdfs if not pdf.empty]
         if batch:
-            pdf = pd.concat(batch, ignore_index=True).sort_values("ts")
+            pdf = pd.concat(batch, ignore_index=True).sort_values(
+                "ts", kind="stable"
+            )
             if not seen:
                 first = pdf.iloc[0]
                 out_rows.append((key[0], first["ts"], 0))
@@ -284,10 +289,15 @@ def _make_ewma_fn(alpha: float):
         # Concatenate the micro-batch's Arrow chunks and sort ONCE: the
         # recurrence folds across the whole micro-batch in ts order, so a
         # key whose rows span multiple chunks still folds correctly even
-        # when the chunks arrive out of order.
+        # when the chunks arrive out of order.  (ts, x) with a stable
+        # mergesort: duplicate timestamps with different values would
+        # otherwise fold in chunk-arrival order, making the emitted
+        # intermediate EWMAs nondeterministic run-to-run.
         batch = [pdf for pdf in pdfs if not pdf.empty]
         if batch:
-            pdf = pd.concat(batch, ignore_index=True).sort_values("ts")
+            pdf = pd.concat(batch, ignore_index=True).sort_values(
+                ["ts", "x"], kind="stable"
+            )
             xs = pdf["x"].astype(float)
             if has_prev:
                 # Seed the vectorized recurrence with the carried state:
@@ -372,10 +382,17 @@ def _make_quota_fn(limit: int):
         used, rejected = state.get if state.exists else (0, 0)
         # Concatenate the micro-batch's chunks and sort ONCE so admission
         # order is per-key ts order across the whole micro-batch (chunk
-        # boundaries within a batch carry no ordering guarantee).
+        # boundaries within a batch carry no ordering guarantee).  Stable
+        # mergesort: with duplicate timestamps at the admission boundary
+        # the choice of WHICH tied row is admitted is arbitrary, but the
+        # output multiset is invariant to it (tied rows carry identical
+        # (key, ts) and differ only in the admitted flag's assignment
+        # among interchangeable rows).
         batch = [pdf for pdf in pdfs if not pdf.empty]
         if batch:
-            pdf = pd.concat(batch, ignore_index=True).sort_values("ts")
+            pdf = pd.concat(batch, ignore_index=True).sort_values(
+                "ts", kind="stable"
+            )
             n = len(pdf)
             # Admits form a prefix of the sorted batch: exactly the first
             # max(0, limit - used) rows are admitted, the rest rejected.

@@ -46,13 +46,29 @@ def hugeint_columns(rel) -> list[str]:
     ]
 
 
+# Refuse to materialize comparator inputs past this many rows.  Guards the
+# harness against result sets that are quadratic in data properties (e.g.
+# simhash_exact_pairs' lossless blocking on a duplicate-dense adversarial
+# corpus): the gate then FAILS with a named bound instead of OOMing the
+# collect.  The probe is a LIMIT bound+1, so the common case costs nothing
+# extra — when under the bound, the probe IS the full result.
+MAX_COMPARE_ROWS = int(os.environ.get("ORACLE_MAX_COMPARE_ROWS", "2000000"))
+
+
 def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
     problems: list[str] = []
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     if s_cols != d_cols:
         return [f"schema mismatch: spark={s_cols} duck={d_cols}"]
-    s_rows = spark_df.collect()
+    s_rows = spark_df.limit(MAX_COMPARE_ROWS + 1).collect()
+    if len(s_rows) > MAX_COMPARE_ROWS or len(duck_rows) > MAX_COMPARE_ROWS:
+        return [
+            f"result exceeds the {MAX_COMPARE_ROWS}-row comparator bound "
+            f"(spark>{len(s_rows) - 1 if len(s_rows) > MAX_COMPARE_ROWS else len(s_rows)}, "
+            f"duck>{len(duck_rows) - 1 if len(duck_rows) > MAX_COMPARE_ROWS else len(duck_rows)}) "
+            "— candidate blow-up? raise ORACLE_MAX_COMPARE_ROWS to override"
+        ]
     if len(s_rows) != len(duck_rows):
         problems.append(f"rowcount mismatch: spark={len(s_rows)} duck={len(duck_rows)}")
     s_idx = {c: i for i, c in enumerate(spark_df.columns)}
@@ -116,7 +132,7 @@ def main() -> int:
                 f"(CAST the aggregate to BIGINT)"
                 for c in hugeint_columns(rel)
             ]
-            duck_rows = rel.fetchall()
+            duck_rows = rel.limit(MAX_COMPARE_ROWS + 1).fetchall()
             if not problems:
                 problems = compare(name, sdf, duck_rows, duck_cols)
         except Exception as exc:  # noqa: BLE001
