@@ -102,14 +102,76 @@ def global_ntile(
     ranked = attach_global_rank(
         df, order_cols, coarse_bucket, rank_col="_gr", total_col="_n"
     )
-    base = F.floor(F.col("_n") / n_buckets)  # small-bucket size (0 if n < k)
-    rem = F.col("_n") % n_buckets
+    return ranked.withColumn(
+        bucket_col, ntile_of(F.col("_gr"), F.col("_n"), n_buckets)
+    ).drop("_gr", "_n")
+
+
+def ntile_of(rank: Column, total: Column, n_buckets: int) -> Column:
+    """SQL-standard NTILE arithmetic from a 1-based rank and total count:
+    the first ``total % k`` buckets hold ``total div k + 1`` rows, the
+    rest ``total div k``."""
+    base = F.floor(total / n_buckets)  # small-bucket size (0 if n < k)
+    rem = total % n_buckets
     big = base + 1  # size of each of the first `rem` buckets
     cut = big * rem  # ranks 1..cut live in the big buckets
-    bucket = F.when(
-        F.col("_gr") <= cut, F.floor((F.col("_gr") - 1) / big) + 1
-    ).otherwise(rem + F.floor((F.col("_gr") - cut - 1) / base) + 1)
-    return ranked.withColumn(bucket_col, bucket.cast("long")).drop("_gr", "_n")
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / big) + 1)
+        .otherwise(rem + F.floor((rank - cut - 1) / base) + 1)
+        .cast("long")
+    )
+
+
+_RUN_AGGS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
+def global_running_agg(
+    df: DataFrame,
+    value_col: Column | str,
+    order_cols: list[Column | str],
+    coarse_bucket: Column,
+    out_col: str = "running",
+    agg: str = "sum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact ``AGG(value) OVER (ORDER BY order_cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND {CURRENT ROW | 1 PRECEDING})`` for a decomposable AGG
+    (sum/max/min), without the single-partition window: a partitioned
+    within-bucket running aggregate plus the broadcast exclusive prefix
+    of per-bucket totals, combined per AGG's own merge (sum adds, max/min
+    take the extremum).  An empty frame (first row, exclusive) yields
+    NULL, matching SQL window semantics.
+    """
+    fagg = _RUN_AGGS[agg]
+    end = 0 if inclusive else -1
+    tagged = df.withColumn(_GB, coarse_bucket)
+    w_in = (
+        Window.partitionBy(_GB)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    tagged = tagged.withColumn("_rs", fagg(value_col).over(w_in))
+
+    per_bucket = tagged.groupBy(_GB).agg(fagg(value_col).alias("_bagg"))
+    w_pfx = Window.orderBy(_GB).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        _GB, fagg("_bagg").over(w_pfx).alias("_before")
+    )
+    if agg == "sum":
+        combined = F.when(
+            F.col("_rs").isNull() & F.col("_before").isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(F.col("_rs"), F.lit(0)) + F.coalesce(F.col("_before"), F.lit(0))
+        )
+    elif agg == "max":
+        combined = F.greatest(F.col("_rs"), F.col("_before"))
+    else:
+        combined = F.least(F.col("_rs"), F.col("_before"))
+    return (
+        tagged.join(F.broadcast(offsets), _GB)
+        .withColumn(out_col, combined)
+        .drop(_GB, "_rs", "_before")
+    )
 
 
 def global_running_sum(
@@ -120,25 +182,53 @@ def global_running_sum(
     out_col: str = "running_sum",
 ) -> DataFrame:
     """Exact ``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
-    PRECEDING)`` without the single-partition window: a partitioned
-    within-bucket running sum plus the broadcast exclusive prefix of
-    per-bucket sums.
-    """
-    tagged = df.withColumn(_GB, coarse_bucket)
-    w_in = (
-        Window.partitionBy(_GB)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    PRECEDING)`` — see :func:`global_running_agg`."""
+    return global_running_agg(
+        df, value_col, order_cols, coarse_bucket, out_col, agg="sum"
     )
-    tagged = tagged.withColumn("_rs", F.sum(value_col).over(w_in))
 
-    per_bucket = tagged.groupBy(_GB).agg(F.sum(value_col).alias("_bsum"))
-    w_pfx = Window.orderBy(_GB).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        _GB, F.coalesce(F.sum("_bsum").over(w_pfx), F.lit(0)).alias("_before")
+
+def with_uniform_key_buckets(
+    df: DataFrame,
+    key: Column | str,
+    n_buckets: int = 64,
+    bucket_col: str = "_gbk",
+) -> DataFrame:
+    """Attach a DATA-DEPENDENT monotone coarse bucket for keys with no
+    statically-known domain: broadcast the key's exact (min, max) — a
+    1-row deterministic aggregate, the catalog's standard ALLOW_CROSS
+    scalar-broadcast shape — and assign ``width_bucket(key, lo, hi,
+    n_buckets)``.
+
+    Monotone non-decreasing in ``key`` by arithmetic, so the result
+    column is a valid ``coarse_bucket`` for every operator in this
+    module.  DETERMINISM MATTERS here: the tagged frame is consumed by
+    two plan branches (the partitioned window and the offset aggregate),
+    and min/max are order-insensitive aggregates, so both branches agree
+    on every row's bucket even if the subtree is recomputed — the
+    property that rules out sampled alternatives (repartitionByRange
+    bounds, approx_percentile sketches, both merge-order-sensitive).
+
+    Uniform-width buckets trade skew for determinism: a pathological
+    value distribution concentrates rows in few buckets, degrading
+    PARALLELISM but never correctness — and never below the
+    single-partition floor this helper exists to replace.  NULL keys
+    land in bucket -1 (sorted first, matching NULLS FIRST ascending
+    order).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    stats = df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    tagged = df.crossJoin(F.broadcast(stats))
+    bucket = (
+        F.when(key.isNull(), F.lit(-1))
+        .when(F.col("_lo") == F.col("_hi"), F.lit(0))
+        .otherwise(
+            F.width_bucket(
+                key,
+                F.col("_lo"),
+                F.col("_hi"),
+                F.lit(n_buckets),
+            )
+        )
     )
-    return (
-        tagged.join(F.broadcast(offsets), _GB)
-        .withColumn(out_col, F.col("_before") + F.col("_rs"))
-        .drop(_GB, "_rs", "_before")
-    )
+    return tagged.withColumn(bucket_col, bucket.cast("long")).drop("_lo", "_hi")

@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lms_etl_pipeline_spark.operators.rank import (
+    global_ntile,
+    global_running_agg,
+    with_uniform_key_buckets,
+)
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
 
@@ -541,20 +546,27 @@ def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join.  Determinism: raw-value comparisons only, no arithmetic.
 
     Scale: the window runs over the DISTINCT-PRICE summary, not the order
-    table; at 100 TB the summary is still value-domain-sized, and the
-    running max parallelizes with the documented two-stage prefix pattern
-    (per-range partials + offset join).
+    table — but that summary still grows with the value domain, so the
+    running max uses the two-stage prefix pattern FOR REAL
+    (operators/rank.py ``global_running_agg`` with max over
+    ``with_uniform_key_buckets(o_totalprice)``): partitioned within-bucket
+    prefix maxima + a <=66-row broadcast bucket-prefix table, no
+    single-partition stage.
     """
     o = load_table(spark, sf_dir, "orders")
-    per_price = o.groupBy("o_totalprice").agg(
-        F.max("o_orderdate").alias("dmax")
+    per_price = with_uniform_key_buckets(
+        o.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("dmax")),
+        "o_totalprice",
     )
-    w = Window.orderBy("o_totalprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = per_price.select(
-        "o_totalprice", "dmax", F.max("dmax").over(w).alias("mprev")
-    )
+    ranked = global_running_agg(
+        per_price,
+        "dmax",
+        [F.col("o_totalprice").asc()],
+        F.col("_gbk"),
+        out_col="mprev",
+        agg="max",
+        inclusive=False,
+    ).select("o_totalprice", "dmax", "mprev")
     dominated = F.coalesce(
         F.col("mprev") >= F.col("o_orderdate"), F.lit(False)
     ) | (F.col("dmax") > F.col("o_orderdate"))
@@ -1214,19 +1226,27 @@ def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: NTILE over a deterministic total order; counts exact;
     the two ratios are rounded divisions of identical integers.
 
-    Scale: the decile cut is a global NTILE over the scored relation —
-    profile-sized here; at 100 TB swap in approx-quantile score
-    thresholds exactly like `equidepth_histogram`; everything after is a
-    10-key aggregate plus a 10-row window.
+    Scale: the decile cut is a global NTILE over the scored relation, so
+    it runs through operators/rank.py's ``global_ntile`` with a
+    NEGATED-score uniform bucket (the order is score DESC, so the
+    monotone coarse key is ``width_bucket(-score, ...)``): one hash
+    shuffle, no single-partition stage; everything after is a 10-key
+    aggregate plus a 10-row window.
     """
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         F.col("n_chars").cast("double").alias("score"),
         F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        (-F.col("n_chars").cast("double")).alias("_negscore"),
     )
-    nt = Window.orderBy(F.col("score").desc(), "doc_id")
-    deciled = scored.select("y", F.ntile(10).over(nt).alias("decile"))
+    deciled = global_ntile(
+        with_uniform_key_buckets(scored, "_negscore"),
+        10,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        F.col("_gbk"),
+        bucket_col="decile",
+    ).select("y", "decile")
     agg = deciled.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),

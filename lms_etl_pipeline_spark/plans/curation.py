@@ -638,16 +638,27 @@ def quality_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("bigint").alias("np"),
         F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("bigint").alias("nn"),
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy(F.col("score").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Exclusive prefix of negatives over the distinct-score order, via the
+    # bucketed decomposition (operators/rank.py) — the distinct-score
+    # relation can itself grow with the corpus, so no single-partition
+    # window even here.
+    from lms_etl_pipeline_spark.operators.rank import (
+        global_running_agg,
+        with_uniform_key_buckets,
     )
-    c = g.select(
+
+    c = global_running_agg(
+        with_uniform_key_buckets(g, "score"),
+        "nn",
+        [F.col("score").asc()],
+        F.col("_gbk"),
+        out_col="_below",
+        agg="sum",
+        inclusive=False,
+    ).select(
         "np",
         "nn",
-        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("bigint").alias("nn_below"),
+        F.coalesce(F.col("_below"), F.lit(0)).cast("bigint").alias("nn_below"),
     )
     return c.agg(
         F.sum("np").alias("n_pos"),

@@ -68,6 +68,13 @@ from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _G3, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS, EMB_DIM
 from lms_etl_pipeline_spark.operators import text as tx
+from lms_etl_pipeline_spark.operators.rank import (
+    attach_global_rank,
+    global_ntile,
+    global_running_agg,
+    global_running_sum,
+    with_uniform_key_buckets,
+)
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 #: DuckDB twin of tx.fingerprint (md5 of the sorted distinct-token set).
@@ -674,16 +681,28 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries EXACT (no interpolated edges, no knife-edge float
     comparisons), so the whole profile is bit-checkable.
 
-    Scale: the NTILE needs a total order — fine for profile-sized relations
-    and for per-partition profiles; at 100 TB you'd swap the exact NTILE
-    for approx_percentile edges (the ≈ ``agg_approx_percentiles`` path) or
-    run it per partition-key.  The aggregate itself is map-side combining
-    on {10} keys; min/max/sum are raw-value passthroughs + exact decimal.
+    Scale: the NTILE spans ALL of orders, so a naive global window would
+    single-partition the fact table.  Instead the exact bin comes from
+    operators/rank.py's ``global_ntile`` over a data-dependent monotone
+    coarse key — ``width_bucket(o_totalprice, min, max, 64)`` from a
+    1-row broadcast of the exact (min, max) (``with_uniform_key_buckets``;
+    deterministic, so every plan branch agrees on the assignment): one
+    ordinary hash shuffle + a <=66-row broadcast prefix table.  The
+    aggregate itself is map-side combining on {10} keys; min/max/sum are
+    raw-value passthroughs + exact decimal.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tagged = with_uniform_key_buckets(
+        o.select("o_totalprice", "o_orderkey"), "o_totalprice"
+    )
     return (
-        o.select("o_totalprice", F.ntile(_HIST_BINS).over(w).alias("bin"))
+        global_ntile(
+            tagged,
+            _HIST_BINS,
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            F.col("_gbk"),
+            bucket_col="bin",
+        )
         .groupBy("bin")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
@@ -804,29 +823,31 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the emitted ``revenue`` column is rounded out to double.
 
     Scale: the per-part aggregate is map-side combining on l_partkey; the
-    global rank/running-sum window runs over the |part|-sized AGGREGATE
-    (report-sized), never over lineitem.  At 100 TB the same plan holds —
-    the window input is bounded by the part catalog; were it not, the
-    two-stage prefix-sum (per-range partials + offset join) drops in.
+    global rank and running revenue total run over the |part|-sized
+    AGGREGATE through operators/rank.py (uniform buckets on the negated
+    revenue — the order is rev DESC — then partitioned rank + prefix
+    offsets), so even a part catalog that grows with the corpus never
+    single-partitions; the grand total is the standard 1-row broadcast
+    (ALLOW_CROSS).
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev_expr = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(12,2)")
     rev = li.groupBy("l_partkey").agg(F.sum(rev_expr).alias("rev"))
-    w = Window.orderBy(F.col("rev").desc(), "l_partkey")
-    ranked = rev.select(
-        "l_partkey",
+    order = [F.col("rev").desc(), F.col("l_partkey").asc()]
+    tagged = with_uniform_key_buckets(
+        rev.withColumn("_negrev", (-F.col("rev")).cast("double")), "_negrev"
+    )
+    ranked = global_running_agg(
+        attach_global_rank(tagged, order, F.col("_gbk"), rank_col="rk"),
         "rev",
-        F.row_number().over(w).alias("rk"),
-        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_rev"
-        ),
-        F.sum("rev").over(
-            Window.partitionBy().orderBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total_rev"),
+        order,
+        F.col("_gbk"),
+        out_col="cum_rev",
+        agg="sum",
+    ).crossJoin(
+        F.broadcast(rev.agg(F.sum("rev").alias("total_rev")))
     )
     return ranked.select(
         "l_partkey",
@@ -879,9 +900,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted monetary column.
 
     Scale: one map-side-combining aggregate on o_custkey, then three
-    quartile windows over the CUSTOMER-sized aggregate (report-sized, not
-    order-sized); the 1-row anchor date is a broadcast.  At larger-than-
-    report scale the quartile cut becomes approx_percentile thresholds.
+    exact quartile cuts over the CUSTOMER-sized aggregate via
+    operators/rank.py ``global_ntile`` (uniform buckets on each cut key,
+    negated for the DESC cuts) — three ordinary hash shuffles, no
+    single-partition window even as the customer base scales with the
+    corpus; the 1-row anchor date is a broadcast.
     """
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
@@ -902,17 +925,40 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_dec",
         )
     )
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.col("n_orders").desc(), "o_custkey")
-    m_w = Window.orderBy(F.col("monetary_dec").desc(), "o_custkey")
-    scored = base.select(
+    t1 = global_ntile(
+        with_uniform_key_buckets(base, "recency_days"),
+        4,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        F.col("_gbk"),
+        bucket_col="r_q",
+    ).drop("_gbk")
+    t2 = global_ntile(
+        with_uniform_key_buckets(
+            t1.withColumn("_negn", -F.col("n_orders")), "_negn"
+        ),
+        4,
+        [F.col("n_orders").desc(), F.col("o_custkey").asc()],
+        F.col("_gbk"),
+        bucket_col="f_q",
+    ).drop("_gbk", "_negn")
+    t3 = global_ntile(
+        with_uniform_key_buckets(
+            t2.withColumn("_negm", (-F.col("monetary_dec")).cast("double")),
+            "_negm",
+        ),
+        4,
+        [F.col("monetary_dec").desc(), F.col("o_custkey").asc()],
+        F.col("_gbk"),
+        bucket_col="m_q",
+    ).drop("_gbk", "_negm")
+    scored = t3.select(
         "o_custkey",
         "recency_days",
         "n_orders",
         F.col("monetary_dec").cast("double").alias("monetary"),
-        F.ntile(4).over(r_w).alias("r_q"),
-        F.ntile(4).over(f_w).alias("f_q"),
-        F.ntile(4).over(m_w).alias("m_q"),
+        "r_q",
+        "f_q",
+        "m_q",
     )
     return scored.select(
         "o_custkey",
@@ -1143,18 +1189,23 @@ def length_match_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rk·B ≤ ns+B-1`` is exact-integer ceil(ns/B) — no float rates, no
     seeded sampling, retry-safe.
 
-    Scale: the decile assignment is a global NTILE over (length, id) —
-    profile-sized here; at 100 TB swap in approx_percentile bin edges
-    (the documented ``equidepth_histogram`` scale path).  Everything else
-    is one aggregate + one window partitioned by (source, decile) — the
-    selection key itself, so skew self-heals at the rank filter exactly
-    like ``domain_cap_filter``.
+    Scale: the decile assignment is a corpus-wide exact NTILE via
+    operators/rank.py ``global_ntile`` (uniform n_chars buckets —
+    one hash shuffle, no single-partition stage even over the full
+    corpus).  Everything else is one aggregate + one window partitioned
+    by (source, decile) — the selection key itself, so skew self-heals
+    at the rank filter exactly like ``domain_cap_filter``.
     """
     d = load_table(spark, sf_dir, "documents")
-    nt = Window.orderBy("n_chars", "doc_id")
-    binned = d.select(
-        "doc_id", "source", F.ntile(_MATCH_BINS).over(nt).alias("decile")
-    )
+    binned = global_ntile(
+        with_uniform_key_buckets(
+            d.select("doc_id", "source", "n_chars"), "n_chars"
+        ),
+        _MATCH_BINS,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        F.col("_gbk"),
+        bucket_col="decile",
+    ).select("doc_id", "source", "decile")
     src_n = binned.groupBy("source").agg(F.count("*").alias("ns"))
     w = Window.partitionBy("source", "decile").orderBy(
         _bucket(F.col("doc_id")), "doc_id"
@@ -1903,9 +1954,10 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     total tie-break, and the final G is one rounded double expression.
 
     Scale: the sort/rank runs over the SUPPLIER-sized aggregate, not
-    lineitem; at catalog scale the rank is a global window — swap in the
-    two-stage prefix-rank (per-range counts + offset) like the other
-    report-window plans.  Output is one row.
+    lineitem — and uses the two-stage prefix-rank FOR REAL
+    (operators/rank.py ``attach_global_rank`` over uniform revenue
+    buckets), so a supplier catalog that grows with the corpus never
+    single-partitions.  Output is one row.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
@@ -1914,8 +1966,14 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
         ).alias("r")
     )
-    w = Window.orderBy("r", "l_suppkey")
-    ranked = rev.select("r", F.row_number().over(w).alias("i"))
+    ranked = attach_global_rank(
+        with_uniform_key_buckets(
+            rev.withColumn("_rd", F.col("r").cast("double")), "_rd"
+        ),
+        [F.col("r").asc(), F.col("l_suppkey").asc()],
+        F.col("_gbk"),
+        rank_col="i",
+    ).select("r", "i")
     s = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("r").cast("double").alias("total"),

@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lms_etl_pipeline_spark.operators.rank import (
+    global_running_agg,
+    with_uniform_key_buckets,
+)
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
 
@@ -806,8 +810,12 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal approximation z are raw closed-form doubles of exact integers
     (A/A split here, so z ≈ 0 — pinned).
 
-    Scale: one user aggregate, one global sort-rank over users (the same
-    shape as `quality_ranker_auc`'s rank layout), a 1-row reduction.
+    Scale: one user aggregate, then the rank layout collapses to DISTINCT
+    spend values (tie-averaged rank is a pure function of the exclusive
+    running count of smaller values and the tie size), and that prefix
+    runs through operators/rank.py's ``global_running_agg`` over uniform
+    spend buckets — no single-partition window even as the user base
+    scales; closing is a 1-row reduction.
     """
     e = load_table(spark, sf_dir, "events")
     arm = (
@@ -831,27 +839,37 @@ def mann_whitney_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("spend") * 1_000_000).cast("decimal(38,0)").alias("s_fp"),
         )
     )
-    wr = Window.orderBy(F.col("s_fp").asc())
-    wt = Window.partitionBy("s_fp")
-    ranked = assign.select(
-        "arm",
+    # Collapse to distinct spend values: tie-averaged doubled rank
+    # r*2 = 2*(rows strictly below) + (tie size) + 1, an exact integer —
+    # so the only ordered pass is an exclusive running count over
+    # DISTINCT values, done with the bucketed prefix decomposition.
+    per_va = assign.groupBy("s_fp", "arm").agg(F.count("*").alias("nva"))
+    vals = per_va.groupBy("s_fp").agg(F.sum("nva").alias("cnt"))
+    ranked_vals = global_running_agg(
+        with_uniform_key_buckets(
+            vals.withColumn("_sd", F.col("s_fp").cast("double")), "_sd"
+        ),
+        "cnt",
+        [F.col("s_fp").asc()],
+        F.col("_gbk"),
+        out_col="_below",
+        agg="sum",
+        inclusive=False,
+    ).select(
+        "s_fp",
         (
-            F.rank().over(wr).cast("double")
-            + (F.count("*").over(wt).cast("double") - F.lit(1)) / 2
-        ).alias("r"),
+            F.coalesce(F.col("_below"), F.lit(0)) * 2 + F.col("cnt") + 1
+        ).alias("r2"),
     )
-    agg = ranked.agg(
-        F.sum(
-            F.when(F.col("arm") == 1, (F.col("r") * 2).cast("bigint")).otherwise(
-                F.lit(0)
-            )
-        )
+    joined = per_va.join(ranked_vals, "s_fp")
+    agg = joined.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("r2") * F.col("nva")).otherwise(0))
         .cast("bigint")
         .alias("r1_x2"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("arm") == 1, F.col("nva")).otherwise(0))
         .cast("bigint")
         .alias("n1"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        F.sum(F.when(F.col("arm") == 0, F.col("nva")).otherwise(0))
         .cast("bigint")
         .alias("n0"),
     )

@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lms_etl_pipeline_spark.operators.rank import (
+    global_running_agg,
+    with_uniform_key_buckets,
+)
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
 
@@ -396,18 +400,23 @@ def watermark_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the running max is a window over a total order; lateness
     per (event, delay) is an exact timestamp comparison; counts exact.
 
-    Scale: ONE running-max window over the arrival order (the same sort a
-    streaming replay would do), then a {4}-way delay explode of a 3-column
-    projection and a map-side-combining count per delay — the event table
+    Scale: ONE running max over the arrival order — computed via
+    operators/rank.py's ``global_running_agg`` (max, exclusive) over
+    uniform event_id buckets, so the corpus-sized prefix never
+    single-partitions — then a {4}-way delay explode of a 3-column
+    projection and a map-side-combining count per delay; the event table
     is never joined to itself.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    seq = e.select(
-        "event_id", "ts", F.max("ts").over(w).alias("max_seen")
-    )
+    seq = global_running_agg(
+        with_uniform_key_buckets(e.select("event_id", "ts"), "event_id"),
+        "ts",
+        [F.col("event_id").asc()],
+        F.col("_gbk"),
+        out_col="max_seen",
+        agg="max",
+        inclusive=False,
+    ).select("event_id", "ts", "max_seen")
     tot = e.agg(F.count("*").cast("bigint").alias("total"))
     delays = F.explode(
         F.array(*[F.lit(m) for m in _WM_DELAYS_MIN])

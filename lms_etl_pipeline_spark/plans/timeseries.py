@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lms_etl_pipeline_spark.operators.rank import (
+    global_running_agg,
+    with_uniform_key_buckets,
+)
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
 
@@ -649,10 +653,13 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     The end mark sits 1 µs after s_end so a session's final event
     instant is still covered.
 
-    Scale: the sweep's global window runs over SESSION boundaries (two
-    rows per session, far below event count); for fleet scale the same
-    sweep shards by coarse time range with per-shard offsets carried
-    forward — the standard distributed prefix-sum layout.
+    Scale: the sweep's global prefix sum runs over SESSION boundaries
+    (two rows per session, far below event count) and is computed with
+    the standard distributed prefix-sum layout FOR REAL — peers on the
+    (t, delta) order key are pre-aggregated (so the original RANGE-frame
+    peer semantics survive a ROWS-frame decomposition), then
+    operators/rank.py's ``global_running_agg`` over uniform time buckets
+    carries per-bucket offsets forward: no single-partition stage.
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -682,12 +689,21 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
-    sweep = pts.select(
-        F.col("t").cast("date").alias("day"),
-        F.sum("delta")
-        .over(Window.orderBy(F.col("t").asc(), F.col("delta").desc()))
-        .alias("live"),
-    )
+    # Pre-aggregate peers: the original window's default RANGE frame gives
+    # every (t, delta) peer the all-peers total, which is exactly the
+    # per-distinct-key running sum — and with unique keys ROWS == RANGE,
+    # so the bucketed ROWS-frame decomposition is semantics-preserving.
+    grouped = pts.groupBy("t", "delta").agg(F.sum("delta").alias("d"))
+    sweep = global_running_agg(
+        with_uniform_key_buckets(
+            grouped.withColumn("_tu", F.unix_micros("t")), "_tu"
+        ),
+        "d",
+        [F.col("t").asc(), F.col("delta").desc()],
+        F.col("_gbk"),
+        out_col="live",
+        agg="sum",
+    ).select(F.col("t").cast("date").alias("day"), "live")
     return sweep.groupBy("day").agg(
         F.max("live").cast("bigint").alias("peak_concurrent_sessions")
     )

@@ -141,10 +141,42 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rangeBetween frame: peers whose balance is within ±100 — a
-    value-based (not row-based) frame."""
-    w = Window.orderBy(F.col("c_acctbal")).rangeBetween(-100, 100)
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", F.count("*").over(w).alias("peers_within_100")
+    value-based (not row-based) frame, computed WITHOUT the
+    single-partition RANGE window via the covering-bin equi-join (the
+    ``range_join_binned`` technique): collapse to per-value counts,
+    bucket values into width-100 bins, probe each value's own bin plus
+    both neighbors (lossless cover of a ±100 band), apply the exact band
+    check as a residual, and sum matching counts.  The plan is a plain
+    hash join on a uniform integer key with fan-out bounded by 3x the
+    per-bin value count — scalable where ``Window.rangeBetween`` over a
+    corpus-wide order is a one-task stage."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    vals = c.groupBy("c_acctbal").agg(F.count("*").alias("_cnt"))
+    binned = vals.select(
+        F.col("c_acctbal").alias("_v"),
+        "_cnt",
+        F.floor(F.col("c_acctbal") / 100).alias("_bin"),
+    )
+    probes = vals.select(
+        F.col("c_acctbal").alias("_x"),
+        F.explode(
+            F.array(
+                F.floor(F.col("c_acctbal") / 100) - 1,
+                F.floor(F.col("c_acctbal") / 100),
+                F.floor(F.col("c_acctbal") / 100) + 1,
+            )
+        ).alias("_bin"),
+    )
+    peers = (
+        probes.join(binned, "_bin")
+        .filter(
+            (F.col("_v") >= F.col("_x") - 100) & (F.col("_v") <= F.col("_x") + 100)
+        )
+        .groupBy("_x")
+        .agg(F.sum("_cnt").alias("peers_within_100"))
+    )
+    return c.join(peers, c.c_acctbal == peers._x).select(
+        "c_custkey", "c_acctbal", "peers_within_100"
     )
 
 
@@ -158,16 +190,32 @@ def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + cume_dist distribution functions over a total order.
-
-    Note: a single unpartitioned window is a one-task sort — fine for a
-    demo query; at 100 TB you'd partition (or pre-bucket by range) first.
+    """ntile + cume_dist distribution functions over a total order —
+    computed scalably: one exact global rank from operators/rank.py
+    (uniform acctbal buckets, partitioned row_number + broadcast prefix
+    offsets) yields BOTH functions arithmetically.  On a UNIQUE order key
+    every row is its own peer group, so ``cume_dist = rank / n`` exactly
+    and ``ntile`` is the standard remainder arithmetic — no
+    single-partition window anywhere.
     """
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return load_table(spark, sf_dir, "customer").select(
+    from lms_etl_pipeline_spark.operators.rank import (
+        attach_global_rank,
+        ntile_of,
+        with_uniform_key_buckets,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = attach_global_rank(
+        with_uniform_key_buckets(c, "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        F.col("_gbk"),
+        rank_col="_gr",
+        total_col="_n",
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.cume_dist().over(w).alias("bal_cume"),
+        ntile_of(F.col("_gr"), F.col("_n"), 4).alias("bal_quartile"),
+        (F.col("_gr").cast("double") / F.col("_n")).alias("bal_cume"),
     )
 
 

@@ -154,3 +154,50 @@ def test_sharded_budget_matches_global_per_lang(spark):
         )
         assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
     sharded.unpersist()
+
+
+def test_uniform_key_buckets_rank_matches_window(spark):
+    """Data-dependent (min,max) width_bucket coarse key: exact global
+    rank for an arbitrary unbounded key domain, incl. negatives and
+    NULLs (bucket -1, NULLS FIRST ascending like Spark's sort)."""
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    rows = [(i, None if i % 97 == 0 else ((i * 48271) % 2003) - 1000) for i in range(800)]
+    d = spark.createDataFrame(rows, "id long, key long")
+    tagged = with_uniform_key_buckets(d, "key", n_buckets=64)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = attach_global_rank(tagged, order, F.col("_gbk"), rank_col="r").select(
+        "id", "r"
+    )
+    want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_uniform_key_buckets_constant_key(spark):
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    d = spark.range(50).select("id", F.lit(7).alias("key"))
+    tagged = with_uniform_key_buckets(d, "key", n_buckets=8)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = attach_global_rank(tagged, order, F.col("_gbk"), rank_col="r").select(
+        "id", "r"
+    )
+    want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+@pytest.mark.parametrize("agg,inclusive", [
+    ("sum", True), ("sum", False), ("max", True), ("max", False),
+    ("min", True), ("min", False),
+])
+def test_global_running_agg_matches_window(df, agg, inclusive):
+    from lms_etl_pipeline_spark.operators.rank import global_running_agg
+
+    got = global_running_agg(
+        df, "val", ORDER(), COARSE(), out_col="o", agg=agg, inclusive=inclusive
+    ).select("id", "o")
+    end = 0 if inclusive else -1
+    w = Window.orderBy(*ORDER()).rowsBetween(Window.unboundedPreceding, end)
+    fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
+    want = df.select("id", fn("val").over(w).alias("o"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0

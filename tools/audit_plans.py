@@ -83,6 +83,17 @@ ALLOW_CROSS: dict[str, int] = {
     "diff_in_differences": 8,    # 1-row midpoint broadcast + 4x 1-row cell combine
     "stump_split_gain": 4,       # 1-row class-totals broadcast onto the value-domain CDF
     "weekday_hour_heatmap": 4,   # 1-row traffic-total broadcast onto <=168 cells
+    # operators/rank.py with_uniform_key_buckets: 1-row (min, max) bucket-
+    # stats broadcast per bucketed global-order rewrite
+    "abc_pareto_classification": 4,   # + 1-row grand-total broadcast
+    "equidepth_histogram": 4,
+    "pareto_front_2d": 4,
+    "peak_concurrency_daily": 4,
+    "window_ntile_percentile": 4,
+    "gini_concentration": 4,
+    "mann_whitney_arms": 4,
+    "length_match_resample": 4,
+    "quality_ranker_auc": 4,
 }
 
 # --- Global (unpartitioned) windows: the OTHER classic scale killer. ---
@@ -108,6 +119,21 @@ ALLOW_GLOBAL_WINDOW: dict[str, int] = {
     "ks_test_drift": 1024,            # CDF over rounded-value domain
     "wasserstein_drift_1d": 1024,     # CDF over rounded-value domain
     "stump_split_gain": 256,          # candidate splits: value domain
+    "key_skew_profile": 64,           # row_number over a LIMIT-20 top slice
+    # rank.py bucketed rewrites: the only unpartitioned window left is the
+    # per-bucket prefix table (<= 64 buckets + null/overflow rows)
+    "equidepth_histogram": 128,
+    "abc_pareto_classification": 128,
+    "pareto_front_2d": 128,
+    "peak_concurrency_daily": 128,
+    "rfm_segmentation": 128,
+    "watermark_loss_curve": 128,
+    "window_ntile_percentile": 128,
+    "gini_concentration": 128,
+    "mann_whitney_arms": 128,
+    "length_match_resample": 128,
+    "model_gains_table": 128,
+    "quality_ranker_auc": 128,
     "survival_kaplan_meier": 2048,    # distinct durations: day-span domain
     "tokenize_to_vocab_ids": 512,     # vocabulary-bounded rank window
     "topn_plus_other_rollup": 128,    # top-N + residual rows per group
@@ -120,31 +146,20 @@ ALLOW_GLOBAL_WINDOW: dict[str, int] = {
     "zorder_layout_stats": 4096,
 }
 
-# CORPUS-PROPORTIONAL window inputs: the window is the algorithm (exact
-# equi-depth quantiles, Lorenz curves, percentile ranks, ROC sweeps over
-# raw scores) and its input grows with a named table.  These are honest
-# oracle-checkable anchors of data-dependent-bucketed production forms
-# (the operators/rank.py pattern needs a known key domain for a CONSTANT
-# bucket count; these keys are data-dependent, so the production rewrite
-# buckets on approx quantiles of the key — documented per docstring).
-# Value = (driving parquet table, max ratio to that table's row count at
-# the audited SF, scalable-form pointer).  The ratio claim is checked.
-ALLOW_GLOBAL_WINDOW_CORPUS: dict[str, tuple[str, float, str]] = {
-    "abc_pareto_classification": ("part", 1.2, "bucket on approx rev quantiles"),
-    "equidepth_histogram": ("orders", 1.1, "approx_percentile pre-split"),
-    "key_skew_profile": ("orders", 1.1, "bucket on approx count quantiles"),
-    "pareto_front_2d": ("orders", 1.1, "bucket on price quantiles"),
-    "peak_concurrency_daily": ("events", 2.2, "per-day partitionBy (sweep is day-local)"),
-    "rfm_segmentation": ("customer", 1.1, "bucket on approx R/F/M quantiles"),
-    "watermark_loss_curve": ("events", 1.1, "per-hour partitionBy twin"),
-    "window_ntile_percentile": ("customer", 1.1, "rank.py w/ acctbal-domain buckets"),
-    "window_range_between": ("customer", 1.1, "range-bin equi-join (range_join_binned)"),
-    "gini_concentration": ("supplier", 1.1, "bucket on approx rev quantiles"),
-    "mann_whitney_arms": ("events", 0.5, "rank over distinct-user fingerprints"),
-    "length_match_resample": ("documents", 1.1, "bucket on n_chars quantiles"),
-    "model_gains_table": ("documents", 1.1, "bucket on score quantiles"),
-    "quality_ranker_auc": ("documents", 1.1, "ROC over quantized score domain"),
-}
+# CORPUS-PROPORTIONAL window inputs: a global window whose input grows
+# with a named table.  EMPTY since round 7: every former entry (14
+# queries — equi-depth quantiles, Lorenz/Pareto curves, percentile
+# ranks, ROC sweeps, sweep-line concurrency, RFM quartiles, rank-sum
+# tests) was rewritten onto operators/rank.py's bucketed prefix
+# decomposition (statically-known key domains use pure bit/floor
+# buckets; unknown domains use with_uniform_key_buckets' deterministic
+# 1-row (min, max) width_bucket broadcast), leaving only the <=66-row
+# per-bucket prefix window — SF-independent, in ALLOW_GLOBAL_WINDOW
+# above.  Kept as a mechanism so a future genuinely-corpus-bounded
+# anchor can declare (driving table, max ratio, scalable form) and be
+# ratio-checked against the table's row count at the audited SF.
+ALLOW_GLOBAL_WINDOW_CORPUS: dict[str, tuple[str, float, str]] = {}
+
 
 _JOIN_NODES = ("CartesianProductExec", "BroadcastNestedLoopJoinExec")
 _WINDOW_NODES = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
@@ -205,16 +220,38 @@ def _has_global_window(node) -> bool:
     return any(_has_global_window(c) for c in _children(node))
 
 
+_LIMIT_NODES = ("GlobalLimitExec", "LocalLimitExec", "TakeOrderedAndProjectExec",
+                "CollectLimitExec")
+
+
+def _input_rows_bound(node) -> int | None:
+    """Upper bound on this subtree's output rows: its own numOutputRows
+    metric, a limit node's declared limit (metrics-less but cardinality-
+    capping — descending past it would misattribute a deeper node's
+    count, e.g. a window over LIMIT 20 reading as corpus-sized), else the
+    first bound found below (Sort/Exchange pass cardinality through)."""
+    mets = node.metrics()
+    if mets.contains("numOutputRows"):
+        return int(mets.apply("numOutputRows").value())
+    if node.getClass().getSimpleName() in _LIMIT_NODES:
+        return int(node.limit())
+    for c in _children(node):
+        v = _input_rows_bound(c)
+        if v is not None:
+            return v
+    return None
+
+
 def _global_window_inputs(node) -> list[int]:
-    """Input rows (child numOutputRows) of every unpartitioned window node
-    in the executed plan.  Metrics absent -> huge sentinel, so the caller
-    fails loudly instead of passing vacuously."""
+    """Input rows (child bound) of every unpartitioned window node in the
+    executed plan.  Metrics absent -> huge sentinel, so the caller fails
+    loudly instead of passing vacuously."""
     out: list[int] = []
     cls = node.getClass().getSimpleName()
     if cls in _WINDOW_NODES and node.partitionSpec().isEmpty():
         ins = [
             v
-            for v in (_num_output_rows(c) for c in _children(node))
+            for v in (_input_rows_bound(c) for c in _children(node))
             if v is not None
         ]
         out.append(max(ins) if ins else 1 << 62)
