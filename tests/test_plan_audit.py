@@ -21,6 +21,21 @@ from tools.audit_plans import (
 )
 
 
+def test_limit_bounds_window_input(spark):
+    """A window over a LIMIT k audits as <= k rows, not as the deeper
+    scan's count: limit nodes carry no numOutputRows metric, so without
+    the explicit limit() bound the walker would descend past them and
+    misattribute the corpus-sized child count to a k-row window."""
+    base = spark.range(1000).select("id")
+    top = base.orderBy(F.col("id").desc()).limit(20)
+    ranked = top.select(
+        "id", F.row_number().over(Window.orderBy(F.col("id").desc())).alias("r")
+    )
+    ranked.collect()
+    inputs = _global_window_inputs(ranked._jdf.queryExecution().executedPlan())
+    assert inputs and all(v <= 20 for v in inputs), inputs
+
+
 @pytest.fixture(scope="module")
 def df(spark):
     return spark.range(1000).select(
