@@ -212,23 +212,36 @@ def with_uniform_key_buckets(
     Uniform-width buckets trade skew for determinism: a pathological
     value distribution concentrates rows in few buckets, degrading
     PARALLELISM but never correctness — and never below the
-    single-partition floor this helper exists to replace.  NULL keys
-    land in bucket -1 (sorted first, matching NULLS FIRST ascending
-    order).
+    single-partition floor this helper exists to replace.
+
+    TOTAL over the double line, matching Spark's ascending sort order
+    (NULL < -Inf < finite < +Inf < NaN): NULL keys land in bucket -2,
+    -Inf in -1, +Inf in n+2, NaN in n+3, and the finite midrange in
+    ``width_bucket`` over the (min, max) of the FINITE values only —
+    naive min/max would absorb an infinity and turn every finite
+    bucket into NaN->NULL, silently breaking monotonicity.  Float data
+    carries NaN/Inf in practice (scores, norms, embedding artifacts),
+    so the helper must not corrupt global order when they appear.
     """
     key = F.col(key) if isinstance(key, str) else key
-    stats = df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    # Canonical double view: monotone for every numeric type (a >53-bit
+    # decimal may collapse ties, which only merges adjacent buckets) and
+    # gives isnan/infinity predicates a legal input type.
+    kd = key.cast("double")
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    finite = kd.isNotNull() & ~F.isnan(kd) & (kd != inf) & (kd != ninf)
+    stats = df.agg(
+        F.min(F.when(finite, kd)).alias("_lo"),
+        F.max(F.when(finite, kd)).alias("_hi"),
+    )
     tagged = df.crossJoin(F.broadcast(stats))
+    kdt = key.cast("double")  # re-derive on the tagged frame's columns
     bucket = (
-        F.when(key.isNull(), F.lit(-1))
-        .when(F.col("_lo") == F.col("_hi"), F.lit(0))
-        .otherwise(
-            F.width_bucket(
-                key,
-                F.col("_lo"),
-                F.col("_hi"),
-                F.lit(n_buckets),
-            )
-        )
+        F.when(key.isNull(), F.lit(-2))
+        .when(F.isnan(kdt), F.lit(n_buckets + 3))
+        .when(kdt == ninf, F.lit(-1))
+        .when(kdt == inf, F.lit(n_buckets + 2))
+        .when(F.col("_lo").isNull() | (F.col("_lo") == F.col("_hi")), F.lit(0))
+        .otherwise(F.width_bucket(kdt, F.col("_lo"), F.col("_hi"), F.lit(n_buckets)))
     )
     return tagged.withColumn(bucket_col, bucket.cast("long")).drop("_lo", "_hi")

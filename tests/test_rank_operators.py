@@ -201,3 +201,44 @@ def test_global_running_agg_matches_window(df, agg, inclusive):
     fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
     want = df.select("id", fn("val").over(w).alias("o"))
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_uniform_key_buckets_nonfinite_keys(spark):
+    """NaN / ±Inf / NULL keys must keep the coarse bucket monotone in
+    Spark's ascending sort order (NULL < -Inf < finite < +Inf < NaN);
+    naive (min, max) stats would absorb an infinity and NULL-bucket the
+    whole finite midrange."""
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    nan, inf = float("nan"), float("inf")
+    rows = []
+    for i in range(300):
+        r = i % 6
+        key = [None, -inf, float((i * 48271) % 997) - 500.0,
+               float(i % 37), inf, nan][r]
+        rows.append((i, key))
+    d = spark.createDataFrame(rows, "id long, key double")
+    tagged = with_uniform_key_buckets(d, "key", n_buckets=16)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = attach_global_rank(tagged, order, F.col("_gbk"), rank_col="r").select(
+        "id", "r"
+    )
+    want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_uniform_key_buckets_all_nonfinite(spark):
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    nan, inf = float("nan"), float("inf")
+    d = spark.createDataFrame(
+        [(0, nan), (1, inf), (2, -inf), (3, None), (4, nan), (5, inf)],
+        "id long, key double",
+    )
+    tagged = with_uniform_key_buckets(d, "key", n_buckets=8)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = attach_global_rank(tagged, order, F.col("_gbk"), rank_col="r").select(
+        "id", "r"
+    )
+    want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
