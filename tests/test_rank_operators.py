@@ -242,3 +242,36 @@ def test_uniform_key_buckets_all_nonfinite(spark):
     )
     want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+@pytest.mark.parametrize("agg,inclusive", [
+    ("sum", True), ("sum", False), ("max", False), ("min", True),
+])
+def test_global_running_agg_null_values(spark, agg, inclusive):
+    """NULL values in the aggregated column: SQL window aggregates skip
+    NULLs and yield NULL only over an empty-or-all-NULL frame; the
+    decomposition must match row-for-row, including a leading all-NULL
+    bucket (whose per-bucket total is NULL and must not poison the
+    prefix combine)."""
+    from lms_etl_pipeline_spark.operators.rank import global_running_agg
+
+    # val is NULL for every key below 200 — the first THREE coarse
+    # buckets (key/64) are entirely NULL by construction — plus a
+    # scattered 1-in-5 elsewhere.
+    rows = [
+        (i, (i * 2654435761) % 997,
+         None if ((i * 2654435761) % 997 < 200 or i % 5 == 0)
+         else (i * 7) % 13 - 6)
+        for i in range(301)
+    ]
+    d = spark.createDataFrame(rows, "id long, key long, val long")
+    order = [F.col("key").asc(), F.col("id").asc()]
+    coarse = (F.col("key") / 64).cast("long")
+    got = global_running_agg(
+        d, "val", order, coarse, out_col="o", agg=agg, inclusive=inclusive
+    ).select("id", "o")
+    end = 0 if inclusive else -1
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, end)
+    fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
+    want = d.select("id", fn("val").over(w).alias("o"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
