@@ -1523,6 +1523,15 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH_BITS = 16
 _SH_HAM = 2  # near-dup threshold; 3 blocks guarantee recall by pigeonhole
+# SF-independent anchor slice.  The pair count of a lossless near-dup query
+# is inherently quadratic in duplicate density, and a 16-bit signature space
+# saturates on corpus-sized inputs (at sf0.1 the TRUE result exceeds the
+# harness's 2M-row comparator bound).  Bounding the anchor to a fixed id
+# range caps the worst case at n(n-1)/2 = 1,999,000 rows <= the bound even
+# on an all-duplicate adversarial corpus, while leaving driver-scale
+# results bit-identical (sf0.001/sf0.01 have 500 docs, all < 2000).  The
+# corpus-scale SimHash path is ``dedup_simhash`` (rows-only, 64-bit space).
+_SH_MAX_DOCS = 2000
 
 _SH_H = "TRY_CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 15)) AS BIGINT)"
 _SH_SIG = " + ".join(
@@ -1538,7 +1547,8 @@ _SH_SUMS = ",\n             ".join(
     "simhash_exact_pairs",
     oracle=f"""
     WITH tok_t AS (
-      SELECT doc_id, UNNEST(LIST_DISTINCT({_TOKS})) AS tok FROM documents),
+      SELECT doc_id, UNNEST(LIST_DISTINCT({_TOKS})) AS tok FROM documents
+      WHERE doc_id < {_SH_MAX_DOCS}),
     sums AS (
       SELECT doc_id,
              {_SH_SUMS}
@@ -1568,7 +1578,10 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT_COUNT(XOR).  This is the exactly-differential-testable twin of the
     xxhash64-based ``dedup_simhash`` (rows-only by hash family): same
     algorithm, oracle-checkable end to end, so the SimHash family gets a
-    value-level anchor the way minhash has ``near_dup_pairs_lsh``.
+    value-level anchor the way minhash has ``near_dup_pairs_lsh``.  The
+    anchor reads an SF-independent ``doc_id < {_SH_MAX_DOCS}`` slice so its
+    worst-case output (quadratic in duplicate density by construction) stays
+    under the harness comparator bound at every scale; see ``_SH_MAX_DOCS``.
 
     Scale: signature build is one explode + a {16}-way conditional
     map-side-combining sum per doc (one pass, no joins); candidate
@@ -1577,7 +1590,7 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join, with a 3-block banding guarantee instead of probabilistic
     recall.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _SH_MAX_DOCS)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("tok")
     )
