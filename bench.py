@@ -26,7 +26,14 @@ Measurement discipline (round-2 advisories):
   take an extra rep, and every headline query's **normalized optimized-plan
   fingerprint** is emitted alongside its timing — a round-over-round timing
   delta with an unchanged fingerprint is noise by construction, one with a
-  changed fingerprint names the plan diff.
+  changed fingerprint names the plan diff;
+- (round 7) each query ALSO reports ``exec`` — the sum of Spark job
+  durations for the best rep, i.e. the in-job (scheduling + executor)
+  slice of the end-to-end wall time.  The gap to the end-to-end number is
+  driver-side per-plan overhead (Catalyst analysis, AQE re-planning,
+  Janino codegen compile, Py4J) that is constant per plan and amortizes
+  to nothing at the 100 TB design point.  ``value`` keeps the historical
+  end-to-end definition so the BENCH_r01-r06 series stays comparable.
 """
 
 from __future__ import annotations
@@ -65,9 +72,9 @@ EXTRA_REPS = {
 }
 
 
-def force_eval(df) -> None:
-    """Evaluate EVERY output column (hash-sum sink), so projection-only
-    plans can't be column-pruned down to a row count."""
+def sink_of(df):
+    """Wrap a result in a full-column hash-sum sink DataFrame (unevaluated),
+    so projection-only plans can't be column-pruned down to a row count."""
     from pyspark.sql import functions as F
 
     cols = [
@@ -76,7 +83,12 @@ def force_eval(df) -> None:
     ]
     # bit_xor (not sum): the engine runs ANSI mode, where summing 64-bit
     # hashes overflows
-    df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h")).collect()
+    return df.select(F.xxhash64(*cols).alias("__h")).agg(F.bit_xor("__h"))
+
+
+def force_eval(df) -> None:
+    """Evaluate EVERY output column through the hash-sum sink."""
+    sink_of(df).collect()
 
 
 def plan_fingerprint(df) -> str:
@@ -110,18 +122,49 @@ def main() -> int:
     # the plan, not session startup.
     force_eval(qs["flagship_regional_revenue"](spark, sf_dir))
 
+    # Spark job durations let us split each end-to-end rep into time INSIDE
+    # jobs (task scheduling + executor work — what scales with data) and
+    # driver-side gaps between them (Catalyst analysis, AQE re-planning,
+    # Janino codegen compile, Py4J — per-plan constants that amortize to
+    # nothing at the 100 TB design point but are a visible slice of wall
+    # time on a 10 MB fixture).  NOTE: re-collecting the SAME DataFrame is
+    # NOT a valid steady-state proxy — the scheduler skips already-computed
+    # shuffle map stages, so a re-collect measures only the final stage
+    # (measured: q1 re-collect 0.03 s vs 1.4 s of real map-stage work).
+    status_store = spark.sparkContext._jsc.sc().statusStore()
+    tracker = spark.sparkContext.statusTracker()
+
+    def _job_ids() -> set[int]:
+        return set(tracker.getJobIdsForGroup(None) or [])
+
+    def _jobs_sum(new_ids: set[int]) -> float:
+        tot = 0.0
+        for jid in new_ids:
+            jd = status_store.job(jid)
+            sub, comp = jd.submissionTime(), jd.completionTime()
+            if sub.isDefined() and comp.isDefined():
+                tot += (comp.get().getTime() - sub.get().getTime()) / 1000.0
+        return tot
+
     timings: dict[str, float] = {}
+    execs: dict[str, float] = {}
     plans: dict[str, str] = {}
     reps_used: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
+        ebest = float("inf")
         n_reps = max(reps, EXTRA_REPS.get(name, 0))
         done = 0
         while done < n_reps:
+            before = _job_ids()
             t0 = time.perf_counter()
             force_eval(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            try:
+                ebest = min(ebest, _jobs_sum(_job_ids() - before))
+            except Exception:  # noqa: BLE001 - status store is best-effort
+                pass
             done += 1
             # Sub-second queries sit inside the box's fixed-cost noise
             # floor, where min-of-2 still swings ±30% with an unchanged
@@ -131,6 +174,8 @@ def main() -> int:
                 n_reps = 3
         timings[name] = round(best, 3)
         reps_used[name] = done
+        if ebest != float("inf"):
+            execs[name] = round(ebest, 3)
         plans[name] = plan_fingerprint(fn(spark, sf_dir))
 
     # Label each timing against the PREVIOUS round's recorded fingerprints:
@@ -172,6 +217,13 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps_used,
+                # Per-query sum of Spark job durations for the best fresh
+                # rep: the in-job (scheduling + executor) slice of the
+                # end-to-end number; the gap to "queries" is driver-side
+                # per-plan overhead (Catalyst/AQE/codegen compile/Py4J)
+                # that amortizes away at scale.  See the loop comment.
+                "exec_total_sec": round(sum(execs.values()), 3),
+                "exec": execs,
                 "plan_hashes": plans,
                 "plan_changed": plan_changed,
                 "plan_baseline": prior[-1] if prior else None,
