@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lms_etl_pipeline_spark.functions.numeric import dec, dec_avg, dec_sum, dec_sum_of, units
+from lms_etl_pipeline_spark.functions.numeric import dec, dec_sum, units
 from lms_etl_pipeline_spark.operators.rank import global_ntile
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
@@ -199,7 +199,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(dec_sum_of(_revenue(), "revenue"), F.count("*").alias("n"))
+        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n"))
+        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
+        .drop("r6")
     )
 
 
@@ -608,10 +610,13 @@ def filter_project_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
-    ).select(
+    ).withColumn("__m6", _rev6()).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(_revenue(), 4).cast("double").alias("revenue"),
+        # per-row units finalization: m6 < 1.1e11, so the scale-4 integer
+        # stays far below 2^53 and the divide is exact (same convention as
+        # the decimal ROUND(..,4)->DOUBLE it replaces)
+        F.expr("((__m6 + 50) DIV 100) / 10000.0D").alias("revenue"),
         F.when(F.col("l_quantity") >= 30, "bulk")
         .when(F.col("l_quantity") >= 10, "mid")
         .otherwise("small")
@@ -774,7 +779,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dec_sum_of(_revenue(), "revenue"))
+        .agg(F.sum(_rev6()).alias("r6"))
+        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -835,7 +841,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"), "supp_nation")
-        .agg(dec_sum_of(_revenue(), "revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n_items"))
+        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
+        .drop("r6")
     )
 
 
@@ -1272,7 +1280,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(dec_sum_of(_revenue(), "total_revenue"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev6()).alias("r6"))
+        .withColumn("total_revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
+        .drop("r6")
+    )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -1308,7 +1321,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(p), (p.p_partkey == li.l_partkey) & cond)
-        .agg(dec_sum_of(_revenue(), "revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n_items"))
+        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
+        .drop("r6")
     )
 
 
@@ -1365,15 +1380,23 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     promo = F.col("p_type").like("PROMO%")
-    zero = F.lit(0).cast("DECIMAL(18,4)")
+    # Unit algebra: numerator value x100 at scale 4 is exactly the scale-6
+    # unit sum N6 (ROUND((N6*100 + 50) DIV 100, 4) == N6), so the rounded
+    # numerator double is N6/1e4; the denominator follows the standard
+    # half-up finalization.  Both sides reproduce the oracle's
+    # ROUND->DOUBLE values bit-exactly before the one double division.
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (
-                F.round(F.sum(F.when(promo, _revenue()).otherwise(zero)) * 100, 4).cast("double")
-                / F.round(F.sum(_revenue()), 4).cast("double")
-            ).alias("promo_revenue_pct"),
+            F.sum(F.when(promo, _rev6()).otherwise(F.lit(0))).alias("n6"),
+            F.sum(_rev6()).alias("d6"),
             F.count("*").alias("n_items"),
+        )
+        .select(
+            F.expr("(n6 / 10000.0D) / (((d6 + 50) DIV 100) / 10000.0D)").alias(
+                "promo_revenue_pct"
+            ),
+            "n_items",
         )
     )
 
@@ -1706,7 +1729,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(dec_sum_of(_revenue(), "revenue"))
+        .agg(F.sum(_rev6()).alias("r6"))
+        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
+        .drop("r6")
     )
 
 
@@ -1742,16 +1767,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
-    profit = _revenue() - F.col("l_quantity").cast("DECIMAL(12,2)") * F.col(
-        "p_retailprice"
-    ).cast("DECIMAL(12,2)")
+    # profit units at scale 6: rev6 minus (qty x retailprice), the cost being
+    # a scale-4 product of two scale-2 unit casts, promoted x100 to scale 6.
+    # Profit can be NEGATIVE, and DIV truncates toward zero, so the half-up
+    # (= half-away-from-zero, matching decimal ROUND) finalization branches
+    # on sign instead of using the unsigned (s+50) DIV 100 shortcut.
+    profit6 = _rev6() - units("l_quantity", 2) * units("p_retailprice", 2) * F.lit(100)
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(dec_sum_of(profit, "sum_profit"))
+        .agg(F.sum(profit6).alias("p6"))
+        .withColumn(
+            "sum_profit",
+            F.expr(
+                "CASE WHEN p6 >= 0 THEN ((p6 + 50) DIV 100) / 10000.0D"
+                " ELSE -(((-p6) + 50) DIV 100) / 10000.0D END"
+            ),
+        )
+        .drop("p6")
     )
 
 
@@ -1786,15 +1822,19 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.sum(_revenue()).alias("value_dec"))
+        .agg(F.sum(_rev6()).alias("v6"))
     )
+    # The global total re-aggregates the per-part unit sums (Σv6 stays well
+    # inside int64 through the fixture decades; the value-level exactness
+    # envelope is the same 2^53-scaled bound as the decimal convention).
     total = pv.agg(
-        (F.round(F.sum("value_dec"), 4).cast("double") * F.lit(0.001)).alias("threshold")
+        (F.expr("((SUM(v6) + 50) DIV 100) / 10000.0D") * F.lit(0.001)).alias("threshold")
     )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.round(F.col("value_dec"), 4).cast("double") > F.col("threshold"))
-        .select("l_partkey", F.round(F.col("value_dec"), 4).cast("double").alias("part_value"))
+        .withColumn("part_value", F.expr("((v6 + 50) DIV 100) / 10000.0D"))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
     )
 
 
