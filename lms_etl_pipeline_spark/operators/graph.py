@@ -13,11 +13,14 @@ plain DataFrame joins:
 
 Each iteration is ONE equi-join of the current labels against the
 (symmetrized) edge list + a min-aggregation; the driver loop only checks
-convergence (an updated-row count — a scalar, not data).  Iterations are
-bounded by the graph diameter; similarity graphs are overwhelmingly tiny
-cliques, so 2-4 iterations settle in practice and ``max_iter`` bounds the
-worst case.  At 100 TB scale each iteration is shuffle-on-node-id — the
-same cost profile as one self-join; no driver-side data ever.
+convergence (an updated-row count — a scalar, not data).  Similarity
+graphs are overwhelmingly tiny cliques, so 2-4 one-hop iterations settle
+in practice; from the third iteration on (a graph still moving then is
+chain-shaped), each round adds pointer jumping (label <- label(label)),
+so residual convergence is O(log diameter) rounds instead of O(diameter)
+and ``max_iter`` = 20 covers diameters past 2^17.  At 100 TB scale each
+iteration is shuffle-on-node-id — the same cost profile as one
+self-join; no driver-side data ever.
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ def connected_components(
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # each node's candidate label: min of its own and all neighbors'.
         # The node's OWN row is tagged so the same min-aggregation also
         # recovers the previous label (exactly one own row per node) —
@@ -59,7 +62,7 @@ def connected_components(
             sym.join(labels, sym.v == labels.node)
             .select(F.col("u").alias("node"), "label", F.lit(False).alias("own"))
         )
-        new_labels = (
+        hop = (
             labels.select("node", "label", F.lit(True).alias("own"))
             .unionByName(neighbor_labels)
             .groupBy("node")
@@ -67,11 +70,32 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
             )
-            # materialization barrier: the convergence scan below reads
-            # this ALREADY-materialized frame (no join), and the lineage
-            # can't grow unboundedly across iterations
-            .localCheckpoint(eager=True)
         )
+        if it >= 2:
+            # Path compression (pointer jumping) for graphs still moving
+            # after two one-hop rounds: each node also adopts its label's
+            # own new label — label <- label(label) — turning the residual
+            # convergence from O(diameter) rounds into O(log diameter).
+            # Similarity graphs are overwhelmingly tiny cliques that settle
+            # within the first two cheap rounds (measured: adding the jump
+            # join unconditionally costs more than it saves there), but a
+            # depth-d chain that survives them closes in ~log2(d) doubled
+            # rounds instead of d — at 100 TB that is 5 shuffles vs 20 on
+            # a deep chain.  Labels only decrease, and a label's label is
+            # reachable by transitivity, so the fixpoint (min reachable
+            # id) is unchanged.
+            jump = hop.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            hop = hop.join(jump, hop.label == jump.jnode, "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+                "_old",
+            )
+        # materialization barrier: the convergence scan below reads the
+        # ALREADY-materialized frame (no join), and the lineage can't grow
+        # unboundedly across iterations
+        new_labels = hop.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("label") < F.col("_old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
