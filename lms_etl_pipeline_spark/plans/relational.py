@@ -83,11 +83,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is scan-bound at any SF — exactly what you want at 100 TB.
 
     Measured floor note (local[32], sf0.1): the fixture is ONE file with ONE
-    row group, so scan + partial agg serialize on one core (~1.2 s); an
-    explicit repartition does NOT help — the single scan task then pays the
-    same cost as shuffle write (measured 1.2 s both ways).  The fix is data
-    layout (more row groups / files — see ``sources.parquet_io``), never a
-    plan change; at real scale the layout provides the parallelism.
+    row group, so scan + partial agg serialize on one core; an explicit
+    repartition does NOT help — the single scan task then pays the same
+    cost as shuffle write.  The fix is data layout (more row groups /
+    files — see ``sources.parquet_io``), never a plan change; at real
+    scale the layout provides the parallelism.  Within that single task,
+    integer-unit aggregation (see ``_rev6``/``units``) cut the stage from
+    ~1.4 s to ~0.5 s — per-core arithmetic cost, which survives at any
+    layout.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Integer-unit formulation (value-identical to the decimal oracle; see
