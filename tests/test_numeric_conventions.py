@@ -99,3 +99,80 @@ def test_float_decimal_cast_tie_divergence_and_floor_idiom(spark):
         f"SELECT CAST(FLOOR(CAST({x!r} AS DOUBLE) * 1000000000) AS BIGINT)"
     ).fetchall()[0]
     assert s_u == d_u == 149414062
+
+
+def test_units_path_matches_decimal_convention(spark):
+    """Pin the r7 integer-unit fast path (functions.numeric.units) against
+    the decimal convention it replaces, on a seeded domain sweep plus the
+    half-unit boundary neighborhoods.
+
+    Three facts, each of which the TPC-H money rewrites rely on:
+      1. per-row: round(x*10^s)::bigint == CAST(x AS DECIMAL(18,s)) scaled,
+         in Spark, for every ≤s-dp money double (cents / basis points);
+      2. the same quantization holds in DuckDB (the oracle side);
+      3. sum-level: the unit finalization ((S+50) DIV 100)/1e4 reproduces
+         the dec_sum_of ROUND(SUM(decimal), 4)->DOUBLE value bit-exactly
+         on a revenue-shaped product.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.functions.numeric import units
+
+    rng = random.Random(42)
+    n = 4000
+    cents = [rng.randrange(0, 10**9) for _ in range(n)]
+    # boundary neighborhoods: around .5-unit ties and type extremes
+    cents += [0, 1, 49, 50, 51, 99, 100, 101, 10**9 - 1, 10**9]
+    bps = [rng.randrange(0, 10001) for _ in range(len(cents) - 4)] + [0, 1, 9999, 10000]
+    rows = [
+        (c, b, c / 100.0, b / 10000.0)
+        for c, b in zip(cents, bps)
+    ]
+    df = spark.createDataFrame(rows, "cents BIGINT, bps BIGINT, price DOUBLE, rate DOUBLE")
+
+    # (1) Spark per-row quantization: units == expected integer == decimal cast
+    mism = df.filter(
+        (units("price", 2) != F.col("cents"))
+        | (units("rate", 4) != F.col("bps"))
+        | (
+            (F.col("price").cast("DECIMAL(18,4)") * 10000).cast("bigint")
+            != F.col("cents") * 100
+        )
+    ).count()
+    assert mism == 0
+
+    # (2) DuckDB quantizes the same doubles to the same integers
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m AS SELECT * FROM (VALUES " +
+                ",".join(f"({c}, {b}, {c/100.0!r}::DOUBLE, {b/10000.0!r}::DOUBLE)"
+                         for c, b in zip(cents[:500], bps[:500])) +
+                ") t(cents, bps, price, rate)")
+    (bad,) = con.sql(
+        """SELECT COUNT(*) FROM m
+           WHERE CAST(ROUND(price*100) AS BIGINT) != cents
+              OR CAST(price AS DECIMAL(18,2)) * 100 != cents
+              OR CAST(ROUND(rate*10000) AS BIGINT) != bps
+              OR CAST(rate AS DECIMAL(18,4)) * 10000 != bps"""
+    ).fetchall()[0]
+    assert bad == 0
+
+    # (3) sum-level: unit finalization == decimal ROUND->DOUBLE, exactly
+    both = (
+        df.agg(
+            F.sum(units("price", 2) * (F.lit(10000) - units("rate", 4))).alias("r6"),
+            F.round(
+                F.sum(
+                    F.col("price").cast("DECIMAL(18,4)")
+                    * (F.lit(1) - F.col("rate").cast("DECIMAL(18,4)"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("dec_val"),
+        )
+        .select(F.expr("((r6 + 50) DIV 100) / 10000.0D").alias("unit_val"), "dec_val")
+        .collect()[0]
+    )
+    assert both.unit_val == both.dec_val
