@@ -82,8 +82,20 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffle join stays distributed; only the 1-row corpus count broadcasts.
     Scales linearly in corpus size. Deterministic: counts are integers, the
     final score is two IEEE ops.
+
+    The doc frame repartitions on the id BEFORE tokenize+explode — the same
+    posture as ``operators.dedup`` (its docstring, point 2): tokenization is
+    the CPU of this plan, and a compacted/few-split input layout would
+    serialize it on a handful of cores.  One narrow (id, text) shuffle buys
+    full-cluster parallelism for the heavy stage; the downstream (id, term)
+    aggregation was going to shuffle anyway.
     """
-    terms = explode_terms(df, id_col, text_col)
+    from lms_etl_pipeline_spark.session import default_parallelism
+
+    part = df.select(id_col, text_col).repartition(
+        default_parallelism(df.sparkSession), F.col(id_col)
+    )
+    terms = explode_terms(part, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
