@@ -91,12 +91,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_session_window",
     oracle="""
-    WITH flagged AS (
+    WITH d AS (
+      SELECT DISTINCT user_id, ts FROM events
+    ), flagged AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM d
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
       SELECT user_id, ts,
@@ -104,18 +106,28 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+    SELECT e.user_id,
+           MIN(e.ts) AS session_start,
+           MAX(e.ts) + INTERVAL 10 MINUTE AS session_end,
            COUNT(*) AS n_events
-    FROM sessions
-    GROUP BY user_id, sid
+    FROM events e
+    JOIN sessions s ON e.user_id = s.user_id AND e.ts = s.ts
+    GROUP BY e.user_id, s.sid
     """,
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (10-minute inactivity gap) per user.  Spark merges
     events whose windows overlap; session end = last event + gap.  The
-    oracle replicates with the gaps-and-islands idiom."""
+    oracle replicates with the gaps-and-islands idiom computed over
+    DISTINCT (user_id, ts): with duplicate timestamps (ubiquitous in the
+    adversarial ~sf1 fixture), flagging/running-summing over raw rows is
+    NONDETERMINISTIC — ROWS framing over a non-unique ORDER BY key lets an
+    arbitrary subset of a tie group sort before the boundary flag and land
+    in the previous session (measured: DuckDB row counts varied 98524-98529
+    across runs of the old oracle).  Session membership is a function of
+    the ts VALUE (exactly Spark's merge-overlapping-windows semantics), so
+    the sid is computed per distinct timestamp — unique ORDER BY key, fully
+    deterministic — and raw events join back on (user_id, ts)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "10 minutes").alias("sw"), F.col("user_id"))
