@@ -734,9 +734,9 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n) AS BIGINT) AS n_days,
            MAX(s) / MAX(n) AS mean_daily,
            SQRT((CAST(MAX(n) - 1 AS DOUBLE) / MAX(n))
-                * SUM(CAST(ROUND(
+                * CAST(ROUND(SUM(CAST(ROUND(
                     (mean_i - s / n) * (mean_i - s / n), 12)
-                    AS DECIMAL(28,12)))) AS jackknife_se
+                    AS DECIMAL(28,12))), 6) AS DOUBLE)) AS jackknife_se
     FROM loo GROUP BY event_type
     """,
 )
@@ -781,11 +781,16 @@ def jackknife_se_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("mean_i") - F.col("s") / F.col("n")),
         12,
     ).cast("decimal(28,12)")
+    # The sum of squared deviations is ROUNDed to scale 6 before its ONE
+    # double cast: at ~sf1 the scale-12 sum's scaled integer passes 2^53,
+    # where raw decimal->double conversion diverges between engines in the
+    # last ulp (the dec_sum_of discipline; found by the adversarial sweep).
     return loo.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n_days"),
         (F.max("s") / F.max("n")).alias("mean_daily"),
         F.sqrt(
-            ((F.max("n") - 1).cast("double") / F.max("n")) * F.sum(dev2)
+            ((F.max("n") - 1).cast("double") / F.max("n"))
+            * F.round(F.sum(dev2), 6).cast("double")
         ).alias("jackknife_se"),
     )
 
