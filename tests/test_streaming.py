@@ -510,3 +510,46 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     run()
     assert (2, False) in got  # outer row emitted exactly once
     assert sum(1 for g in got if g[0] == 2) == 1
+
+
+def test_session_window_oracle_deterministic_under_duplicate_ts():
+    """Regression pin for the r7 oracle fix: gaps-and-islands computed over
+    raw rows is NONDETERMINISTIC when ts has duplicates (ROWS framing over
+    a non-unique ORDER BY key lets an arbitrary subset of a tie group sort
+    before the session-boundary flag).  The shipped oracle computes session
+    ids over DISTINCT (user_id, ts) and joins back, so repeated runs on a
+    duplicate-heavy frame must agree exactly — and every event at one
+    timestamp must land in one session (Spark's merge semantics)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    osql = entrymod.oracle_sql()["events_session_window"]
+    con = duckdb.connect()
+    # 8 copies of each of 400 timestamps across 5 users, gaps straddling
+    # the 10-minute boundary
+    con.execute(
+        """CREATE VIEW events AS
+           SELECT (i % 5) AS user_id,
+                  TIMESTAMP '2024-01-01' + INTERVAL (
+                      (i // 40) * (9 + (i % 3))
+                  ) MINUTE AS ts,
+                  'click' AS event_type, 1.0 AS value, i AS event_id
+           FROM range(3200) t(i)"""
+    )
+    runs = {
+        tuple(sorted(map(tuple, con.sql(osql).fetchall())))
+        for _ in range(5)
+    }
+    assert len(runs) == 1
+    # no timestamp may split across two sessions of the same user
+    (split,) = con.sql(
+        f"""SELECT COUNT(*) FROM (
+              SELECT e.user_id, e.ts, COUNT(DISTINCT s.session_start) AS ns
+              FROM events e
+              JOIN ({osql}) s
+                ON e.user_id = s.user_id
+               AND e.ts >= s.session_start AND e.ts < s.session_end
+              GROUP BY e.user_id, e.ts HAVING ns > 1)"""
+    ).fetchall()[0]
+    assert split == 0
