@@ -176,3 +176,27 @@ def test_units_path_matches_decimal_convention(spark):
         .collect()[0]
     )
     assert both.unit_val == both.dec_val
+
+
+def test_signed_unit_rounding_matches_decimal_round(spark):
+    """The q9 profit finalizer branches on sign because integer DIV
+    truncates toward zero while decimal ROUND is half-away-from-zero.
+    Pin the CASE form against Spark's decimal ROUND on both signs and on
+    exact .5 boundaries (scale-6 units -> scale-4 half-up)."""
+    from pyspark.sql import functions as F
+
+    units6 = [0, 49, 50, 51, 100, 149, 150, 151, -49, -50, -51, -100, -150, -151,
+              123456789, -123456789, 999999999950, -999999999950]
+    df = spark.createDataFrame([(u,) for u in units6], "p6 BIGINT")
+    out = df.select(
+        "p6",
+        F.expr(
+            "CASE WHEN p6 >= 0 THEN ((p6 + 50) DIV 100) / 10000.0D"
+            " ELSE -(((-p6) + 50) DIV 100) / 10000.0D END"
+        ).alias("unit_val"),
+        F.round(F.col("p6").cast("DECIMAL(38,6)") / 1000000, 4)
+        .cast("double")
+        .alias("dec_val"),
+    ).collect()
+    for r in out:
+        assert r.unit_val == r.dec_val, (r.p6, r.unit_val, r.dec_val)
