@@ -179,11 +179,15 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets — subtotals + grand total in one shuffle."""
+    """ROLLUP grouping sets — subtotals + grand total in one shuffle.
+    Quantity sums ride the integer-unit fast path (``units``; exact for
+    the ≤4-dp domain, single long add per row vs a decimal accumulate)."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .agg(F.sum(units("l_quantity", 4)).alias("q4"), F.count("*").alias("n"))
+        .withColumn("sum_qty", F.expr("q4 / 10000.0D"))
+        .drop("q4")
     )
 
 
@@ -1222,7 +1226,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(dec_sum("l_quantity", "total_qty"))
+        .agg(F.sum(units("l_quantity", 4)).alias("q4"))
+        .withColumn("total_qty", F.expr("q4 / 10000.0D"))
+        .drop("q4")
     )
 
 
