@@ -32,6 +32,9 @@ _REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS
 
 
 def _revenue() -> F.Column:
+    """Decimal reference form of the revenue product — the semantics the
+    unit fast path ``_rev6`` must reproduce (kept as the executable
+    definition the conventions test pins against; hot paths use _rev6)."""
     return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
 
 
@@ -1215,8 +1218,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 150)
+        .agg(F.sum(units("l_quantity", 4)).alias("q4"))
+        .filter(F.col("q4") > 150 * 10000)
         .select("l_orderkey")
     )
     o = load_table(spark, sf_dir, "orders")
@@ -1248,7 +1251,12 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan + conjunctive predicates + one global
     aggregate — the pushdown-efficiency benchmark (every predicate reaches
-    the parquet reader; zero joins, zero group keys)."""
+    the parquet reader; zero joins, zero group keys).
+
+    The price x discount product is a 6-dp value, so the scale-6 unit sum
+    is the exact rational the oracle's DECIMAL(38,8)->DOUBLE cast rounds;
+    one exact int->double divide lands on the same correctly-rounded
+    double while keeping the hot path in long arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -1258,11 +1266,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias(
-                "revenue_delta"
-            ),
+            F.sum(units("l_extendedprice", 2) * units("l_discount", 4)).alias("r6"),
             F.count("*").alias("n_items"),
         )
+        .select(F.expr("r6 / 1000000.0D").alias("revenue_delta"), "n_items")
     )
 
 
@@ -1913,11 +1920,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(per_part), li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
-            (F.round(F.sum(dec("l_extendedprice")), 4).cast("double") / F.lit(7.0)).alias(
-                "avg_yearly"
-            ),
+            F.sum(units("l_extendedprice", 4)).alias("p4"),
             F.count("*").alias("n_lines"),
         )
+        # a scale-4 unit sum IS a 4-dp value: ROUND(S,4) is the identity,
+        # so the finalization is just the exact int->double divide
+        .select(F.expr("p4 / 10000.0D / 7.0D").alias("avg_yearly"), "n_lines")
     )
 
 
