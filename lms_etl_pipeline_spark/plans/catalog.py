@@ -26,90 +26,82 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation — burn down driver-certification debt (third wave).
-    # After six rounds 207 distinct queries are driver-green; 83
-    # oracle-backed queries have never occupied a window slot.  Invariants
-    # (unchanged since r5; see VERDICT r6 "Next round" #1):
+    # Round-8 rotation — FINAL debt window.  After seven rounds 255 distinct
+    # oracle-backed queries are driver-green; exactly 37 have never occupied
+    # a window slot (tools/cert_ledger.py --names).  All 37 fit here, so
+    # after this round every oracle-backed query in the catalog has been
+    # driver-certified at least once.  Invariants (unchanged since r5):
     #   (a) the flagship and events_session_window stay in-window every
     #       round as driver smoke anchors;
-    #   (b) every other slot goes to a NEVER-certified query — rotated-out
-    #       queries remain in the full-catalog local gate
-    #       (tools/check_oracle.py, 290/290 exact) which the driver check
+    #   (b) rotated-out queries remain in the full-catalog local gate
+    #       (tools/check_oracle.py, 292/292 exact) which the driver check
     #       is a same-engine, same-fixture subset of;
     #   (c) candidates are pre-screened: each passes the local differential
     #       gate exactly at sf0.001/0.01/0.1 and emits only (Spark type,
-    #       DuckDB type) column pairings already seen driver-green
-    #       (tools/type_pairings.py --all: zero novel pairings in the
-    #       catalog); the HUGEINT comparator-divergence class is rejected
-    #       at registration by tools/check_oracle.py's preflight gate.
-    # ROUND-8 ROTATION PREP (mechanical):
-    #   1. python tools/cert_ledger.py        -> confirm debt & wasted slots
-    #   2. replace the 48 fresh names below with the remaining ~35 debt
-    #      names (cert_ledger --names prints them) plus any queries added
-    #      this round (e.g. the sharded global-window twins); pad leftover
-    #      slots with the highest-value re-certs only if debt < 48
-    #   3. extend tests/test_catalog.py's rotation_baseline with
-    #      CORRECTNESS_r07.json
-    # After round 8 the certification debt should be ZERO.
+    #       DuckDB type) column pairings already seen driver-green.
     #
-    # This window: 48 never-certified — the first 48 of the 83-name debt
-    # list in cert_ledger registration order (ETL/text/embedding/profiling
-    # wave: doc-quality filters, embedding stats, round-trip sinks,
-    # sketch/histogram profilers, stats tests).  Remaining debt after this
-    # window: 35 names + round-7 additions, one final window.
+    # This window: 2 anchors + 37 never-certified + 11 re-certs.  The
+    # re-cert slots go to queries whose PLAN changed after their last
+    # driver-green row, so the certificate tracks the shipped plan:
+    #   - q1/q6/q17/q18 + tf_idf/q3: round-7 integer-unit fast path and
+    #     tf-idf re-plan landed after their last certification;
+    #   - curriculum_phases/token_budget_selection/window_ntile_percentile/
+    #     agg_percentiles_exact: round-7 bucketed global-rank rewrite;
+    #   - window_range_between: round-8 NULL-safe peers-join fix.
     #
     # driver smoke anchors
     "flagship_regional_revenue",
     "events_session_window",
-    # round-7 fresh wave (48 never-certified, registration order)
-    "zorder_layout_stats",
-    "histogram_width_bucket",
-    "text_normalize",
-    "case_when_bucketing",
-    "watermark_loss_curve",
-    "stopword_removal_bigrams",
-    "text_sentiment_lexicon",
-    "contrastive_triplets",
-    "doc_outlier_filter_iqr",
-    "doc_zscore_normalize",
-    "doc_quality_score_logistic",
-    "fuzzy_match_names",
-    "knn_filtered_exact",
-    "embedding_norm_stats",
-    "embedding_centroids",
-    "etl_rename_bulk",
-    "jsonl_roundtrip_documents",
-    "etl_snapshot_diff",
-    "boilerplate_ngram_filter",
-    "charlm_perplexity_filter",
-    "span_corruption_samples",
-    "lsh_recall_eval",
-    "bloom_filter_probe",
-    "dup_ngram_spans",
-    "token_entropy_filter",
-    "zipf_slope_fit",
-    "pca_power_iteration",
-    "assoc_rules_confidence",
-    "equidepth_histogram",
-    "mad_robust_outliers",
-    "abc_pareto_classification",
-    "rfm_segmentation",
-    "source_overlap_matrix",
-    "dedup_cluster_size_histogram",
-    "timeseries_seasonal_profile",
-    "score_quantile_normalize",
-    "length_match_resample",
-    "ngram_novelty_rate",
-    "key_skew_profile",
-    "cusum_changepoints",
-    "table_profile_orders",
-    "simhash_exact_pairs",
-    "text_readability_flesch",
-    "correlation_matrix",
-    "ols_regression_by_group",
-    "benford_digit_test",
-    "gini_concentration",
-    "max_token_runlength",
+    # round-8 fresh wave (all 37 remaining never-certified, ledger order)
+    "token_budget_selection_sharded",
+    "curriculum_phases_sharded",
+    "tokenizer_fertility",
+    "embedding_pairwise_stats",
+    "weighted_median_price",
+    "spelling_variants_symspell",
+    "semdedup_threshold_sweep",
+    "forecast_backtest_eval",
+    "mdm_golden_record",
+    "ks_test_drift",
+    "cramers_v_association",
+    "dup_rate_by_source",
+    "item_cooccurrence_cf",
+    "event_transition_matrix",
+    "cohort_ltv_curve",
+    "funnel_time_to_convert",
+    "hits_hubs_authorities",
+    "join_asof_next_purchase",
+    "pareto_front_2d",
+    "ab_test_lift_report",
+    "share_of_parent_rollup",
+    "active_users_rolling",
+    "event_trigram_paths",
+    "hierarchy_rollup_tree",
+    "attribution_linear_multitouch",
+    "survival_kaplan_meier",
+    "model_gains_table",
+    "weekly_wow_change",
+    "period_delta_contribution",
+    "new_vs_returning_daily",
+    "attribution_window_sensitivity",
+    "session_bounce_dwell",
+    "interarrival_time_stats",
+    "fk_integrity_audit",
+    "pk_uniqueness_audit",
+    "cdc_apply_changelog",
+    "gdpr_erasure_cascade",
+    # plan-changed re-certs (11)
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q3_shipping_priority",
+    "tf_idf_top_terms",
+    "curriculum_phases",
+    "token_budget_selection",
+    "window_ntile_percentile",
+    "agg_percentiles_exact",
+    "window_range_between",
 )
 
 

@@ -52,14 +52,18 @@ def test_first_50_follow_the_rotation_policy():
     # all 50 must be exact-oracle-checkable
     rows_only = [n for n in first50 if n not in ORACLES]
     assert len(rows_only) == 0, rows_only
-    # zero wasted slots: nothing besides the anchors may already have a
-    # driver row IN THE ARTIFACTS THE WINDOW WAS AUTHORED AGAINST
-    # (tools/cert_ledger.py prints the live reconciliation).  The baseline
-    # is pinned explicitly — not glob'd — because the driver writes THIS
-    # round's CORRECTNESS file at round end, which certifies the current
-    # window and would otherwise flip this test red during judging.  Each
-    # rotation updates _PRIORITY and this list together.
-    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 7)]
+    # zero wasted slots: nothing besides the anchors and the PINNED re-cert
+    # list may already have a driver row IN THE ARTIFACTS THE WINDOW WAS
+    # AUTHORED AGAINST (tools/cert_ledger.py prints the live
+    # reconciliation).  The baseline is pinned explicitly — not glob'd —
+    # because the driver writes THIS round's CORRECTNESS file at round end,
+    # which certifies the current window and would otherwise flip this test
+    # red during judging.  Each rotation updates _PRIORITY and this list
+    # together.  Round 8: debt (37) < free slots (48), so 11 slots are
+    # deliberately spent re-certifying queries whose plans changed after
+    # their last driver-green row (unit fast path, rank rewrite, NULL-safe
+    # peers join) — pinned here so an accidental re-cert still fails.
+    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 8)]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified: set[str] = set()
     for fname in rotation_baseline:
@@ -68,7 +72,23 @@ def test_first_50_follow_the_rotation_policy():
         with open(path) as fh:
             certified |= set(json.load(fh))
     anchors = {"flagship_regional_revenue", "events_session_window"}
-    wasted = [n for n in first50 if n in certified and n not in anchors]
+    planned_recerts = {
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q3_shipping_priority",
+        "tf_idf_top_terms",
+        "curriculum_phases",
+        "token_budget_selection",
+        "window_ntile_percentile",
+        "agg_percentiles_exact",
+        "window_range_between",
+    }
+    wasted = [
+        n for n in first50
+        if n in certified and n not in anchors and n not in planned_recerts
+    ]
     assert wasted == [], f"window slots spent re-certifying: {wasted}"
 
 
