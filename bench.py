@@ -61,6 +61,11 @@ HEADLINE = (
     "multimodal_image_decode",
     "dedup_embedding_cosine",
     "corpus_curation_pipeline",
+    # Round 8: representative of the bucketed exact global-order operator
+    # family (operators/rank.py) that 14 catalog queries were re-planned
+    # onto in round 7 — a regression in that operator was previously
+    # invisible to BENCH.
+    "token_budget_selection",
 )
 
 # Watched for drift in round 4 (+11–19% with no plan change landed): one
@@ -178,27 +183,51 @@ def main() -> int:
             execs[name] = round(ebest, 3)
         plans[name] = plan_fingerprint(fn(spark, sf_dir))
 
-    # Label each timing against the PREVIOUS round's recorded fingerprints:
-    # a delta with plan_changed=false is box noise by construction; one
-    # with plan_changed=true names its own cause.  "new" = first recording.
-    prev_hashes: dict[str, str] = {}
+    # Label each timing against the newest PARSEABLE prior-round
+    # fingerprints: a delta with plan_changed=false is box noise by
+    # construction; one with plan_changed=true names its own cause.
+    # "new" = first recording.
+    #
+    # Round-8 repair (VERDICT r7 "What's wrong #1"): the driver's
+    # BENCH_r{N}.json tail-capture can truncate the (long) JSON line, leaving
+    # parsed=null — so bench.py now (a) persists its OWN full artifact to
+    # BENCH_LOCAL_r{N}.json every run, and (b) walks candidates newest-round
+    # first across BOTH artifact families, skipping unparseable/hash-less
+    # ones, considering only rounds BEFORE the current one (an intra-round
+    # local rerun must not become its own baseline and mask a plan change).
     here = os.path.dirname(os.path.abspath(__file__))
-    # Numeric sort on the round number: lexicographic order would pick
-    # BENCH_r9.json over BENCH_r10.json and silently mislabel deltas.
-    prior = sorted(
-        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
-        key=lambda f: int(re.search(r"\d+", f).group()),
+    rounds_seen = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    # The driver writes BENCH_r{N}.json at round end, after running bench —
+    # so while bench runs, the newest driver artifact is the PREVIOUS round.
+    current_round = int(
+        os.environ.get("SPARK_GRAFT_ROUND", (max(rounds_seen) + 1) if rounds_seen else 1)
     )
-    if prior:
+    candidates: list[tuple[int, int, str]] = []
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH(_LOCAL)?_r(\d+)\.json", f)
+        if not m or int(m.group(2)) >= current_round:
+            continue
+        # at equal round, prefer the driver's artifact (end-of-round state)
+        candidates.append((int(m.group(2)), 0 if m.group(1) else 1, f))
+    prev_hashes: dict[str, str] = {}
+    baseline_file: str | None = None
+    for _rnd, _pri, f in sorted(candidates, reverse=True):
         try:
-            with open(os.path.join(here, prior[-1])) as fh:
+            with open(os.path.join(here, f)) as fh:
                 doc = json.load(fh)
             # the driver's BENCH_r{N}.json wraps our JSON line under
             # "parsed"; a raw bench.py capture has plan_hashes at top level
             doc = doc.get("parsed", doc) or doc
-            prev_hashes = doc.get("plan_hashes", {}) or {}
+            hashes = doc.get("plan_hashes") or {}
         except (OSError, ValueError, AttributeError):
-            prev_hashes = {}
+            continue
+        if hashes:
+            prev_hashes, baseline_file = hashes, f
+            break
     plan_changed = {
         name: (
             "new" if name not in prev_hashes
@@ -208,28 +237,35 @@ def main() -> int:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps_used,
-                # Per-query sum of Spark job durations for the best fresh
-                # rep: the in-job (scheduling + executor) slice of the
-                # end-to-end number; the gap to "queries" is driver-side
-                # per-plan overhead (Catalyst/AQE/codegen compile/Py4J)
-                # that amortizes away at scale.  See the loop comment.
-                "exec_total_sec": round(sum(execs.values()), 3),
-                "exec": execs,
-                "plan_hashes": plans,
-                "plan_changed": plan_changed,
-                "plan_baseline": prior[-1] if prior else None,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps_used,
+        # Per-query sum of Spark job durations for the best fresh
+        # rep: the in-job (scheduling + executor) slice of the
+        # end-to-end number; the gap to "queries" is driver-side
+        # per-plan overhead (Catalyst/AQE/codegen compile/Py4J)
+        # that amortizes away at scale.  See the loop comment.
+        "exec_total_sec": round(sum(execs.values()), 3),
+        "exec": execs,
+        "plan_hashes": plans,
+        "plan_changed": plan_changed,
+        "plan_baseline": baseline_file,
+        "round": current_round,
+    }
+    line = json.dumps(payload)
+    # Persist the full artifact independently of the driver's line capture
+    # (which has truncated before — BENCH_r07.json parsed=null), so the next
+    # round always has a parseable baseline to label plan_changed against.
+    try:
+        with open(os.path.join(here, f"BENCH_LOCAL_r{current_round:02d}.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout must not break the driver's line capture
+    print(line)
     return 0
 
 
