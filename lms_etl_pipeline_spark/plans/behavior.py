@@ -40,6 +40,7 @@ from lms_etl_pipeline_spark.operators.rank import (
     global_running_agg,
     with_uniform_key_buckets,
 )
+from lms_etl_pipeline_spark.plans import anchors
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
 
@@ -992,13 +993,17 @@ def hierarchy_rollup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ATTR_WINDOW_DAYS = 3
+# Corpus-wide by default; the adversarial ~sf1 sweep bounds the (by
+# construction quadratic-in-density) touch output explicitly via
+# SPARK_GRAFT_ANCHOR_SLICES=bounded.  See plans/anchors.py.
+_ATTR_SLICE = anchors.AnchorSlice("event_id", 100000, kind="gate")
 
 
 @query(
     "attribution_linear_multitouch",
     oracle=f"""
     WITH ev AS (
-      SELECT * FROM events WHERE event_id < 100000),
+      SELECT * FROM events WHERE {_ATTR_SLICE.sql}),
     purchases AS (
       SELECT event_id AS purchase_id, user_id, ts, value
       FROM ev WHERE event_type = 'purchase'),
@@ -1034,13 +1039,15 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     interval family); the per-purchase count joins back on the purchase
     key, reusing the partitioning.
 
-    The anchor reads an SF-independent ``event_id < 100000`` slice — the
-    whole table at every driver fixture scale (sf0.1 tops out at 99999),
-    so driver-scale results are unchanged; past that it bounds the touch
-    output (quadratic in per-user event density by construction) under
-    the harness comparator cap on the adversarial ~sf1 fixture.
+    Default semantics are CORPUS-WIDE.  The adversarial ~sf1 deep sweep
+    (whose 10x duplicate amplification makes the touch output — quadratic
+    in per-user event density by construction — exceed the comparator row
+    cap) applies an explicit ``event_id < 100000`` slice via
+    ``SPARK_GRAFT_ANCHOR_SLICES=bounded``; at every driver fixture scale
+    that slice is a superset of the data, so both modes agree there.  See
+    ``plans/anchors.py``.
     """
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100000)
+    e = _ATTR_SLICE.apply(load_table(spark, sf_dir, "events"))
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.operators import text as tx
+from lms_etl_pipeline_spark.plans import anchors
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import _TOKS
 from lms_etl_pipeline_spark.session import default_parallelism
@@ -670,12 +671,21 @@ def quality_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CONTRACT anchor slice (plans/anchors.py, active in every mode): an exact
+# Jaccard ground truth is quadratic by definition, and on the adversarial
+# ~sf1 fixture the oracle's list-containment joins on the 978x-amplified
+# pair set spill DuckDB temp past the box's disk.  A recall measurement on
+# a fixed 5000-doc slice grades the (k=8, bands=4) choice exactly as well.
+# Corpus-scale near-dup semantics live in the unbounded near_dup_pairs_lsh.
+_RECALL_SLICE = anchors.AnchorSlice("doc_id", 5000, kind="contract")
+
+
 @query(
     "lsh_recall_eval",
     oracle=f"""
     WITH sh_srt AS (
       SELECT doc_id, LIST_SORT({_SHINGLES}) AS sh FROM documents
-      WHERE doc_id < 5000
+      WHERE {_RECALL_SLICE.sql}
     ),
     nz AS (SELECT doc_id, sh, LEN(sh) AS n FROM sh_srt WHERE LEN(sh) > 0),
     pref AS (
@@ -743,16 +753,18 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     — differential-tested like everything else, which is the point: the
     approximate path's QUALITY is itself an exactly-checkable number.
 
-    The eval reads an SF-independent ``doc_id < 5000`` slice — the WHOLE
-    corpus at every driver fixture scale (sf0.1 has exactly 5000 docs), so
-    driver-scale results are unchanged; on the adversarial ~sf1 fixture it
-    bounds the ORACLE's exact-ground-truth cost, whose list-containment
-    joins on the 978x-amplified pair set otherwise spill DuckDB temp past
+    The eval reads an SF-independent ``doc_id < 5000`` CONTRACT slice
+    (``plans/anchors.py``, active in every mode) — the WHOLE corpus at
+    every driver fixture scale (sf0.1 has exactly 5000 docs), so
+    driver-scale results are unchanged; past that it bounds the ORACLE's
+    exact-ground-truth cost, whose list-containment joins on the
+    978x-amplified adversarial pair set otherwise spill DuckDB temp past
     the box's disk.  A recall measurement on a fixed 5000-doc slice grades
-    the (k=8, bands=4) choice just as well as the full corpus would."""
+    the (k=8, bands=4) choice just as well as the full corpus would; the
+    corpus-scale approximate path (near_dup_pairs_lsh) is unbounded."""
     from lms_etl_pipeline_spark.operators import dedup as dd
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    d = _RECALL_SLICE.apply(load_table(spark, sf_dir, "documents"))
     truth = dd.jaccard_pairs_prefix(
         d, "doc_id", "text", n=3, threshold=0.5,
         num_partitions=default_parallelism(spark),

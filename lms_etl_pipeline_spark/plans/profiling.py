@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.functions.numeric import dec_sum
+from lms_etl_pipeline_spark.plans import anchors
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _G3, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS, EMB_DIM
@@ -1523,15 +1524,17 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH_BITS = 16
 _SH_HAM = 2  # near-dup threshold; 3 blocks guarantee recall by pigeonhole
-# SF-independent anchor slice.  The pair count of a lossless near-dup query
-# is inherently quadratic in duplicate density, and a 16-bit signature space
-# saturates on corpus-sized inputs (at sf0.1 the TRUE result exceeds the
-# harness's 2M-row comparator bound).  Bounding the anchor to a fixed id
-# range caps the worst case at n(n-1)/2 = 1,999,000 rows <= the bound even
-# on an all-duplicate adversarial corpus, while leaving driver-scale
-# results bit-identical (sf0.001/sf0.01 have 500 docs, all < 2000).  The
-# corpus-scale SimHash path is ``dedup_simhash`` (rows-only, 64-bit space).
+# CONTRACT anchor slice (plans/anchors.py, active in every mode).  The pair
+# count of a lossless near-dup query is inherently quadratic in duplicate
+# density, and a 16-bit signature space saturates on corpus-sized inputs
+# (at sf0.1 the TRUE result exceeds the harness's 2M-row comparator bound).
+# Bounding the anchor to a fixed id range caps the worst case at
+# n(n-1)/2 = 1,999,000 rows <= the bound even on an all-duplicate
+# adversarial corpus, while leaving driver-scale results bit-identical
+# (sf0.001/sf0.01 have 500 docs, all < 2000).  The corpus-scale SimHash
+# path is ``dedup_simhash`` (rows-only, 64-bit space, UNBOUNDED).
 _SH_MAX_DOCS = 2000
+_SH_SLICE = anchors.AnchorSlice("doc_id", _SH_MAX_DOCS, kind="contract")
 
 _SH_H = "TRY_CAST(CONCAT('0x', SUBSTRING(MD5(tok), 1, 15)) AS BIGINT)"
 _SH_SIG = " + ".join(
@@ -1548,7 +1551,7 @@ _SH_SUMS = ",\n             ".join(
     oracle=f"""
     WITH tok_t AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT({_TOKS})) AS tok FROM documents
-      WHERE doc_id < {_SH_MAX_DOCS}),
+      WHERE {_SH_SLICE.sql}),
     sums AS (
       SELECT doc_id,
              {_SH_SUMS}
@@ -1579,9 +1582,11 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-based ``dedup_simhash`` (rows-only by hash family): same
     algorithm, oracle-checkable end to end, so the SimHash family gets a
     value-level anchor the way minhash has ``near_dup_pairs_lsh``.  The
-    anchor reads an SF-independent ``doc_id < {_SH_MAX_DOCS}`` slice so its
-    worst-case output (quadratic in duplicate density by construction) stays
+    anchor reads an SF-independent ``doc_id < {_SH_MAX_DOCS}`` CONTRACT
+    slice (``plans/anchors.py``, active in every mode — an exact all-pairs
+    ground truth is quadratic by definition) so its worst-case output stays
     under the harness comparator bound at every scale; see ``_SH_MAX_DOCS``.
+    Corpus-scale SimHash semantics live in the unbounded ``dedup_simhash``.
 
     Scale: signature build is one explode + a {16}-way conditional
     map-side-combining sum per doc (one pass, no joins); candidate
@@ -1590,7 +1595,7 @@ def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join, with a 3-block banding guarantee instead of probabilistic
     recall.
     """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _SH_MAX_DOCS)
+    d = _SH_SLICE.apply(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(tx.tokens("text"))).alias("tok")
     )

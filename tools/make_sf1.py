@@ -4,8 +4,16 @@ Rationale (round-6 finding): the Spark↔DuckDB differential harness is
 data-agnostic, and bigger fixtures sample more of the float value space
 and more tie/duplicate structure — the sf0.1 sweep caught a rounding-tie
 bug (embedding_centroids) that the sf0.001/0.01 gates never hit.  This
-builds a 10× fixture for EVERY table so the entire 290-query catalog can
-be swept one more decade up (`python tools/check_oracle.py .scratch/sf1full`).
+builds a 10× fixture for EVERY table so the entire catalog can be swept
+one more decade up:
+
+    SPARK_GRAFT_ANCHOR_SLICES=bounded python tools/check_oracle.py .scratch/sf1full
+
+The env var applies the explicit anchor slices (plans/anchors.py) to the
+two corpus-wide "gate" queries whose result sets this fixture's deliberate
+duplicate amplification pushes past the comparator row cap
+(attribution_linear_multitouch, fifo_returns_allocation); sweeping them
+unbounded fails loudly on the cap rather than OOMing.
 
 Scaling model — facts grow, dimensions stay (the realistic shape):
 
