@@ -29,27 +29,95 @@ def dec(col: Column | str) -> Column:
     return c.cast(DEC)
 
 
-def units(col: Column | str, scale: int) -> Column:
+# Every (column, scale) ever routed through units(), recorded at plan-build
+# time.  tools/audit_plans.py machine-checks the exactness precondition for
+# each entry on the live fixture (max |x*10^s - round(x*10^s)| <= margin) —
+# a poisoned 3-dp price fails preflight with a named column instead of
+# silently producing a wrong sum.
+UNIT_CALLS: set[tuple[str, int]] = set()
+
+
+def units(col: str, scale: int) -> Column:
     """Exact BIGINT view of a ≤``scale``-dp money/rate double, in 10^-scale
     units — the integer fast path of the decimal convention above.
 
     Exactness precondition: the double is the shortest representation of a
     value with at most ``scale`` fractional digits (true of the fixtures'
     money columns — max residual |x·10^s − round(x·10^s)| measured ≤ 1e-9).
+    The precondition is MACHINE-CHECKED per recorded column by
+    tools/audit_plans.py (see ``UNIT_CALLS``); ``col`` must be a plain
+    column name so the audit can locate it in the fixtures.
     Then ``round(x·10^scale)`` lands on the same integer as
     ``CAST(x AS DECIMAL(p,scale))`` (both resolve the shortest-repr value;
     the double's error is orders of magnitude below the 0.5-unit rounding
     threshold), so unit arithmetic is value-identical to decimal arithmetic
     while replacing per-row BigDecimal multiplies (scale propagation + ANSI
     overflow checks) with single long multiplies inside whole-stage codegen
-    — measured 2.8x faster on the q1 scan+aggregate task, a per-core win
-    that holds at any data scale.  Sums of units are exact and
-    order-independent exactly like decimal sums; finalize with one
-    ``units DIV 10^k / 10^(scale-k)`` per GROUP (integer half-up, then one
-    exact int->double divide — the same single-rounding discipline as
-    ``dec_sum_of``, valid while the scaled sum stays below 2^53)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10**scale)).cast("bigint")
+    — measured 2.8x faster on the q1 scan+aggregate task, a per-core win.
+
+    int64 OVERFLOW ENVELOPE (per-group SUM capacity = 2^63 / max-per-row
+    unit value; under ANSI mode exceeding it ABORTS the query, it does not
+    silently wrap): scale-4 quantities (~5e5/row) sum safely to ~1.8e13
+    rows/group; scale-4 money (~1e9/row) to ~9e9 rows/group; scale-6
+    revenue products (~1e11/row) to only ~9e7 rows/group — i.e. a
+    whole-table TPC-H group aborts near sf~150 for scale-6 and sf~6000 for
+    scale-4 money.  Fact-table money sums must therefore use the hi/lo
+    split (``hl_sums``/``hl_double`` below), which moves every capacity to
+    >= ~9e12 rows/group (sf ~6e6, ~600 PB) while keeping fixture-scale
+    results bit-identical.  EXACTNESS of the final double remains governed
+    by the decimal convention's own 2^53 envelope either way."""
+    if not isinstance(col, str):
+        raise TypeError(
+            "units() takes a column NAME so the exactness precondition is "
+            "auditable (tools/audit_plans.py); got a Column expression"
+        )
+    UNIT_CALLS.add((col, scale))
+    return F.round(F.col(col) * (10**scale)).cast("bigint")
+
+
+# Divisor for the overflow-safe hi/lo sum decomposition.  Chosen near
+# sqrt(max per-row unit value): both part-sums then carry ~9.2e12-row
+# per-group capacity for scale-6 revenue units (~1e11/row max).
+HL_DIV = 1_000_000
+
+
+def hl_sums(expr_sql: str, prefix: str, *, non_negative: bool = False) -> list[Column]:
+    """Overflow-safe integer-unit SUM: decompose each row's unit value as
+    ``x = HL_DIV*hi + lo`` with ``lo ∈ [0, HL_DIV)`` and sum the parts
+    separately.  By linearity the true sum is ``HL_DIV*SUM(hi) + SUM(lo)``
+    with both part-sums int64-safe to ~9.2e12 rows/group for scale-6
+    revenue units (sf ~6e6) — the c10-style split from q1 generalized.
+
+    ``expr_sql`` is a SQL fragment (a named unit column or expression over
+    one — name compound expressions in a select first) so the split runs
+    entirely in integer ``DIV``/``%`` inside whole-stage codegen:
+    ``non_negative=True`` (assert it only for provably >= 0 units, e.g.
+    price x (1-d) products) emits plain ``DIV``/``%`` (two long ops/row);
+    the signed form keeps ``lo >= 0`` via ``pmod`` so hi carries the sign
+    and the identity holds for any sign mix (DIV truncates toward zero,
+    but ``x - pmod(x, d)`` is divisible by d, so the truncation is exact).
+
+    Returns the two aggregate columns ``{prefix}hi``, ``{prefix}lo``;
+    finalize with ``hl_double`` (plain sums) or the rounding decompositions
+    documented at the q1/q9 call sites (plans/relational.py)."""
+    e = f"({expr_sql})"
+    if non_negative:
+        hi, lo = f"{e} DIV {HL_DIV}", f"{e} % {HL_DIV}"
+    else:
+        lo = f"pmod({e}, {HL_DIV})"
+        hi = f"({e} - {lo}) DIV {HL_DIV}"
+    return [
+        F.expr(f"SUM({hi})").alias(f"{prefix}hi"),
+        F.expr(f"SUM({lo})").alias(f"{prefix}lo"),
+    ]
+
+
+def hl_double(prefix: str) -> str:
+    """SQL fragment reconstructing the true sum ``HL_DIV*hi + lo`` in
+    DOUBLE arithmetic — exact while the true sum < 2^53 (the decimal
+    convention's own exactness envelope), and NEVER aborts past it (the
+    int64 recombination would).  Embed in an F.expr finalizer."""
+    return f"({prefix}hi * {HL_DIV}.0D + {prefix}lo)"
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:

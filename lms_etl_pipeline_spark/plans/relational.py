@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lms_etl_pipeline_spark.functions.numeric import dec, dec_sum, units
+from lms_etl_pipeline_spark.functions.numeric import dec, dec_sum, hl_sums, units
 from lms_etl_pipeline_spark.operators.rank import global_ntile
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
@@ -44,12 +44,16 @@ def _rev6() -> F.Column:
     Value-identical to ``_revenue()`` (the fixtures' prices are exact cents,
     discounts exact basis points — see ``functions.numeric.units``), but a
     single long multiply per row instead of a BigDecimal scale-8 multiply
-    with ANSI overflow checks: measured 2.8x faster on the q1 scan task, a
-    per-core gain that holds at any scale.  Finalize a SUM with
-    ``((S + 50) DIV 100) / 10000.0`` — integer half-up to scale 4 then one
-    exact int->double divide, the same single-rounding discipline as
-    ``dec_sum_of`` (valid for the non-negative TPC-H money domain while the
-    scale-4 sum stays below 2^53, the decimal convention's own envelope).
+    with ANSI overflow checks: measured 2.8x faster on the q1 scan task —
+    a per-core gain.  SUM CAPACITY IS NOT UNLIMITED: a direct SUM of
+    scale-6 units (~1e11/row max) overflows int64 — and ANSI-aborts — at
+    ~9e7 rows per group (whole-table TPC-H groups: sf~150), so every
+    fact-table sum of this product goes through ``hl_sums``' hi/lo split
+    (capacity ~9e12 rows/group, sf~6e6); finalizers rebuild the exact sum
+    in double and divide once (single-rounding discipline, value-identical
+    to the unsplit formulas while the sum < 2^53 — the decimal
+    convention's own exactness envelope).  See q1's comment block for the
+    per-measure rounding decompositions.
     """
     return units("l_extendedprice", 2) * (F.lit(10000) - units("l_discount", 4))
 
@@ -99,34 +103,43 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer-unit formulation (value-identical to the decimal oracle; see
     # _rev6/units): q/p/d as scale-4 bigints, revenue m at scale 6, charge c
     # at scale 10 = cents x (1-d) x (1+t) basis points — exactly the
-    # oracle's (12,2)x(6,4)x(6,4) decimal product.  c's per-group sum would
-    # overflow int64 (~4e14/row x 150k rows), so each row splits into
-    # (c DIV 1e6, c % 1e6); the true sum is Shi*1e6 + Slo, and the scale-4
-    # half-up round is Shi + (Slo + 5e5) DIV 1e6 without ever recombining.
-    u = (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            units("l_quantity", 4).alias("q4"),
-            units("l_extendedprice", 4).alias("p4"),
-            units("l_discount", 4).alias("d4"),
-            _rev6().alias("m6"),
-            (_rev6() * (F.lit(10000) + units("l_tax", 4))).alias("c10"),
-        )
-        .withColumn("c10_hi", F.expr("c10 DIV 1000000"))
-        .withColumn("c10_lo", F.expr("c10 % 1000000"))
+    # oracle's (12,2)x(6,4)x(6,4) decimal product.  Every money sum rides
+    # the hi/lo split (functions.numeric.hl_sums): summing p4 (~1e9/row),
+    # m6 (~1e11/row), or c10 (~1e15/row) directly would overflow int64 —
+    # and ABORT under ANSI — at whole-table group sizes of sf~6000, sf~150,
+    # and sf~8 respectively; split, every part-sum is safe past sf~6e6.
+    # c10 splits THREE ways (1e12/1e6/1): its mid digits are themselves a
+    # second hl_sums over the scale-10 value's 1e6-quotient.
+    # Finalizers reconstruct each exact sum in ONE double expression and
+    # divide ONCE (single-rounding discipline — bit-identical to the
+    # unsplit formulas while the true sum < 2^53, the decimal convention's
+    # own exactness envelope):
+    #   S(p4)  = 1e6*phi + plo
+    #   ROUND(S(m6), 4)-as-scale-4-int = 1e4*mhi + (mlo + 50) DIV 100
+    #     [exact: 1e6*mhi is divisible by 100 and mlo >= 0]
+    #   S(c10) = 1e12*chhi + 1e6*chlo + clo, so its scale-4 half-up round
+    #     is 1e6*chhi + chlo + (clo + 5e5) DIV 1e6.
+    u = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        units("l_quantity", 4).alias("q4"),
+        units("l_extendedprice", 4).alias("p4"),
+        units("l_discount", 4).alias("d4"),
+        _rev6().alias("m6"),
+        (_rev6() * (F.lit(10000) + units("l_tax", 4))).alias("c10"),
     )
     return (
         u.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("q4").alias("sq4"),
             F.count("q4").alias("nq"),
-            F.sum("p4").alias("sp4"),
+            *hl_sums("p4", "p", non_negative=True),
             F.count("p4").alias("np"),
-            F.sum("m6").alias("sm6"),
-            F.sum("c10_hi").alias("shi"),
-            F.sum("c10_lo").alias("slo"),
+            *hl_sums("m6", "m", non_negative=True),
+            *hl_sums("c10 DIV 1000000", "ch", non_negative=True),
+            F.expr("SUM(c10 % 1000000)").alias("clo"),
             F.sum("d4").alias("sd4"),
             F.count("d4").alias("nd"),
             F.count("*").alias("count_order"),
@@ -135,11 +148,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
             F.expr("sq4 / 10000.0D").alias("sum_qty"),
-            F.expr("sp4 / 10000.0D").alias("sum_base_price"),
-            F.expr("((sm6 + 50) DIV 100) / 10000.0D").alias("sum_disc_price"),
-            F.expr("(shi + (slo + 500000) DIV 1000000) / 10000.0D").alias("sum_charge"),
+            F.expr("(phi * 1000000.0D + plo) / 10000.0D").alias("sum_base_price"),
+            F.expr("(mhi * 10000.0D + (mlo + 50) DIV 100) / 10000.0D").alias(
+                "sum_disc_price"
+            ),
+            F.expr(
+                "(chhi * 1000000.0D + chlo + (clo + 500000) DIV 1000000) / 10000.0D"
+            ).alias("sum_charge"),
             F.expr("sq4 / 10000.0D / nq").alias("avg_qty"),
-            F.expr("sp4 / 10000.0D / np").alias("avg_price"),
+            F.expr("(phi * 1000000.0D + plo) / 10000.0D / np").alias("avg_price"),
             F.expr("sd4 / 10000.0D / nd").alias("avg_disc"),
             "count_order",
         )
@@ -1265,11 +1282,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
+        # hi/lo split (see hl_sums): a direct scale-6 sum overflows int64 —
+        # and ANSI-aborts — near sf~8000 of filtered rows; split, both
+        # part-sums are safe past sf~6e6.  The finalizer rebuilds the exact
+        # sum in double and divides ONCE (bit-identical to r6/1e6 while the
+        # sum < 2^53).
+        .select((units("l_extendedprice", 2) * units("l_discount", 4)).alias("r6u"))
         .agg(
-            F.sum(units("l_extendedprice", 2) * units("l_discount", 4)).alias("r6"),
+            *hl_sums("r6u", "r", non_negative=True),
             F.count("*").alias("n_items"),
         )
-        .select(F.expr("r6 / 1000000.0D").alias("revenue_delta"), "n_items")
+        .select(
+            F.expr("(rhi * 1000000.0D + rlo) / 1000000.0D").alias("revenue_delta"),
+            "n_items",
+        )
     )
 
 
@@ -1785,25 +1811,38 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # profit units at scale 6: rev6 minus (qty x retailprice), the cost being
     # a scale-4 product of two scale-2 unit casts, promoted x100 to scale 6.
-    # Profit can be NEGATIVE, and DIV truncates toward zero, so the half-up
-    # (= half-away-from-zero, matching decimal ROUND) finalization branches
-    # on sign instead of using the unsigned (s+50) DIV 100 shortcut.
+    # Profit can be NEGATIVE; hl_sums' pmod decomposition keeps lo >= 0 and
+    # puts the sign in hi, so S = 1e6*phi + plo holds for any sign mix and
+    # both part-sums stay int64-safe past sf~3e6 (a direct scale-6 sum
+    # ANSI-aborts near sf~6700 at this query's per-(nation,year) grouping).
+    # Half-away-from-zero ROUND(S, 4) from the parts, all-integer:
+    #   T = floor(S/100) = 1e4*phi + plo DIV 100   [1e6*phi divisible by
+    #       100; plo >= 0 so DIV is floor]
+    #   r = pmod(S, 100) = plo % 100               [same divisibility]
+    #   round(S/100) = T + 1 iff r > 50, or r = 50 and S >= 0 (<=> T >= 0,
+    #       since T = floor(S/100)); else T.
+    # One exact int -> double divide finalizes — the same single-rounding
+    # discipline, value-identical to the old sign-branch formula (pinned by
+    # tests/test_numeric_conventions.py on signed .5 boundaries).
     profit6 = _rev6() - units("l_quantity", 2) * units("p_retailprice", 2) * F.lit(100)
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .withColumn("p6u", profit6)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(profit6).alias("p6"))
+        .agg(*hl_sums("p6u", "p"))
+        .withColumn("p6t", F.expr("phi * 10000 + plo DIV 100"))
+        .withColumn("p6r", F.expr("plo % 100"))
         .withColumn(
             "sum_profit",
             F.expr(
-                "CASE WHEN p6 >= 0 THEN ((p6 + 50) DIV 100) / 10000.0D"
-                " ELSE -(((-p6) + 50) DIV 100) / 10000.0D END"
+                "(p6t + CASE WHEN p6r > 50 THEN 1"
+                " WHEN p6r = 50 AND p6t >= 0 THEN 1 ELSE 0 END) / 10000.0D"
             ),
         )
-        .drop("p6")
+        .drop("phi", "plo", "p6t", "p6r")
     )
 
 
@@ -1919,13 +1958,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(per_part), li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        # hi/lo split: scale-4 money sums overflow int64 near sf~6000 of
+        # group rows (see functions.numeric.units); split, safe past sf~6e6
+        .withColumn("p4u", units("l_extendedprice", 4))
         .agg(
-            F.sum(units("l_extendedprice", 4)).alias("p4"),
+            *hl_sums("p4u", "p", non_negative=True),
             F.count("*").alias("n_lines"),
         )
         # a scale-4 unit sum IS a 4-dp value: ROUND(S,4) is the identity,
-        # so the finalization is just the exact int->double divide
-        .select(F.expr("p4 / 10000.0D / 7.0D").alias("avg_yearly"), "n_lines")
+        # so the finalization is the exact double rebuild + the same two
+        # divides as before (value-identical while the sum < 2^53)
+        .select(
+            F.expr("(phi * 1000000.0D + plo) / 10000.0D / 7.0D").alias("avg_yearly"),
+            "n_lines",
+        )
     )
 
 

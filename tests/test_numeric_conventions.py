@@ -200,3 +200,87 @@ def test_signed_unit_rounding_matches_decimal_round(spark):
     ).collect()
     for r in out:
         assert r.unit_val == r.dec_val, (r.p6, r.unit_val, r.dec_val)
+
+
+def test_hl_sums_identity_signed(spark):
+    """hl_sums' pmod decomposition reconstructs the true sum for any sign
+    mix: S = HL_DIV*sum(hi) + sum(lo) with lo ∈ [0, HL_DIV)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.functions.numeric import HL_DIV, hl_sums
+
+    rng = random.Random(7)
+    vals = [rng.randrange(-10**14, 10**14) for _ in range(2000)]
+    vals += [0, 1, -1, HL_DIV - 1, HL_DIV, HL_DIV + 1,
+             -HL_DIV + 1, -HL_DIV, -HL_DIV - 1, 10**14, -10**14]
+    df = spark.createDataFrame([(v,) for v in vals], "u BIGINT")
+    row = df.agg(*hl_sums("u", "s")).collect()[0]
+    assert HL_DIV * row.shi + row.slo == sum(vals)
+    # per-row lo stays in [0, HL_DIV) even for negatives (pmod, not %)
+    lo_bad = df.select(F.pmod(F.col("u"), F.lit(HL_DIV)).alias("lo")).filter(
+        (F.col("lo") < 0) | (F.col("lo") >= HL_DIV)
+    ).count()
+    assert lo_bad == 0
+
+
+def test_hl_q9_rounding_decomposition_matches_sign_branch(spark):
+    """The q9 finalizer was rewritten from the sign-branch CASE onto the
+    (T = floor(S/100), r = pmod(S,100)) decomposition over hl_sums parts.
+    Pin value-identity on signed .5 boundaries and random values: each
+    input row is its own group, so the aggregate path IS the per-value
+    path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.functions.numeric import hl_sums
+
+    rng = random.Random(11)
+    units6 = [0, 49, 50, 51, 100, 149, 150, 151, -49, -50, -51, -100, -150,
+              -151, 123456789, -123456789, 999999999950, -999999999950,
+              10**14 + 50, -(10**14) - 50]
+    units6 += [rng.randrange(-10**14, 10**14) for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(units6)], "gid BIGINT, p6 BIGINT"
+    )
+    out = (
+        df.groupBy("gid")
+        .agg(*hl_sums("p6", "p"), F.first("p6").alias("p6"))
+        .withColumn("p6t", F.expr("phi * 10000 + plo DIV 100"))
+        .withColumn("p6r", F.expr("plo % 100"))
+        .select(
+            "p6",
+            F.expr(
+                "(p6t + CASE WHEN p6r > 50 THEN 1"
+                " WHEN p6r = 50 AND p6t >= 0 THEN 1 ELSE 0 END) / 10000.0D"
+            ).alias("new_val"),
+            F.expr(
+                "CASE WHEN p6 >= 0 THEN ((p6 + 50) DIV 100) / 10000.0D"
+                " ELSE -(((-p6) + 50) DIV 100) / 10000.0D END"
+            ).alias("old_val"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.new_val == r.old_val, (r.p6, r.new_val, r.old_val)
+
+
+def test_hl_sums_survive_where_direct_sum_aborts(spark):
+    """The point of the split: a direct int64 unit sum past 2^63 ABORTS
+    under ANSI; the hi/lo part-sums of the same rows succeed and
+    reconstruct the true value."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.functions.numeric import HL_DIV, hl_sums
+
+    big = 4 * 10**18  # 3 rows sum to 1.2e19 > 2^63-1 ~ 9.2e18
+    df = spark.createDataFrame([(big,), (big,), (big,)], "u BIGINT")
+    with _pytest.raises((Py4JJavaError, Exception)) as exc:
+        df.agg(F.sum("u")).collect()
+    assert "overflow" in str(exc.value).lower() or "ARITHMETIC" in str(exc.value)
+    row = df.agg(*hl_sums("u", "s")).collect()[0]
+    assert HL_DIV * row.shi + row.slo == 3 * big

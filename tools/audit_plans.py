@@ -14,6 +14,12 @@ Flags the plan shapes that are fine at sf0.01 and fatal at 100 TB:
   unpartitioned window's input rows must be <= the declared bound.
   Deliberately unbounding a side or removing a partitionBy therefore
   fails preflight, not just the comment.
+- the integer-unit fast path's exactness precondition
+  (functions.numeric.units: every routed column holds <= scale-dp
+  values, max |x*10^s - round(x*10^s)| <= UNITS_MARGIN) is verified
+  against the live fixture for every (column, scale) recorded at
+  plan-build time — a poisoned 3-dp price fails here with a named
+  column instead of producing a silently wrong sum.
 
 Usage: python tools/audit_plans.py [sf_dir]
 Exit 1 if any unallowed red flag is found or any declared bound is exceeded.
@@ -260,6 +266,83 @@ def _global_window_inputs(node) -> list[int]:
     return out
 
 
+# Declared margin for the units() exactness precondition: the fixtures'
+# money columns measure <= 1e-9; anything past 1e-6 means a column is NOT a
+# <=scale-dp value and unit arithmetic would quantize it (a 3-dp price at
+# scale 2 shows residual ~0.4).  Far below the 0.5-unit rounding threshold,
+# far above double noise.
+UNITS_MARGIN = 1e-6
+
+_FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
+    """Verify, for every (column, scale) recorded by functions.numeric.units
+    at plan-build time, that the fixture column satisfies the exactness
+    precondition max |x*10^s - round(x*10^s)| <= UNITS_MARGIN.  Returns
+    human-readable failures (empty = certified).  A column that cannot be
+    located in any fixture table is itself a failure: an unauditable
+    precondition is an unverified one."""
+    from pyspark.sql import functions as F
+
+    from lms_etl_pipeline_spark.functions.numeric import UNIT_CALLS
+
+    # col -> max scale used anywhere (the strictest precondition)
+    need: dict[str, int] = {}
+    for col, scale in UNIT_CALLS:
+        need[col] = max(need.get(col, -1), scale)
+    if not need:
+        return ["units() registry is empty — build the catalog plans first"]
+
+    failures: list[str] = []
+    located: set[str] = set()
+    for t in _FIXTURE_TABLES:
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        except Exception:  # noqa: BLE001 - partial fixture dirs are fine
+            continue
+        cols = [c for c in df.columns if c in need and c not in located]
+        if not cols:
+            continue
+        located.update(cols)
+        aggs = [
+            F.max(
+                F.abs(
+                    F.col(c) * (10 ** need[c])
+                    - F.round(F.col(c) * (10 ** need[c]))
+                )
+            ).alias(c)
+            for c in cols
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for c in cols:
+            resid = row[c]
+            if resid is None:
+                print(f"  units {'n/a':10s} {t}.{c}: all-null column")
+                continue
+            status = "ok" if resid <= UNITS_MARGIN else "VIOLATED"
+            print(
+                f"  units {status:10s} {t}.{c}: max|x*10^{need[c]} - round| "
+                f"= {resid:.3g} <= {UNITS_MARGIN}"
+            )
+            if resid > UNITS_MARGIN:
+                failures.append(
+                    f"units precondition VIOLATED for {t}.{c} at scale "
+                    f"{need[c]}: max residual {resid:.6g} > {UNITS_MARGIN} — "
+                    "the column is not a <=scale-dp value; unit arithmetic "
+                    "would silently quantize it"
+                )
+    for c in sorted(set(need) - located):
+        failures.append(
+            f"units({c!r}): column not found in any fixture table under "
+            f"{sf_dir} — precondition cannot be certified"
+        )
+    return failures
+
+
 def check_bounds(spark, entrymod, sf_dir: str) -> list[str]:
     """Execute every allowlisted query once and verify each declared
     cross-join small-side bound and global-window input bound from the
@@ -374,6 +457,9 @@ def main() -> int:
 
     print("\n== allowlist declared-bound verification (cross joins + global windows) ==")
     failures.extend(check_bounds(spark, entrymod, sf_dir))
+
+    print("\n== units() exactness precondition (functions.numeric) ==")
+    failures.extend(unit_precondition_failures(spark, sf_dir))
 
     if failures:
         print("\nRED FLAGS:")
