@@ -193,6 +193,7 @@ def with_uniform_key_buckets(
     key: Column | str,
     n_buckets: int = 64,
     bucket_col: str = "_gbk",
+    nulls: str = "first",
 ) -> DataFrame:
     """Attach a DATA-DEPENDENT monotone coarse bucket for keys with no
     statically-known domain: broadcast the key's exact (min, max) — a
@@ -222,7 +223,20 @@ def with_uniform_key_buckets(
     bucket into NaN->NULL, silently breaking monotonicity.  Float data
     carries NaN/Inf in practice (scores, norms, embedding artifacts),
     so the helper must not corrupt global order when they appear.
+
+    NULL PLACEMENT CONTRACT (``nulls``): bucket -2 matches ``ASC NULLS
+    FIRST`` — Spark's ascending default — and is therefore WRONG for the
+    negated-key idiom (``-score`` to get a descending global order),
+    where Spark's descending default is NULLS LAST: a nullable negated
+    key would rank every NULL before the data instead of after it.
+    Negating call sites must pass ``nulls="last"`` (bucket n+4, after
+    NaN, matching ``DESC NULLS LAST`` on the original key); it is a
+    no-op for non-null keys, so every such site sets it even when the
+    current column is non-nullable.
     """
+    if nulls not in ("first", "last"):
+        raise ValueError(f"nulls must be 'first' or 'last', got {nulls!r}")
+    null_bucket = -2 if nulls == "first" else n_buckets + 4
     key = F.col(key) if isinstance(key, str) else key
     # Canonical double view: monotone for every numeric type (a >53-bit
     # decimal may collapse ties, which only merges adjacent buckets) and
@@ -237,7 +251,7 @@ def with_uniform_key_buckets(
     tagged = df.crossJoin(F.broadcast(stats))
     kdt = key.cast("double")  # re-derive on the tagged frame's columns
     bucket = (
-        F.when(key.isNull(), F.lit(-2))
+        F.when(key.isNull(), F.lit(null_bucket))
         .when(F.isnan(kdt), F.lit(n_buckets + 3))
         .when(kdt == ninf, F.lit(-1))
         .when(kdt == inf, F.lit(n_buckets + 2))

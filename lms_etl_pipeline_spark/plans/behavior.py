@@ -1256,7 +1256,7 @@ def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("n_chars").cast("double")).alias("_negscore"),
     )
     deciled = global_ntile(
-        with_uniform_key_buckets(scored, "_negscore"),
+        with_uniform_key_buckets(scored, "_negscore", nulls="last"),
         10,
         [F.col("score").desc(), F.col("doc_id").asc()],
         F.col("_gbk"),

@@ -838,7 +838,9 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(F.sum(rev_expr).alias("rev"))
     order = [F.col("rev").desc(), F.col("l_partkey").asc()]
     tagged = with_uniform_key_buckets(
-        rev.withColumn("_negrev", (-F.col("rev")).cast("double")), "_negrev"
+        rev.withColumn("_negrev", (-F.col("rev")).cast("double")),
+        "_negrev",
+        nulls="last",
     )
     ranked = global_running_agg(
         attach_global_rank(tagged, order, F.col("_gbk"), rank_col="rk"),
@@ -935,7 +937,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_gbk")
     t2 = global_ntile(
         with_uniform_key_buckets(
-            t1.withColumn("_negn", -F.col("n_orders")), "_negn"
+            t1.withColumn("_negn", -F.col("n_orders")), "_negn", nulls="last"
         ),
         4,
         [F.col("n_orders").desc(), F.col("o_custkey").asc()],
@@ -946,6 +948,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_uniform_key_buckets(
             t2.withColumn("_negm", (-F.col("monetary_dec")).cast("double")),
             "_negm",
+            nulls="last",
         ),
         4,
         [F.col("monetary_dec").desc(), F.col("o_custkey").asc()],

@@ -149,7 +149,17 @@ def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     check as a residual, and sum matching counts.  The plan is a plain
     hash join on a uniform integer key with fan-out bounded by 3x the
     per-bin value count — scalable where ``Window.rangeBetween`` over a
-    corpus-wide order is a one-task stage."""
+    corpus-wide order is a one-task stage.
+
+    NULL order keys (ADVICE r7): a RANGE frame puts NULL rows in their
+    own peer group — COUNT(*) over the frame is the NULL-row count — but
+    the bin join can never route them (floor(NULL/100) joins nothing)
+    and a plain final equi-join would DROP them (NULL = NULL is never
+    true).  So the NULL value-group bypasses the bin join (its peer
+    count IS its own group count) and the final join is null-safe
+    (``eqNullSafe``), exactly reproducing ``Window.rangeBetween`` on
+    nullable data (pinned by tests/test_windows_nulls.py); TPC-H
+    c_acctbal is non-null, so fixture results are unchanged."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     vals = c.groupBy("c_acctbal").agg(F.count("*").alias("_cnt"))
     binned = vals.select(
@@ -175,7 +185,12 @@ def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_x")
         .agg(F.sum("_cnt").alias("peers_within_100"))
     )
-    return c.join(peers, c.c_acctbal == peers._x).select(
+    null_peers = vals.filter(F.col("c_acctbal").isNull()).select(
+        F.col("c_acctbal").alias("_x"),
+        F.col("_cnt").alias("peers_within_100"),
+    )
+    peers_all = peers.unionByName(null_peers)
+    return c.join(peers_all, c.c_acctbal.eqNullSafe(peers_all._x)).select(
         "c_custkey", "c_acctbal", "peers_within_100"
     )
 

@@ -275,3 +275,42 @@ def test_global_running_agg_null_values(spark, agg, inclusive):
     fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
     want = d.select("id", fn("val").over(w).alias("o"))
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_uniform_key_buckets_nulls_last_descending(spark):
+    """ADVICE r7: the negated-key idiom (-score for a descending global
+    order) needs NULLS LAST — Spark's desc default — not the helper's
+    ascending-default NULLS FIRST.  With nulls="last" a NULLABLE negated
+    key must reproduce row_number() OVER (ORDER BY score DESC NULLS LAST)
+    exactly."""
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    rows = [
+        (i, None if i % 11 == 0 else float(((i * 48271) % 509) - 250))
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(rows, "id long, score double").withColumn(
+        "_neg", -F.col("score")
+    )
+    tagged = with_uniform_key_buckets(d, "_neg", n_buckets=32, nulls="last")
+    order = [F.col("score").desc(), F.col("id").asc()]  # desc => NULLS LAST
+    got = attach_global_rank(tagged, order, F.col("_gbk"), rank_col="r").select(
+        "id", "r"
+    )
+    want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    # and the default (nulls="first") on the same data is provably WRONG
+    # for this order — the latent bug the option exists to prevent
+    tagged_bad = with_uniform_key_buckets(d, "_neg", n_buckets=32)
+    got_bad = attach_global_rank(
+        tagged_bad, order, F.col("_gbk"), rank_col="r"
+    ).select("id", "r")
+    assert got_bad.subtract(want).count() > 0
+
+
+def test_uniform_key_buckets_rejects_bad_nulls(spark):
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    d = spark.range(3).select("id", F.lit(1.0).alias("k"))
+    with pytest.raises(ValueError):
+        with_uniform_key_buckets(d, "k", nulls="either")
