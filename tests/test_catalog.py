@@ -142,3 +142,17 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "revenue" in df.columns
+
+
+def test_rows_only_anchor_map_matches_catalog():
+    """tools/cert_ledger.py's ROWS_ONLY_ANCHORS must exactly cover the
+    catalog's rows-only set, with every anchor oracle-backed — so the
+    approx-path coverage claim stays machine-derived as queries move."""
+    from tools.cert_ledger import ROWS_ONLY_ANCHORS
+
+    rows_only = {n for n in QUERIES if n not in ORACLES}
+    assert set(ROWS_ONLY_ANCHORS) == rows_only
+    for name, anchors in ROWS_ONLY_ANCHORS.items():
+        assert anchors, name
+        for a in anchors:
+            assert a in ORACLES, f"{name}: anchor {a} is not oracle-backed"
