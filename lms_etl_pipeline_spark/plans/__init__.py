@@ -17,6 +17,8 @@ from lms_etl_pipeline_spark.plans import curation  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import corpus_ml  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import training_mix  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import profiling  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import profiling_distributions  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import profiling_quality  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import behavior  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import governance  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import timeseries  # noqa: E402,F401

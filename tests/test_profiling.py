@@ -336,7 +336,7 @@ def test_novelty_first_doc_is_fully_novel_and_dup_is_not(spark):
         (3, "zeta eta theta iota kappa"),        # all-new content
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_distributions as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___nov_lit")
@@ -369,7 +369,7 @@ def test_cusum_detects_planted_level_shift(spark):
     df = spark.createDataFrame(
         rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_distributions as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___cusum_lit")
@@ -442,7 +442,7 @@ def test_flesch_orders_simple_before_complex(spark):
             "organizational restructuring."),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_distributions as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___flesch_lit")
@@ -513,7 +513,7 @@ def test_gini_bounds_and_known_values(spark):
         ["l_orderkey", "l_suppkey", "l_partkey", "l_linenumber",
          "l_extendedprice", "l_discount"],
     )
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_distributions as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___gini_lit")
@@ -535,7 +535,7 @@ def test_max_runlength_literal_frames(spark):
         (3, "x x x y y z"),             # run of 3
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_quality as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___run_lit")
@@ -615,7 +615,7 @@ def test_weighted_median_literal_frame(spark):
     df = spark.createDataFrame(
         rows, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
     ).withColumn("l_returnflag", F.lit("X"))
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_quality as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___wmed_lit")
@@ -635,7 +635,7 @@ def test_weighted_median_reduces_to_plain_with_unit_weights(spark):
     df = spark.createDataFrame(
         rows, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
     ).withColumn("l_returnflag", F.lit("Y"))
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_quality as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___wmed_lit2")
@@ -657,7 +657,7 @@ def test_symspell_finds_planted_typo_and_only_distance_one(spark):
         (3, "completely different words here"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_quality as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___sym_lit")
@@ -730,7 +730,7 @@ def test_ks_identical_samples_read_null(spark):
     # same distribution on both sides -> D == 0, no drift
     rows = [(i, "x" * 50, "en", "s", 50) for i in range(40)]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_quality as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___ks_lit")
@@ -749,7 +749,7 @@ def test_ks_detects_planted_shift(spark):
         n = 1000 + i if i % 10 == 7 else 50 + (i % 5)
         rows.append((i, "t", "en", "s", n))
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
-    import lms_etl_pipeline_spark.plans.profiling as P
+    import lms_etl_pipeline_spark.plans.profiling_quality as P
 
     orig = P.load_table
     df.createOrReplaceTempView("___ks_lit2")
