@@ -98,3 +98,18 @@ print("BOUNDED-OK")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "BOUNDED-OK" in out.stdout
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_gate_slices_are_fixture_supersets_at_driver_scales(spark, sf):
+    """The invariant that makes full and bounded modes agree wherever the
+    driver compares: each gate slice's id bound exceeds the fixture's max
+    id, so the slice predicate selects every row.  If a future fixture
+    regeneration breaks this, bounded-mode sweeps would silently change
+    driver-scale results — fail here instead."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
+    li = spark.read.parquet(f"/root/testdata/{sf}/lineitem.parquet")
+    assert ev.agg(F.max("event_id")).collect()[0][0] < 100000
+    assert li.agg(F.max("l_orderkey")).collect()[0][0] < 150000
