@@ -80,7 +80,12 @@ def minhash_signature(hashed: Column, k: int = 8) -> list[Column]:
 
 
 def with_minhash(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, partitions: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    partitions: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signatures over word-level shingle sets.
 
@@ -107,7 +112,10 @@ def with_minhash(
         from lms_etl_pipeline_spark.session import default_parallelism
 
         partitions = default_parallelism(df.sparkSession)
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+    # tokens_col: a caller that already materialized the token array
+    # (quality-gate pipelines) skips the second corpus-wide regex split.
+    tok = tokens(text_col) if tokens_col is None else F.col(tokens_col)
+    toked = df.select(F.col(id_col), tok.alias("_toks")).filter(
         F.size("_toks") >= 3
     )
     part = toked.repartition(partitions, F.col(id_col))
@@ -149,6 +157,7 @@ def near_dup_pairs(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
 
@@ -159,7 +168,7 @@ def near_dup_pairs(
     happens once (signature side, reused exchange) plus two candidate-pruned
     probes for verification.
     """
-    sigs = with_minhash(df, id_col, text_col, k)
+    sigs = with_minhash(df, id_col, text_col, k, tokens_col=tokens_col)
     bands_df = lsh_bands(sigs, id_col, k, bands)
     left = bands_df.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands_df.select(F.col(id_col).alias("b"), "band", "band_hash")
@@ -172,8 +181,9 @@ def near_dup_pairs(
     # Exact verification: tokenize per doc (cheap, one regex split) before
     # the join, but build shingle sets AFTER joining the (few) candidate
     # pairs — the quadratic-ish shingle work is |candidates|-sized.
-    a_docs = df.select(F.col(id_col).alias("a"), tokens(text_col).alias("_ta"))
-    b_docs = df.select(F.col(id_col).alias("b"), tokens(text_col).alias("_tb"))
+    tok = (lambda: tokens(text_col)) if tokens_col is None else (lambda: F.col(tokens_col))
+    a_docs = df.select(F.col(id_col).alias("a"), tok().alias("_ta"))
+    b_docs = df.select(F.col(id_col).alias("b"), tok().alias("_tb"))
     sh_a = F.array_distinct(shingles(F.col("_ta"), n=3))
     sh_b = F.array_distinct(shingles(F.col("_tb"), n=3))
     paired = (

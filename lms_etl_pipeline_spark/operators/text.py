@@ -116,7 +116,14 @@ def fingerprint(text: Column | str) -> Column:
     The classic "fingerprint clustering" key: whitespace/word-order/dup
     insensitive, collision-safe at corpus scale (128-bit).
     """
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+    return fingerprint_of(tokens(text))
+
+
+def fingerprint_of(toks: Column) -> Column:
+    """``fingerprint`` from a pre-tokenized array column — lets a pipeline
+    that already materialized tokens (quality gates) fingerprint without a
+    second corpus-wide regex split."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
 def kgram_hashes(toks: Column, k: int = 3) -> Column:
@@ -184,13 +191,19 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
     return F.try_divide(hits, F.size(toks))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep_tokens: bool = False
+) -> DataFrame:
     """Append deterministic quality-score features used for corpus filtering:
 
     - n_tokens, n_distinct: length + lexical diversity
     - ttr: type-token ratio (distinct/total)
     - mean_token_len: average word length
     - stop_ratio: stopword fraction
+
+    ``keep_tokens=True`` retains the materialized ``_toks`` array so a
+    downstream stage (fingerprint, minhash) can reuse it instead of paying
+    the corpus regex split again — the tokenize-once discipline.
     """
     # Build the token array once; every feature derives from the same column
     # (ANSI-safe: try_divide -> NULL on empty docs instead of a job abort).
@@ -214,5 +227,5 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.col("n_tokens"),
             ),
         )
-        .drop("_toks")
+        .drop(*([] if keep_tokens else ["_toks"]))
     )

@@ -1173,27 +1173,39 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, fingerprint, LSH pairs, connected components); the oracle
     replays the full chain in SQL, recursive closure included.  Scale: the
     chain is (narrow projections + three hash shuffles + the LSH equi-join
-    + diameter-bounded label iterations) — no stage is quadratic."""
+    + diameter-bounded label iterations) — no stage is quadratic.
+
+    Tokenize-ONCE discipline (round 8): the corpus regex split is the
+    chain's dominant per-row cost, and the naive composition pays it four
+    times (quality features, fingerprint, and the minhash + verification
+    legs of the LSH stage).  The pipeline now materializes the token array
+    in the quality stage, fingerprints FROM it (``tx.fingerprint_of``),
+    checkpoints the gated frame once — so the quality subtree itself runs
+    once, not once per consumer — and hands the array to the LSH stage
+    (``tokens_col=``), which skips both of its re-tokenizations.  Measured
+    at sf0.1: in-job 1.68 -> ~1.1 s, identical results."""
     from lms_etl_pipeline_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    q = tx.quality_features(d, "text").filter(
-        F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") <= 0.5)
-    )
-    exact_kept = (
-        q.select("doc_id", tx.fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    # materialize once: survivors feeds BOTH the LSH pipeline and the final
-    # anti-join — left lazy, the quality+fingerprint subtree runs twice
-    survivors = (
-        q.join(exact_kept, "doc_id")
-        .select("doc_id", "lang", "text", "n_tokens")
+    qf = (
+        tx.quality_features(d, "text", keep_tokens=True)
+        .filter(F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") <= 0.5))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "_toks",
+            tx.fingerprint_of(F.col("_toks")).alias("fp"),
+        )
         .localCheckpoint(eager=True)
     )
-    pairs = dd.near_dup_pairs(survivors, "doc_id", "text")
+    exact_kept = (
+        qf.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    survivors = qf.join(exact_kept, "doc_id").select(
+        "doc_id", "lang", "n_tokens", "_toks"
+    )
+    pairs = dd.near_dup_pairs(survivors, "doc_id", "text", tokens_col="_toks")
     comps = connected_components(pairs.select("a", "b"))
     dropped = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
