@@ -79,6 +79,32 @@ def minhash_signature(hashed: Column, k: int = 8) -> list[Column]:
     ]
 
 
+def tokenized_partitioned(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, _toks) behind an id-keyed exchange — the shared tokenize stage.
+
+    Built ONCE and referenced by every consumer in a near-dup plan (the
+    minhash leg and both verification probes), so the physical plan carries
+    a single tokenize subtree behind a single Exchange that Spark reuses
+    (ReusedExchange) instead of re-running the corpus regex split per
+    consumer.  Docs under 3 tokens are dropped here: they have no 3-gram
+    shingles, so they can neither sign nor verify."""
+    if partitions is None:
+        from lms_etl_pipeline_spark.session import default_parallelism
+
+        partitions = default_parallelism(df.sparkSession)
+    tok = tokens(text_col) if tokens_col is None else F.col(tokens_col)
+    toked = df.select(F.col(id_col), tok.alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    return toked.repartition(partitions, F.col(id_col))
+
+
 def with_minhash(
     df: DataFrame,
     id_col: str,
@@ -86,6 +112,7 @@ def with_minhash(
     k: int = 8,
     partitions: int | None = None,
     tokens_col: str | None = None,
+    _part: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signatures over word-level shingle sets.
 
@@ -108,17 +135,15 @@ def with_minhash(
        (token count), never on an expensive expression Catalyst would
        push down and clone.
     """
-    if partitions is None:
-        from lms_etl_pipeline_spark.session import default_parallelism
-
-        partitions = default_parallelism(df.sparkSession)
     # tokens_col: a caller that already materialized the token array
     # (quality-gate pipelines) skips the second corpus-wide regex split.
-    tok = tokens(text_col) if tokens_col is None else F.col(tokens_col)
-    toked = df.select(F.col(id_col), tok.alias("_toks")).filter(
-        F.size("_toks") >= 3
+    # _part: a caller that shares the tokenize exchange across plan legs
+    # (near_dup_pairs) passes the frame from tokenized_partitioned.
+    part = (
+        _part
+        if _part is not None
+        else tokenized_partitioned(df, id_col, text_col, tokens_col, partitions)
     )
-    part = toked.repartition(partitions, F.col(id_col))
     shing = part.select(
         F.col(id_col), F.array_distinct(shingles(F.col("_toks"), n=3)).alias("_sh")
     )
@@ -168,7 +193,11 @@ def near_dup_pairs(
     happens once (signature side, reused exchange) plus two candidate-pruned
     probes for verification.
     """
-    sigs = with_minhash(df, id_col, text_col, k, tokens_col=tokens_col)
+    # ONE tokenize stage behind ONE exchange, shared by the minhash leg
+    # and both verification probes (ReusedExchange) — the default path
+    # previously re-ran the corpus regex split three times.
+    part = tokenized_partitioned(df, id_col, text_col, tokens_col)
+    sigs = with_minhash(df, id_col, text_col, k, _part=part)
     bands_df = lsh_bands(sigs, id_col, k, bands)
     left = bands_df.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands_df.select(F.col(id_col).alias("b"), "band", "band_hash")
@@ -178,12 +207,11 @@ def near_dup_pairs(
         .select("a", "b")
         .distinct()
     )
-    # Exact verification: tokenize per doc (cheap, one regex split) before
-    # the join, but build shingle sets AFTER joining the (few) candidate
-    # pairs — the quadratic-ish shingle work is |candidates|-sized.
-    tok = (lambda: tokens(text_col)) if tokens_col is None else (lambda: F.col(tokens_col))
-    a_docs = df.select(F.col(id_col).alias("a"), tok().alias("_ta"))
-    b_docs = df.select(F.col(id_col).alias("b"), tok().alias("_tb"))
+    # Exact verification: reuse the tokenize exchange, but build shingle
+    # sets AFTER joining the (few) candidate pairs — the quadratic-ish
+    # shingle work stays |candidates|-sized.
+    a_docs = part.select(F.col(id_col).alias("a"), F.col("_toks").alias("_ta"))
+    b_docs = part.select(F.col(id_col).alias("b"), F.col("_toks").alias("_tb"))
     sh_a = F.array_distinct(shingles(F.col("_ta"), n=3))
     sh_b = F.array_distinct(shingles(F.col("_tb"), n=3))
     paired = (
