@@ -49,6 +49,19 @@ _PRIORITY: tuple[str, ...] = (
     #     agg_percentiles_exact: round-7 bucketed global-rank rewrite;
     #   - window_range_between: round-8 NULL-safe peers-join fix.
     #
+    # ROUND-9 ROTATION PREP: after this window the never-certified debt is
+    # ZERO, so the policy shifts permanently to re-cert economy — fill the
+    # 48 free slots with (in priority order) (1) queries whose plan changed
+    # since their last driver-green row (git log of plans/ + bench.py's
+    # plan_changed labels name them; round 8 changed: q9_product_profit,
+    # attribution_linear_multitouch, fifo_returns_allocation,
+    # corpus_curation_pipeline, near_dup_pairs_lsh, minhash_signatures,
+    # model_gains_table, abc_pareto_classification, rfm_segmentation —
+    # whichever aren't certified on their new plans by the r8 window),
+    # then (2) the oldest-certified rows (cert_ledger's green_round dates
+    # them), oldest first.  tests/test_catalog.py's planned_recerts set and
+    # rotation_baseline list move together with this tuple.
+    #
     # driver smoke anchors
     "flagship_regional_revenue",
     "events_session_window",
