@@ -778,7 +778,11 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_true",
             "n_found",
-            (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
+            # try_divide: an empty corpus (or one with zero true pairs)
+            # yields n_true=0 — recall is NULL then, not an ANSI abort
+            F.try_divide(F.col("n_found").cast("double"), F.col("n_true")).alias(
+                "recall"
+            ),
         )
     )
 

@@ -328,13 +328,19 @@ def etl_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lms_user_id``, typed columns) as explicit, testable rules.
     """
     o = load_table(spark, sf_dir, "orders")
+    # coalesce each SUM to 0: over an EMPTY table SUM is NULL but the
+    # oracle's COUNT(*) arms are 0 — a zero-row day must report zero
+    # violations, not null ones (tests/test_empty_fixture.py)
     flat = o.agg(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
-        F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0)).alias(
-            "nonpositive_price"
-        ),
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("null_custkey"),
+        F.coalesce(
+            F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0)), F.lit(0)
+        ).alias("nonpositive_price"),
+        F.coalesce(
+            F.sum(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)),
+            F.lit(0),
         ).alias("bad_status"),
     )
     dups = (

@@ -120,7 +120,11 @@ def curated_corpus_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFr
     ).filter(F.col("n_tokens").between(20, 1000))
     path = "/root/repo/.scratch/curated_by_lang"
     write_partitioned(gated, path, ["lang"])
-    back = read_partitioned(spark, path)
+    # Explicit schema on the read-back: when the gate matched ZERO rows the
+    # layout holds no files and schema inference would raise
+    # UNABLE_TO_INFER_SCHEMA — an empty delivery must round-trip as an
+    # empty frame, not a crash (tests/test_empty_fixture.py).
+    back = read_partitioned(spark, path, schema=gated.schema)
     return back.filter(F.col("lang").isin("en", "es")).select(
         "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
     )
@@ -1467,6 +1471,13 @@ def knn_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
+    if e.isEmpty():
+        # MLlib's fit() crashes on a zero-row frame ("head of empty
+        # array"); an empty corpus must yield an empty result.  The probe
+        # is a LIMIT-1 scan — negligible against the fit it gates.
+        return spark.createDataFrame(
+            [], "q_id BIGINT, n_id BIGINT, dist DOUBLE, rk INT"
+        )
     model = brp.fit(e)
     q = e.filter(F.col("vec_id") < 5)
     pairs = model.approxSimilarityJoin(q, e, 10.0, distCol="dist")
@@ -1502,6 +1513,13 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
+    if not cents:
+        # an empty corpus has no centroids and no neighbors — return the
+        # empty result with the contract schema instead of feeding a
+        # zero-row centroid matrix to the scoring UDF (numpy AxisError)
+        return spark.createDataFrame(
+            [], "q_id BIGINT, n_id BIGINT, rk INT, cosine DOUBLE"
+        )
 
     def best_cells(df: DataFrame, nprobe: int) -> DataFrame:
         # one Arrow-batched numpy matmul per batch scores all 16 cells;

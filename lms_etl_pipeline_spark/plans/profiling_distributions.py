@@ -1057,7 +1057,10 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("i") * F.col("r")).cast("double").alias("weighted"),
         F.round(F.sum("r"), 4).cast("double").alias("total_rev"),
     )
-    return s.select(
+    # n > 0: the oracle's FROM rev, s cross join emits ZERO rows on an
+    # empty corpus (Gini of nothing is undefined), while a bare aggregate
+    # always emits one — align on the empty case (tests/test_empty_fixture)
+    return s.filter(F.col("n") > 0).select(
         F.col("n").alias("n_suppliers"),
         "total_rev",
         F.round(

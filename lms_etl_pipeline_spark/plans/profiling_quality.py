@@ -865,10 +865,15 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("nc").alias("nc"),
         )
     )
+    # coalesce nr/nc to 0 for dof: over an EMPTY table any_value is NULL
+    # but the oracle's COUNT(DISTINCT ...) is 0, giving dof (0-1)(0-1)=1 —
+    # align the degenerate case (tests/test_empty_fixture.py)
+    nr0 = F.coalesce(F.col("nr"), F.lit(0).cast("bigint"))
+    nc0 = F.coalesce(F.col("nc"), F.lit(0).cast("bigint"))
     return chi.select(
         "n",
         F.round("chi2", 4).alias("chi2"),
-        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        ((nr0 - 1) * (nc0 - 1)).cast("bigint").alias("dof"),
         F.round(
             F.sqrt(
                 F.col("chi2")

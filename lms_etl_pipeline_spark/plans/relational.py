@@ -48,12 +48,16 @@ def _rev6() -> F.Column:
     a per-core gain.  SUM CAPACITY IS NOT UNLIMITED: a direct SUM of
     scale-6 units (~1e11/row max) overflows int64 — and ANSI-aborts — at
     ~9e7 rows per group (whole-table TPC-H groups: sf~150), so every
-    fact-table sum of this product goes through ``hl_sums``' hi/lo split
-    (capacity ~9e12 rows/group, sf~6e6); finalizers rebuild the exact sum
-    in double and divide once (single-rounding discipline, value-identical
-    to the unsplit formulas while the sum < 2^53 — the decimal
-    convention's own exactness envelope).  See q1's comment block for the
-    per-measure rounding decompositions.
+    fact-table sum of this product over UNBOUNDED groups goes through
+    ``hl_sums``' hi/lo split (capacity ~9e12 rows/group, sf~6e6);
+    finalizers rebuild the exact sum in double and divide once
+    (single-rounding discipline, value-identical to the unsplit formulas
+    while the sum < 2^53 — the decimal convention's own exactness
+    envelope).  See q1's comment block for the per-measure rounding
+    decompositions.  Direct ``F.sum(_rev6())`` remains ONLY where the
+    group key bounds the group at any SF (q3 per order ~7 rows, q10 per
+    customer, q15 per supplier, q11 per part — fixed fan-out ratios in
+    the schema), where the unsplit sum is exact and abort-free forever.
     """
     return units("l_extendedprice", 2) * (F.lit(10000) - units("l_discount", 4))
 
@@ -201,7 +205,12 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — subtotals + grand total in one shuffle.
     Quantity sums ride the integer-unit fast path (``units``; exact for
-    the ≤4-dp domain, single long add per row vs a decimal accumulate)."""
+    the ≤4-dp domain, single long add per row vs a decimal accumulate).
+
+    DOCUMENTED ENGINE DIVERGENCE on zero-row input: the SQL standard (and
+    DuckDB/PostgreSQL) emit the () grand-total grouping-set row even over
+    an empty table; Spark returns an empty result.  Pinned by
+    tests/test_empty_fixture.py; see tools/make_sf0.py."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -225,10 +234,15 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all 4 grouping combinations, still one pass."""
     return (
         load_table(spark, sf_dir, "lineitem")
+        # hi/lo split: the () grand-total group sums scale-6 revenue over
+        # the WHOLE table — a direct int64 sum ANSI-aborts near sf~150
+        .withColumn("r6u", _rev6())
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n"))
-        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
-        .drop("r6")
+        .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n"))
+        .withColumn(
+            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+        )
+        .drop("rhi", "rlo")
     )
 
 
@@ -718,11 +732,16 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        # hi/lo split: 5 region groups of scale-6 revenue ANSI-abort near
+        # sf~800 unsplit (functions.numeric.units)
+        .withColumn("r6u", _rev6())
         .groupBy("r_name")
-        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n_items"))
+        .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n_items"))
         .select(
             "r_name",
-            F.expr("((r6 + 50) DIV 100) / 10000.0D").alias("revenue"),
+            F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D").alias(
+                "revenue"
+            ),
             "n_items",
         )
     )
@@ -867,10 +886,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("r6u", _rev6())
         .groupBy(F.year("o_orderdate").alias("o_year"), "supp_nation")
-        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n_items"))
-        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
-        .drop("r6")
+        .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n_items"))
+        .withColumn(
+            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+        )
+        .drop("rhi", "rlo")
     )
 
 
@@ -1363,9 +1385,12 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(p), (p.p_partkey == li.l_partkey) & cond)
-        .agg(F.sum(_rev6()).alias("r6"), F.count("*").alias("n_items"))
-        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
-        .drop("r6")
+        .withColumn("r6u", _rev6())
+        .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n_items"))
+        .withColumn(
+            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+        )
+        .drop("rhi", "rlo")
     )
 
 
@@ -1429,15 +1454,18 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROUND->DOUBLE values bit-exactly before the one double division.
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("r6u", _rev6())
+        .withColumn("p6u", F.when(promo, F.col("r6u")).otherwise(F.lit(0)))
         .agg(
-            F.sum(F.when(promo, _rev6()).otherwise(F.lit(0))).alias("n6"),
-            F.sum(_rev6()).alias("d6"),
+            *hl_sums("p6u", "n", non_negative=True),
+            *hl_sums("r6u", "d", non_negative=True),
             F.count("*").alias("n_items"),
         )
         .select(
-            F.expr("(n6 / 10000.0D) / (((d6 + 50) DIV 100) / 10000.0D)").alias(
-                "promo_revenue_pct"
-            ),
+            F.expr(
+                "((nhi * 1000000.0D + nlo) / 10000.0D)"
+                " / ((dhi * 10000.0D + (dlo + 50) DIV 100) / 10000.0D)"
+            ).alias("promo_revenue_pct"),
             "n_items",
         )
     )
@@ -1770,10 +1798,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
+        .withColumn("r6u", _rev6())
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev6()).alias("r6"))
-        .withColumn("revenue", F.expr("((r6 + 50) DIV 100) / 10000.0D"))
-        .drop("r6")
+        .agg(*hl_sums("r6u", "r", non_negative=True))
+        .withColumn(
+            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+        )
+        .drop("rhi", "rlo")
     )
 
 

@@ -443,13 +443,18 @@ def wilson_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("converted").cast("bigint").alias("k"),
     )
+    # try_divide throughout: a global aggregate over ZERO rows (a filter
+    # that matched nothing) yields n=0, and plain division would ANSI-abort
+    # the whole job instead of returning the NULL row DuckDB returns
+    # (pinned by tests/test_empty_fixture.py).
     n = F.col("n")
-    p = F.col("k").cast("double") / n
+    p = F.try_divide(F.col("k").cast("double"), n)
     half = F.lit(_WILSON_Z) * F.sqrt(
-        p * (F.lit(1) - p) / n + F.lit(_WILSON_Z2) / (F.lit(4.0) * n * n)
+        F.try_divide(p * (F.lit(1) - p), n)
+        + F.try_divide(F.lit(_WILSON_Z2), F.lit(4.0) * n * n)
     )
-    center = p + F.lit(_WILSON_Z2) / (F.lit(2) * n)
-    denom = F.lit(1) + F.lit(_WILSON_Z2) / n
+    center = p + F.try_divide(F.lit(_WILSON_Z2), F.lit(2) * n)
+    denom = F.lit(1) + F.try_divide(F.lit(_WILSON_Z2), n)
     # clamp: the closed form can overshoot [0,1] by an ulp at k=0 / k=n
     return agg.select(
         "n",
