@@ -683,22 +683,34 @@ def ab_test_lift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == "B", F.col("s1"))).alias("s1_b"),
         F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("s2_b"),
     )
-    ma = F.col("s1_a") / F.col("n_a")
-    mb = F.col("s1_b") / F.col("n_b")
-    va = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
-        F.col("n_a") - 1
+    # try_divide throughout: a single-user arm (n=1) zeroes the n-1
+    # variance denominator, and a missing arm NULLs its count — degenerate
+    # experiments must report NULL statistics, not ANSI-abort the job
+    # (found by the n=1 fixture sweep; tests/test_degenerate_fixture.py).
+    ma = F.try_divide(F.col("s1_a"), F.col("n_a"))
+    mb = F.try_divide(F.col("s1_b"), F.col("n_b"))
+    va = F.try_divide(
+        F.col("s2_a") - F.try_divide(F.col("s1_a") * F.col("s1_a"), F.col("n_a")),
+        F.col("n_a") - 1,
     )
-    vb = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
-        F.col("n_b") - 1
+    vb = F.try_divide(
+        F.col("s2_b") - F.try_divide(F.col("s1_b") * F.col("s1_b"), F.col("n_b")),
+        F.col("n_b") - 1,
     )
     return wide.select(
         "n_a",
         "n_b",
         F.round(ma, 6).alias("mean_a"),
         F.round(mb, 6).alias("mean_b"),
-        F.round(mb / ma - 1, 6).alias("lift"),
+        F.round(F.try_divide(mb, ma) - 1, 6).alias("lift"),
         F.round(
-            (mb - ma) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 4
+            F.try_divide(
+                mb - ma,
+                F.sqrt(
+                    F.try_divide(va, F.col("n_a")) + F.try_divide(vb, F.col("n_b"))
+                ),
+            ),
+            4,
         ).alias("z_stat"),
     )
 

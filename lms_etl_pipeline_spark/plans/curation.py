@@ -664,9 +664,12 @@ def quality_ranker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
-        (
-            F.sum(F.col("np") * (F.col("nn_below") + F.col("nn") / 2.0))
-            / (F.sum("np") * F.sum("nn"))
+        # try_divide: a single-class corpus (no positives or no
+        # negatives) zeroes the pair count — AUC undefined => NULL,
+        # not an ANSI abort (n=1 fixture sweep)
+        F.try_divide(
+            F.sum(F.col("np") * (F.col("nn_below") + F.col("nn") / 2.0)),
+            F.sum("np") * F.sum("nn"),
         ).alias("auc"),
     )
 

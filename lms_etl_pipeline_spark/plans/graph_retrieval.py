@@ -792,6 +792,11 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d12 = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
     diff2 = d12((F.col("ci") - F.col("cd")) * (F.col("ci") - F.col("cd")))
+    # drop dims missing from either split: when a split is EMPTY (no delta
+    # batch yet) the oracle's inner join emits zero dims — drift over
+    # nothing is n_dims=0 + NULL metrics, not a 64-dim NULL comparison
+    # (n=1 fixture sweep)
+    cent = cent.filter(F.col("ci").isNotNull() & F.col("cd").isNotNull())
     return cent.agg(
         F.count("*").cast("bigint").alias("n_dims"),
         F.round(F.sqrt(F.sum(diff2)), 8).alias("l2_drift"),

@@ -540,8 +540,11 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec(F.col("cx") * F.col("s")).alias("w"))
     )
     n1 = w1.agg(F.sqrt(dec(F.col("w") * F.col("w"))).alias("nrm"))
+    # try_divide: a single-vector (or all-identical) corpus centers to
+    # the zero vector — norm 0, direction undefined => NULL, not an
+    # ANSI abort (n=1 fixture sweep)
     v1 = w1.crossJoin(F.broadcast(n1)).select(
-        "i", (F.col("w") / F.col("nrm")).alias("v")
+        "i", F.try_divide(F.col("w"), F.col("nrm")).alias("v")
     )
     s2 = (
         c.join(F.broadcast(v1), "i")
@@ -556,7 +559,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = w2.agg(F.sqrt(dec(F.col("w") * F.col("w"))).alias("nrm"))
     return w2.crossJoin(F.broadcast(n2)).select(
         F.col("i").cast("bigint").alias("dim"),
-        F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+        F.round(F.try_divide(F.col("w"), F.col("nrm")), 6).alias("loading"),
         F.round(F.col("nrm"), 4).alias("eigval_est"),
     )
 

@@ -467,12 +467,16 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
         F.count("*").cast("bigint").alias("m"),
     )
+    # try_divide: a single-hour series (m=1) zeroes the m-1 denominator —
+    # sigma is NULL then, not an abort (n=1 fixture sweep)
     params = stats.select(
-        F.round(F.col("s1") / F.col("m"), 6).alias("mu"),
+        F.round(F.try_divide(F.col("s1"), F.col("m")), 6).alias("mu"),
         F.round(
             F.sqrt(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m"))
-                / (F.col("m") - 1)
+                F.try_divide(
+                    F.col("s2") - F.try_divide(F.col("s1") * F.col("s1"), F.col("m")),
+                    F.col("m") - 1,
+                )
             ),
             6,
         ).alias("sigma"),
@@ -838,11 +842,13 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
                 * (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
             )
+            # try_divide: one row (or a constant column) zeroes the
+            # variance product — corr undefined => NULL, not an abort
             outs.append(
                 m.select(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
-                    F.round(num / den, 6).alias("corr"),
+                    F.round(F.try_divide(num, den), 6).alias("corr"),
                 )
             )
     out = outs[0]
@@ -916,14 +922,19 @@ def ols_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov / varx
+    # try_divide: a single-row group has zero x-variance — slope/r2 are
+    # undefined (NULL), not an ANSI abort (n=1 fixture sweep)
+    slope = F.try_divide(cov, varx)
     return m.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
         F.round(slope, 6).alias("slope"),
-        F.round(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6)
-        .alias("intercept"),
-        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        F.round(
+            F.try_divide(F.col("sy"), F.col("n"))
+            - slope * F.try_divide(F.col("sx"), F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.round(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
     )
 
 

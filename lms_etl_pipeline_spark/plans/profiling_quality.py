@@ -763,10 +763,12 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
     )
+    # try_divide: a one-sided sample (all rows in one batch arm) zeroes a
+    # CDF denominator — the gap is NULL then, not an abort (n=1 sweep)
     gap = F.abs(
         F.round(
-            F.col("cum_a").cast("double") / F.col("na")
-            - F.col("cum_b").cast("double") / F.col("nb"),
+            F.try_divide(F.col("cum_a").cast("double"), F.col("na"))
+            - F.try_divide(F.col("cum_b").cast("double"), F.col("nb")),
             9,
         )
     )
@@ -776,8 +778,10 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.round(
         F.lit(1.358)
         * F.sqrt(
-            (F.col("na") + F.col("nb")).cast("double")
-            / (F.col("na") * F.col("nb").cast("double"))
+            F.try_divide(
+                (F.col("na") + F.col("nb")).cast("double"),
+                F.col("na") * F.col("nb").cast("double"),
+            )
         ),
         6,
     )
@@ -874,10 +878,14 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("chi2", 4).alias("chi2"),
         ((nr0 - 1) * (nc0 - 1)).cast("bigint").alias("dof"),
+        # try_divide: a 1x1 contingency table (single event type AND
+        # single weekday) zeroes min(nr,nc)-1 — V undefined => NULL,
+        # not an abort (n=1 fixture sweep)
         F.round(
             F.sqrt(
-                F.col("chi2")
-                / (F.col("n") * (F.least("nr", "nc") - 1))
+                F.try_divide(
+                    F.col("chi2"), F.col("n") * (F.least("nr", "nc") - 1)
+                )
             ),
             6,
         ).alias("cramers_v"),

@@ -384,6 +384,14 @@ def ab_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: inverse-erf), and its square, folded in Python like _SS_K.
 _WILSON_Z = 1.959963984540054
 _WILSON_Z2 = _WILSON_Z * _WILSON_Z
+# Oracle-side literal forms.  A bare numeric literal in DuckDB parses via
+# DECIMAL and double-rounds (measured: 3.8414588206941254 -> ...26, 1 ulp
+# off), which surfaces wherever an un-ROUNDed float output depends on the
+# constant (found by the n=1 fixture sweep at k=0).  CAST('<repr>' AS
+# DOUBLE) parses the string straight to the exact same double Python/Spark
+# hold; pinned by tests/test_numeric_conventions.py.
+_WZ_SQL = f"CAST('{_WILSON_Z!r}' AS DOUBLE)"
+_WZ2_SQL = f"CAST('{_WILSON_Z2!r}' AS DOUBLE)"
 
 
 @query(
@@ -401,16 +409,16 @@ _WILSON_Z2 = _WILSON_Z * _WILSON_Z
     , raw AS (
     SELECT n, k,
            CAST(k AS DOUBLE) / n AS rate,
-           (CAST(k AS DOUBLE) / n + {_WILSON_Z2!r} / (2 * n)
-            - {_WILSON_Z!r} * SQRT(
+           (CAST(k AS DOUBLE) / n + {_WZ2_SQL} / (2 * n)
+            - {_WZ_SQL} * SQRT(
                 (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
-                + {_WILSON_Z2!r} / (4.0 * n * n)))
-             / (1 + {_WILSON_Z2!r} / n) AS ci_low_raw,
-           (CAST(k AS DOUBLE) / n + {_WILSON_Z2!r} / (2 * n)
-            + {_WILSON_Z!r} * SQRT(
+                + {_WZ2_SQL} / (4.0 * n * n)))
+             / (1 + {_WZ2_SQL} / n) AS ci_low_raw,
+           (CAST(k AS DOUBLE) / n + {_WZ2_SQL} / (2 * n)
+            + {_WZ_SQL} * SQRT(
                 (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
-                + {_WILSON_Z2!r} / (4.0 * n * n)))
-             / (1 + {_WILSON_Z2!r} / n) AS ci_high_raw
+                + {_WZ2_SQL} / (4.0 * n * n)))
+             / (1 + {_WZ2_SQL} / n) AS ci_high_raw
     FROM agg)
     SELECT n, k, rate,
            GREATEST(ci_low_raw, CAST(0 AS DOUBLE)) AS ci_low,
@@ -957,7 +965,12 @@ def anova_f_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("sum_gsq") - F.col("st1") * F.col("st1") / F.col("n_total")
     ssw = F.col("st2") - F.col("sum_gsq")
-    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    # try_divide: k=1 group or n=k (one row per group) zeroes a dof —
+    # F is undefined (NULL), not an ANSI abort (n=1 fixture sweep)
+    f = F.try_divide(
+        F.try_divide(ssb, F.col("k") - 1),
+        F.try_divide(ssw, F.col("n_total") - F.col("k")),
+    )
     return tot.select(
         "n_total",
         "k",
