@@ -705,7 +705,9 @@ _SH_OF_TOKS = (
     "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)), "
     "i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 2), ' ')))"
 )
-_FP_OF_TOKS = "MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' '))"
+# COALESCE: DuckDB ARRAY_TO_STRING([]) is NULL; Spark concat_ws is '' —
+# zero-token docs must share MD5('') on both engines (hostile-text sweep)
+_FP_OF_TOKS = "MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' '), ''))"
 
 
 def _inc_dedup_oracle() -> str:

@@ -219,9 +219,10 @@ def retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "n_id",
             (F.col("n_label") == F.col("q_label")).alias("rel"),
-            (
-                vec.dot(F.col("q_emb"), F.col("n_emb"))
-                / (F.col("_nq") * F.col("_nn"))
+            # try_divide: zero-norm vectors => NULL cosine (hostile sweep)
+            F.try_divide(
+                vec.dot(F.col("q_emb"), F.col("n_emb")),
+                F.col("_nq") * F.col("_nn"),
             ).alias("cosine"),
         )
     )
@@ -478,13 +479,13 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_id",
-            (
-                vec.dot(F.col("q_emb"), F.col("n_emb"))
-                / (F.col("_nq") * F.col("_nn"))
+            F.try_divide(
+                vec.dot(F.col("q_emb"), F.col("n_emb")),
+                F.col("_nq") * F.col("_nn"),
             ).alias("cos_full"),
-            (
-                vec.dot(F.col("q_tr"), F.col("n_tr"))
-                / (F.col("_nq_tr") * F.col("_nn_tr"))
+            F.try_divide(
+                vec.dot(F.col("q_tr"), F.col("n_tr")),
+                F.col("_nq_tr") * F.col("_nn_tr"),
             ).alias("cos_tr"),
         )
     )
@@ -614,9 +615,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lab AS (
       SELECT doc_id,
              SUBSTRING(text, 1, 64) AS pred,
-             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
                LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), t -> t != ''))),
-               ' ')) AS gold
+               ' '), '')) AS gold
       FROM documents),
     np AS (SELECT pred, COUNT(*) AS n_p FROM lab GROUP BY 1),
     ng AS (SELECT gold, COUNT(*) AS n_g FROM lab GROUP BY 1),

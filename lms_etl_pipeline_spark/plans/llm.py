@@ -381,7 +381,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH fp AS (
       SELECT doc_id,
-             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_TOKS})), ' ')) AS fingerprint
+             MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_TOKS})), ' '), '')) AS fingerprint
       FROM documents
     )
     SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
@@ -1117,7 +1117,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept AS (
       SELECT MIN(doc_id) AS doc_id
       FROM quality
-      GROUP BY MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' '))
+      GROUP BY MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' '), ''))
     ),
     survivors AS (
       SELECT q.doc_id, q.lang, q.toks FROM quality q
@@ -1443,7 +1443,18 @@ def near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_parallelism(spark), "doc_id"
     ).select("doc_id", F.array_distinct(tx.shingles(F.col("_toks"), n=3)).alias("toks"))
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(shingled).filter(F.size("toks") > 0)
+    # localCheckpoint as a plan BARRIER, not (only) a cache: inside
+    # approxSimilarityJoin's self-join rewrite Catalyst re-collapses the
+    # projections and evaluates the MinHash UDF BEFORE this size filter,
+    # so a zero-token document (empty/whitespace text) aborts the join
+    # with "Must have at least 1 non zero entry" even though the filter
+    # excludes it (hostile-text fixture sweep).  Freezing the filtered
+    # frame keeps the UDF strictly after the filter.
+    feats = (
+        tf.transform(shingled)
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=True)
+    )
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")

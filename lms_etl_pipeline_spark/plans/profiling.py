@@ -78,7 +78,9 @@ from lms_etl_pipeline_spark.operators.rank import (
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 #: DuckDB twin of tx.fingerprint (md5 of the sorted distinct-token set).
-_FP_SQL = f"MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_TOKS})), ' '))"
+# COALESCE: DuckDB ARRAY_TO_STRING([]) is NULL; Spark concat_ws is '' —
+# zero-token docs must share MD5('') on both engines (hostile-text sweep)
+_FP_SQL = f"MD5(COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_TOKS})), ' '), ''))"
 
 #: delta-batch convention shared with corpus_ml (doc_id % 10 == 7 = newest).
 _BATCH_MOD = 7
@@ -269,7 +271,13 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", tx.tokens("text").alias("toks"))
     n = F.size("toks")
-    starts = F.sequence(F.lit(1), F.greatest(n - (_SPAN_N - 1), F.lit(0)))
+    # Guard short docs explicitly: sequence(1, 0) in Spark is the
+    # DESCENDING [1, 0] (not empty!), whose 0 start then aborts slice() —
+    # a document under {span} tokens has no spans (same guard as
+    # operators.text.shingles; hostile-text fixture sweep).
+    starts = F.when(
+        n >= _SPAN_N, F.sequence(F.lit(1), n - (_SPAN_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = t.select(
         "doc_id",
         F.explode(

@@ -261,9 +261,13 @@ def embedding_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    # try_divide: a zero-norm vector (failed encoder output) makes the
+    # cosine undefined — NULL, not an ANSI abort (hostile-text sweep)
     cos = F.round(
-        vec.dot(F.col("ea"), F.col("eb"))
-        / (vec.norm(F.col("ea")) * vec.norm(F.col("eb"))),
+        F.try_divide(
+            vec.dot(F.col("ea"), F.col("eb")),
+            vec.norm(F.col("ea")) * vec.norm(F.col("eb")),
+        ),
         6,
     )
     pairs = (
@@ -506,9 +510,13 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    # try_divide: a zero-norm vector (failed encoder output) makes the
+    # cosine undefined — NULL, not an ANSI abort (hostile-text sweep)
     cos = F.round(
-        vec.dot(F.col("ea"), F.col("eb"))
-        / (vec.norm(F.col("ea")) * vec.norm(F.col("eb"))),
+        F.try_divide(
+            vec.dot(F.col("ea"), F.col("eb")),
+            vec.norm(F.col("ea")) * vec.norm(F.col("eb")),
+        ),
         6,
     )
     pairs = (

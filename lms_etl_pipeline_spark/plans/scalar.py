@@ -131,7 +131,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[1] AS first_tok,
            toks[LEN(toks)] AS last_tok,
            LIST_CONTAINS(toks, 'the') AS has_the,
-           ARRAY_TO_STRING(LIST_SLICE(toks, 1, 3), '_') AS first3,
+           COALESCE(ARRAY_TO_STRING(LIST_SLICE(toks, 1, 3), '_'), '') AS first3,
            LEN(LIST_DISTINCT(toks)) AS n_distinct,
            LIST_SORT(LIST_DISTINCT(toks))[1] AS min_tok
     FROM (
@@ -146,15 +146,24 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains/slice/distinct/sort — all native array expressions."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    # try_element_at + a >=1 index guard: a zero-token document (empty or
+    # whitespace-only text) must yield NULL heads/tails like DuckDB's
+    # 1-based list indexing, not an ANSI abort; the oracle's first3
+    # COALESCEs ARRAY_TO_STRING([], '_') (NULL in DuckDB) to Spark's
+    # concat_ws '' (hostile-text fixture sweep).
     return d.select("doc_id", toks.alias("toks")).select(
         "doc_id",
         F.size("toks").alias("n_toks"),
-        F.element_at("toks", 1).alias("first_tok"),
-        F.element_at("toks", F.size("toks")).alias("last_tok"),
+        F.try_element_at("toks", F.lit(1)).alias("first_tok"),
+        F.try_element_at(
+            "toks", F.greatest(F.size("toks"), F.lit(1))
+        ).alias("last_tok"),
         F.array_contains("toks", "the").alias("has_the"),
         F.concat_ws("_", F.slice("toks", 1, 3)).alias("first3"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.element_at(F.array_sort(F.array_distinct("toks")), 1).alias("min_tok"),
+        F.try_element_at(
+            F.array_sort(F.array_distinct("toks")), F.lit(1)
+        ).alias("min_tok"),
     )
 
 
@@ -331,15 +340,24 @@ def scalar_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("_toks", lambda x: F.length(x) > 8).alias("has_verylong"),
         F.forall("_toks", lambda x: F.length(x) < 20).alias("all_short"),
         F.aggregate(lens, zero, lambda acc, x: acc + x).alias("total_chars"),
-        F.aggregate(
-            F.zip_with(
-                lens,
-                F.sequence(F.lit(1), F.size("_toks")),
-                lambda l, i: l * i,
+        # guard the empty case: sequence(1, 0) is Spark's DESCENDING
+        # [1, 0], which zip_with NULL-pads against the empty lens array —
+        # a zero-token doc weighs 0, like the oracle's COALESCE(SUM([]),0)
+        # (hostile-text fixture sweep)
+        F.when(
+            F.size("_toks") > 0,
+            F.aggregate(
+                F.zip_with(
+                    lens,
+                    F.sequence(F.lit(1), F.size("_toks")),
+                    lambda l, i: l * i,
+                ),
+                zero,
+                lambda acc, x: acc + x,
             ),
-            zero,
-            lambda acc, x: acc + x,
-        ).alias("pos_weighted_chars"),
+        )
+        .otherwise(zero)
+        .alias("pos_weighted_chars"),
     )
 
 

@@ -279,6 +279,63 @@ _FIXTURE_TABLES = (
 ).split()
 
 
+# The engine's float METRIC columns: every exact-decimal aggregate, fixed-
+# point quantization, and integer-unit conversion in the catalog assumes
+# these are FINITE (NaN/Inf cannot be represented in DECIMAL/INT64 — both
+# engines abort mid-query on the cast).  The gate turns that 100-TB-deep
+# crash into a preflight message naming the column.  TPC-H money columns
+# are covered by the units() residual check below (which also counts
+# non-finite rows — a plain max-residual compare is NaN-blind: NaN > margin
+# is FALSE).
+FINITE_METRIC_COLUMNS: dict[str, list[str]] = {
+    "events": ["value"],
+    "embeddings": ["embedding"],  # array<float>
+}
+
+
+def finite_metric_failures(spark, sf_dir: str) -> list[str]:
+    """Count non-finite values per declared metric column on the live
+    fixture; any hit is a domain violation named at preflight."""
+    from pyspark.sql import functions as F
+
+    failures: list[str] = []
+    for t, cols in FINITE_METRIC_COLUMNS.items():
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        except Exception:  # noqa: BLE001 - partial fixture dirs
+            continue
+        aggs = []
+        for c in cols:
+            if c not in df.columns:
+                failures.append(f"finite-metric column {t}.{c} missing from fixture")
+                continue
+            if str(df.schema[c].dataType).startswith("ArrayType"):
+                bad = F.exists(
+                    F.col(c),
+                    lambda x: F.isnan(x.cast("double"))
+                    | (F.abs(x.cast("double")) == float("inf")),
+                )
+            else:
+                bad = F.isnan(F.col(c).cast("double")) | (
+                    F.abs(F.col(c).cast("double")) == float("inf")
+                )
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(c))
+        if not aggs:
+            continue
+        row = df.agg(*aggs).collect()[0]
+        for c in row.asDict():
+            n_bad = row[c] or 0
+            status = "ok" if n_bad == 0 else "VIOLATED"
+            print(f"  finite {status:9s} {t}.{c}: {n_bad} non-finite values")
+            if n_bad:
+                failures.append(
+                    f"finite-metric domain VIOLATED: {t}.{c} carries {n_bad} "
+                    "NaN/Inf values — exact-decimal and integer-unit plans "
+                    "cannot represent them; quarantine the rows upstream"
+                )
+    return failures
+
+
 def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
     """Verify, for every (column, scale) recorded by functions.numeric.units
     at plan-build time, that the fixture column satisfies the exactness
@@ -317,9 +374,28 @@ def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
             ).alias(c)
             for c in cols
         ]
+        # NaN-blindness guard: NaN > margin is FALSE, so a NaN-poisoned
+        # money column would pass a plain residual compare — count
+        # non-finite rows separately and fail on any.
+        aggs += [
+            F.sum(
+                F.when(
+                    F.isnan(F.col(c)) | (F.abs(F.col(c)) == float("inf")), 1
+                ).otherwise(0)
+            ).alias(f"__nf_{c}")
+            for c in cols
+        ]
         row = df.agg(*aggs).collect()[0]
         for c in cols:
             resid = row[c]
+            n_nf = row[f"__nf_{c}"] or 0
+            if n_nf:
+                print(f"  units {'VIOLATED':10s} {t}.{c}: {n_nf} non-finite values")
+                failures.append(
+                    f"units precondition VIOLATED for {t}.{c}: {n_nf} NaN/Inf "
+                    "values — not a money-domain column state"
+                )
+                continue
             if resid is None:
                 print(f"  units {'n/a':10s} {t}.{c}: all-null column")
                 continue
@@ -460,6 +536,9 @@ def main() -> int:
 
     print("\n== units() exactness precondition (functions.numeric) ==")
     failures.extend(unit_precondition_failures(spark, sf_dir))
+
+    print("\n== finite-metric domain gate (NaN/Inf rejection) ==")
+    failures.extend(finite_metric_failures(spark, sf_dir))
 
     if failures:
         print("\nRED FLAGS:")
