@@ -1130,12 +1130,22 @@ _US_PER_HOUR = 3_600_000_000
                  AS n_risk
       FROM ev),
     km AS (
+      -- total-churn guard (fuzz seed 2): when the LAST at-risk group all
+      -- churns, 1 - d/n_risk = 0 and LN(0) errors (DuckDB) / NULLs
+      -- (Spark).  That step can only be the final event time (nobody is
+      -- left at risk after it), so it splits off exactly: S(t) = 0 there,
+      -- and the LN-sum branch runs over the strictly-positive factors.
       SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
              ROUND(EXP(CAST(SUM(CAST(LN(1.0 - CAST(d AS DOUBLE) / n_risk)
                                  AS DECIMAL(28,12)))
                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
                         AS DOUBLE)), 6) AS survival
-      FROM risk WHERE d > 0)
+      FROM risk WHERE d > 0 AND d < n_risk
+
+      UNION ALL
+
+      SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk, CAST(0 AS DOUBLE)
+      FROM risk WHERE d > 0 AND d = n_risk)
     SELECT t AS hour, d AS n_churned, n_risk, survival FROM km
     """,
 )
@@ -1192,8 +1202,12 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_risk"),
     )
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # total-churn guard (fuzz seed 2): the step where EVERYONE at risk
+    # churns has factor 0 — LN would NULL/error; it can only be the final
+    # event time, so it splits off exactly with S(t) = 0 while the LN-sum
+    # branch keeps strictly-positive factors (mirrors the oracle).
     ln_term = F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
-    km = risk.filter(F.col("d") > 0).select(
+    km = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
         F.col("t").alias("hour"),
         F.col("d").alias("n_churned"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
@@ -1204,7 +1218,13 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
-    return km
+    km_zero = risk.filter((F.col("d") > 0) & (F.col("d") == F.col("n_risk"))).select(
+        F.col("t").alias("hour"),
+        F.col("d").alias("n_churned"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.lit(0.0).alias("survival"),
+    )
+    return km.unionByName(km_zero)
 
 
 # --------------------------------------------------------------------------
@@ -1450,9 +1470,14 @@ def period_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_p2") - F.col("rev_p1"), 4)
         .cast("double")
         .alias("delta"),
+        # try_divide: the two periods can net to EXACTLY zero total delta
+        # (fuzz seed 3: tie-heavy fixture prices) — the share of nothing is
+        # NULL, not an ANSI abort; DuckDB's x/0 is NULL on the oracle side
         F.round(
-            (F.col("rev_p2") - F.col("rev_p1")).cast("double")
-            / F.col("total_delta").cast("double"),
+            F.try_divide(
+                (F.col("rev_p2") - F.col("rev_p1")).cast("double"),
+                F.col("total_delta").cast("double"),
+            ),
             6,
         ).alias("share_of_delta"),
     )
@@ -1675,14 +1700,31 @@ def session_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              EPOCH_US(ts) - LAG(EPOCH_US(ts))
                OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
-      FROM events)
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-           CAST(MIN(gap_us) AS BIGINT) AS min_us,
-           ROUND(QUANTILE_CONT(gap_us, 0.5), 4) AS p50_us,
-           ROUND(QUANTILE_CONT(gap_us, 0.9), 4) AS p90_us,
-           CAST(MAX(gap_us) AS BIGINT) AS max_us
-    FROM seq WHERE gap_us IS NOT NULL
-    GROUP BY event_type
+      FROM events),
+    g AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, event_type) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM seq WHERE gap_us IS NOT NULL),
+    br AS (
+      SELECT event_type, n,
+             MAX(CASE WHEN rn = ((n-1) * 5) // 10 THEN gap_us END) AS lo5,
+             MAX(CASE WHEN rn = ((n-1) * 5 + 9) // 10 THEN gap_us END) AS hi5,
+             MAX(CASE WHEN rn = ((n-1) * 9) // 10 THEN gap_us END) AS lo9,
+             MAX(CASE WHEN rn = ((n-1) * 9 + 9) // 10 THEN gap_us END) AS hi9,
+             MIN(gap_us) AS mn, MAX(gap_us) AS mx
+      FROM g GROUP BY event_type, n)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(mn AS BIGINT) AS min_us,
+           CAST(CAST(lo5 * (10 - ((n-1) * 5) % 10)
+                     + hi5 * (((n-1) * 5) % 10) AS DECIMAL(38,0))
+                / 10 AS DOUBLE) AS p50_us,
+           CAST(CAST(lo9 * (10 - ((n-1) * 9) % 10)
+                     + hi9 * (((n-1) * 9) % 10) AS DECIMAL(38,0))
+                / 10 AS DOUBLE) AS p90_us,
+           CAST(mx AS BIGINT) AS max_us
+    FROM br
     """,
 )
 def interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1692,12 +1734,19 @@ def interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the empirical base for any Poisson-rate assumption a streaming
     watermark choice rests on (pairs with ``watermark_loss_curve``).
 
-    Determinism: gaps are exact integer differences over a total order;
-    percentiles follow the repo's PERCENTILE_CONT convention (exact
-    interpolation, rounded at scale 4).
+    Determinism (round-8 fuzz finding): engine-native PERCENTILE_CONT
+    interpolates in DOUBLE, and at microsecond-gap magnitudes (~1e12) the
+    double ulp (~2.4e-4) EXCEEDS the 4-dp rounding the repo convention
+    relies on — seed-0 of tools/fuzz_fixture.py produced a last-ulp
+    cross-engine mismatch.  Both sides now compute the PERCENTILE_CONT
+    definition exactly: bracketing order statistics at floor/ceil of
+    (n-1)q via row_number (q in tenths, so the interpolation weight is
+    an integer 0..9), interpolated in EXACT integer/decimal arithmetic
+    — (lo*(10-w) + hi*w) / 10 — with one exact decimal->double cast.
 
     Scale: one window partitioned on the bounded event_type key (sorts
-    within type), then a map-side-combining aggregate per type.
+    within type), then a second type-partitioned rank window over the
+    gaps and a map-side-combining aggregate per type.
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -1708,10 +1757,35 @@ def interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lag(F.unix_micros(F.col("ts"))).over(w)
         ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
-    return seq.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_gaps"),
-        F.min("gap_us").cast("bigint").alias("min_us"),
-        F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_us"),
-        F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
-        F.max("gap_us").cast("bigint").alias("max_us"),
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_type")
+    wn = Window.partitionBy("event_type")
+    g = seq.select(
+        "event_type",
+        "gap_us",
+        (F.row_number().over(wr) - 1).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def _pick(expr):
+        return F.max(F.when(expr, F.col("gap_us")))
+    br = g.groupBy("event_type", "n").agg(
+        _pick(F.col("rn") == F.expr("((n-1) * 5) DIV 10")).alias("lo5"),
+        _pick(F.col("rn") == F.expr("((n-1) * 5 + 9) DIV 10")).alias("hi5"),
+        _pick(F.col("rn") == F.expr("((n-1) * 9) DIV 10")).alias("lo9"),
+        _pick(F.col("rn") == F.expr("((n-1) * 9 + 9) DIV 10")).alias("hi9"),
+        F.min("gap_us").alias("mn"),
+        F.max("gap_us").alias("mx"),
+    )
+    return br.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.col("mn").cast("bigint").alias("min_us"),
+        F.expr(
+            "CAST(CAST(lo5 * (10 - ((n-1) * 5) % 10) + hi5 * (((n-1) * 5) % 10)"
+            " AS DECIMAL(38,0)) / 10 AS DOUBLE)"
+        ).alias("p50_us"),
+        F.expr(
+            "CAST(CAST(lo9 * (10 - ((n-1) * 9) % 10) + hi9 * (((n-1) * 9) % 10)"
+            " AS DECIMAL(38,0)) / 10 AS DOUBLE)"
+        ).alias("p90_us"),
+        F.col("mx").cast("bigint").alias("max_us"),
     )

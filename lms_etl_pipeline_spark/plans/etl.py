@@ -70,12 +70,19 @@ def etl_rename_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_pack_custom_fields",
     oracle="""
+    -- null-field DROP parity with Spark's to_json (fuzz seed 0: a '{}'
+    -- props row has no k, and NULL-propagating || turned the whole JSON
+    -- NULL while to_json emitted the remaining fields): build each field
+    -- conditionally and join the survivors.
     SELECT event_id,
-           '{' ||
-           CASE WHEN event_type = 'error' THEN ''
-                ELSE '"et":"' || event_type || '",' END ||
-           '"k":' || CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS VARCHAR) ||
-           '}' AS custom_fields
+           '{' || COALESCE(ARRAY_TO_STRING(LIST_FILTER([
+             CASE WHEN event_type != 'error'
+                  THEN '"et":"' || event_type || '"' END,
+             CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                       IS NOT NULL
+                  THEN '"k":' || CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                                        AS BIGINT) AS VARCHAR) END
+           ], x -> x IS NOT NULL), ','), '') || '}' AS custom_fields
     FROM events
     """,
 )
@@ -157,9 +164,14 @@ def etl_parse_datetime_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(event_id AS BIGINT) AS record_id,
            TIME_BUCKET(INTERVAL '1 day', ts) AS event_day,
-           '{' || '"uid":' || CAST(user_id AS VARCHAR) ||
-                  ',"k":' || CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS VARCHAR)
-               || '}' AS custom_fields
+           '{' || COALESCE(ARRAY_TO_STRING(LIST_FILTER([
+             CASE WHEN user_id IS NOT NULL
+                  THEN '"uid":' || CAST(user_id AS VARCHAR) END,
+             CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                       IS NOT NULL
+                  THEN '"k":' || CAST(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                                        AS BIGINT) AS VARCHAR) END
+           ], x -> x IS NOT NULL), ','), '') || '}' AS custom_fields
     FROM events
     WHERE event_type != 'error'
     """,

@@ -831,8 +831,11 @@ def _sc_oracle() -> str:
         _minhash_slots_sql,
     )
 
+    # CAST('<repr>' AS DOUBLE): a bare float literal parses via DECIMAL in
+    # DuckDB and double-rounds one ulp off the double Spark injects (the
+    # wilson hazard class; fuzz seed 2 hit it on theory bucket values)
     theory_case = " ".join(
-        f"WHEN {b} THEN {_SC_THEORY[b]!r}" for b in range(10)
+        f"WHEN {b} THEN CAST('{_SC_THEORY[b]!r}' AS DOUBLE)" for b in range(10)
     )
     return f"""
     WITH sh_t AS (

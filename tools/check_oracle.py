@@ -26,6 +26,13 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # canonicalize signed zero: -0.0 == 0.0 in SQL but reprs (and
+            # hashes) differ, and WHICH zero IEEE min/max/subtraction
+            # return is engine-dependent (fuzz seed 0: GREATEST(-0.0, 0.0)
+            # and decimal-roundtrip means flipped the sign bit between
+            # engines on four queries while every VALUE matched)
+            return 0.0
         return v
     return v
 
