@@ -112,12 +112,32 @@ def hl_sums(expr_sql: str, prefix: str, *, non_negative: bool = False) -> list[C
     ]
 
 
-def hl_double(prefix: str) -> str:
+def hl_double(prefix: str, scale: int = 0) -> str:
     """SQL fragment reconstructing the true sum ``HL_DIV*hi + lo`` in
-    DOUBLE arithmetic — exact while the true sum < 2^53 (the decimal
-    convention's own exactness envelope), and NEVER aborts past it (the
-    int64 recombination would).  Embed in an F.expr finalizer."""
-    return f"({prefix}hi * {HL_DIV}.0D + {prefix}lo)"
+    DOUBLE arithmetic, divided back to value space by ``10^scale`` —
+    exact while the true sum < 2^53 (the decimal convention's own
+    exactness envelope), and NEVER aborts past it (the int64
+    recombination would).  Embed in an F.expr finalizer.
+
+    This is THE finalizer for plain (unrounded) hi/lo sums; the
+    round-to-4dp form is :func:`hl_round4`.  The only legitimate inline
+    decompositions left are the ones these two cannot express — q1's
+    three-way c10 split and q9's signed half-away rounding
+    (plans/relational.py), each documented at its call site."""
+    rec = f"({prefix}hi * {HL_DIV}.0D + {prefix}lo)"
+    return rec if scale == 0 else f"({rec} / {10**scale}.0D)"
+
+
+def hl_round4(prefix: str) -> str:
+    """SQL fragment finalizing a NON-NEGATIVE scale-6 hi/lo unit sum as a
+    4-dp-rounded double: drop the sum's last two unit digits with
+    round-half-up (``(lo + 50) DIV 100``; hi contributes ``hi * 10^4``
+    whole scale-4 units since HL_DIV = 10^6), then one exact divide.
+    Rounding in INTEGER space first keeps the double recombination's
+    magnitude 100x smaller than hl_double's, extending the 2^53 exactness
+    envelope correspondingly.  Half-up equals half-away only for
+    non-negative sums — signed sums need q9's CASE decomposition."""
+    return f"(({prefix}hi * 10000.0D + ({prefix}lo + 50) DIV 100) / 10000.0D)"
 
 
 def dec_sum(col: Column | str, alias: str) -> Column:

@@ -224,19 +224,27 @@ def with_uniform_key_buckets(
     carries NaN/Inf in practice (scores, norms, embedding artifacts),
     so the helper must not corrupt global order when they appear.
 
-    NULL PLACEMENT CONTRACT (``nulls``): bucket -2 matches ``ASC NULLS
-    FIRST`` — Spark's ascending default — and is therefore WRONG for the
-    negated-key idiom (``-score`` to get a descending global order),
-    where Spark's descending default is NULLS LAST: a nullable negated
-    key would rank every NULL before the data instead of after it.
-    Negating call sites must pass ``nulls="last"`` (bucket n+4, after
-    NaN, matching ``DESC NULLS LAST`` on the original key); it is a
-    no-op for non-null keys, so every such site sets it even when the
-    current column is non-nullable.
+    NULL/NaN PLACEMENT CONTRACT (``nulls``): ``nulls="first"`` (default)
+    matches ``ASC NULLS FIRST`` — Spark's ascending default — on the key
+    as given: NULL bucket -2, NaN bucket n+3 (NaN is the LARGEST double
+    in Spark's ascending order).  ``nulls="last"`` is the marker for the
+    NEGATED-KEY idiom (``-score`` to get a descending global order) and
+    makes the buckets match ``DESC NULLS LAST`` on the ORIGINAL key:
+    NULL moves to bucket n+4 (descending default is NULLS LAST; the
+    ascending placement would rank every NULL before the data instead
+    of after it) and NaN moves to bucket -3 (negation does NOT flip NaN
+    — ``-NaN`` is still NaN, still the largest value — so under DESC on
+    the original key a NaN score ranks FIRST while its negated key
+    sorts last; isolating NaN rows in a leading bucket restores the
+    intended order, with ties inside the bucket broken by the
+    order-key tiebreakers).  Both are no-ops for finite non-null keys,
+    so every negating site sets ``nulls="last"`` even when the current
+    column is non-nullable and NaN-free.
     """
     if nulls not in ("first", "last"):
         raise ValueError(f"nulls must be 'first' or 'last', got {nulls!r}")
     null_bucket = -2 if nulls == "first" else n_buckets + 4
+    nan_bucket = n_buckets + 3 if nulls == "first" else -3
     key = F.col(key) if isinstance(key, str) else key
     # Canonical double view: monotone for every numeric type (a >53-bit
     # decimal may collapse ties, which only merges adjacent buckets) and
@@ -252,7 +260,7 @@ def with_uniform_key_buckets(
     kdt = key.cast("double")  # re-derive on the tagged frame's columns
     bucket = (
         F.when(key.isNull(), F.lit(null_bucket))
-        .when(F.isnan(kdt), F.lit(n_buckets + 3))
+        .when(F.isnan(kdt), F.lit(nan_bucket))
         .when(kdt == ninf, F.lit(-1))
         .when(kdt == inf, F.lit(n_buckets + 2))
         .when(F.col("_lo").isNull() | (F.col("_lo") == F.col("_hi")), F.lit(0))

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lms_etl_pipeline_spark.functions.numeric import dec, dec_sum, hl_sums, units
+from lms_etl_pipeline_spark.functions.numeric import (
+    dec,
+    dec_sum,
+    hl_double,
+    hl_round4,
+    hl_sums,
+    units,
+)
 from lms_etl_pipeline_spark.operators.rank import global_ntile
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.sources.tables import load_table
@@ -152,15 +159,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
             F.expr("sq4 / 10000.0D").alias("sum_qty"),
-            F.expr("(phi * 1000000.0D + plo) / 10000.0D").alias("sum_base_price"),
-            F.expr("(mhi * 10000.0D + (mlo + 50) DIV 100) / 10000.0D").alias(
-                "sum_disc_price"
-            ),
+            F.expr(hl_double("p", 4)).alias("sum_base_price"),
+            F.expr(hl_round4("m")).alias("sum_disc_price"),
             F.expr(
                 "(chhi * 1000000.0D + chlo + (clo + 500000) DIV 1000000) / 10000.0D"
             ).alias("sum_charge"),
             F.expr("sq4 / 10000.0D / nq").alias("avg_qty"),
-            F.expr("(phi * 1000000.0D + plo) / 10000.0D / np").alias("avg_price"),
+            F.expr(f"{hl_double('p', 4)} / np").alias("avg_price"),
             F.expr("sd4 / 10000.0D / nd").alias("avg_disc"),
             "count_order",
         )
@@ -240,7 +245,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n"))
         .withColumn(
-            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+            "revenue", F.expr(hl_round4("r"))
         )
         .drop("rhi", "rlo")
     )
@@ -739,7 +744,7 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n_items"))
         .select(
             "r_name",
-            F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D").alias(
+            F.expr(hl_round4("r")).alias(
                 "revenue"
             ),
             "n_items",
@@ -890,7 +895,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"), "supp_nation")
         .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n_items"))
         .withColumn(
-            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+            "revenue", F.expr(hl_round4("r"))
         )
         .drop("rhi", "rlo")
     )
@@ -1315,7 +1320,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
         .select(
-            F.expr("(rhi * 1000000.0D + rlo) / 1000000.0D").alias("revenue_delta"),
+            F.expr(hl_double("r", 6)).alias("revenue_delta"),
             "n_items",
         )
     )
@@ -1388,7 +1393,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r6u", _rev6())
         .agg(*hl_sums("r6u", "r", non_negative=True), F.count("*").alias("n_items"))
         .withColumn(
-            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+            "revenue", F.expr(hl_round4("r"))
         )
         .drop("rhi", "rlo")
     )
@@ -1462,10 +1467,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
         .select(
-            F.expr(
-                "((nhi * 1000000.0D + nlo) / 10000.0D)"
-                " / ((dhi * 10000.0D + (dlo + 50) DIV 100) / 10000.0D)"
-            ).alias("promo_revenue_pct"),
+            F.expr(f"{hl_double('n', 4)} / {hl_round4('d')}").alias("promo_revenue_pct"),
             "n_items",
         )
     )
@@ -1802,7 +1804,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(*hl_sums("r6u", "r", non_negative=True))
         .withColumn(
-            "revenue", F.expr("(rhi * 10000.0D + (rlo + 50) DIV 100) / 10000.0D")
+            "revenue", F.expr(hl_round4("r"))
         )
         .drop("rhi", "rlo")
     )
@@ -2000,7 +2002,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the finalization is the exact double rebuild + the same two
         # divides as before (value-identical while the sum < 2^53)
         .select(
-            F.expr("(phi * 1000000.0D + plo) / 10000.0D / 7.0D").alias("avg_yearly"),
+            F.expr(f"{hl_double('p', 4)} / 7.0D").alias("avg_yearly"),
             "n_lines",
         )
     )

@@ -308,6 +308,43 @@ def test_uniform_key_buckets_nulls_last_descending(spark):
     assert got_bad.subtract(want).count() > 0
 
 
+def test_uniform_key_buckets_nulls_last_nan_descending(spark):
+    """ADVICE r8: negation does NOT flip NaN (-NaN is NaN, still Spark's
+    largest double), so under ORDER BY score DESC a NaN score ranks FIRST
+    while its negated key sorts last.  nulls="last" must therefore map NaN
+    to a LEADING bucket (-3) — with NaN keys present, the bucketed rank
+    must still reproduce row_number() OVER (ORDER BY score DESC NULLS
+    LAST) exactly, including NULLs and infinities in the same frame."""
+    from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (
+            i,
+            None
+            if i % 11 == 0
+            else nan
+            if i % 13 == 0
+            else inf
+            if i == 17
+            else -inf
+            if i == 23
+            else float(((i * 48271) % 509) - 250),
+        )
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(rows, "id long, score double").withColumn(
+        "_neg", -F.col("score")
+    )
+    tagged = with_uniform_key_buckets(d, "_neg", n_buckets=32, nulls="last")
+    order = [F.col("score").desc(), F.col("id").asc()]  # desc => NaN first, NULLS LAST
+    got = attach_global_rank(tagged, order, F.col("_gbk"), rank_col="r").select(
+        "id", "r"
+    )
+    want = d.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
 def test_uniform_key_buckets_rejects_bad_nulls(spark):
     from lms_etl_pipeline_spark.operators.rank import with_uniform_key_buckets
 

@@ -28,10 +28,15 @@ def registry():
 
     saved = set(UNIT_CALLS)
     UNIT_CALLS.clear()
+    # l_extendedprice at BOTH scales, mirroring the live catalog (q1's
+    # scale-2 revenue units AND q17's scale-4 threshold): the audit must
+    # verify each (column, scale) pair, not fold per column — a 3-dp poison
+    # is exact at scale 4 and only the scale-2 precondition catches it.
     units("l_extendedprice", 2)
+    units("l_extendedprice", 4)
     units("l_discount", 4)
     units("l_quantity", 4)
-    assert {("l_extendedprice", 2), ("l_discount", 4)} <= UNIT_CALLS
+    assert {("l_extendedprice", 2), ("l_extendedprice", 4)} <= UNIT_CALLS
     yield UNIT_CALLS
     UNIT_CALLS.clear()
     UNIT_CALLS.update(saved)

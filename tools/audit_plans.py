@@ -337,20 +337,28 @@ def finite_metric_failures(spark, sf_dir: str) -> list[str]:
 
 
 def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
-    """Verify, for every (column, scale) recorded by functions.numeric.units
-    at plan-build time, that the fixture column satisfies the exactness
-    precondition max |x*10^s - round(x*10^s)| <= UNITS_MARGIN.  Returns
-    human-readable failures (empty = certified).  A column that cannot be
-    located in any fixture table is itself a failure: an unauditable
-    precondition is an unverified one."""
+    """Verify, for EVERY (column, scale) pair recorded by
+    functions.numeric.units at plan-build time, that the fixture column
+    satisfies the exactness precondition
+    max |x*10^s - round(x*10^s)| <= UNITS_MARGIN.  Returns human-readable
+    failures (empty = certified).  A column that cannot be located in any
+    fixture table is itself a failure: an unauditable precondition is an
+    unverified one.
+
+    Pairs are checked INDIVIDUALLY, not folded per column: the strictest
+    precondition is the SMALLEST recorded scale (a <=2-dp value is exact at
+    scale 4, but a 3-dp value is exact at scale 4 and NOT at scale 2), so a
+    column registered at both scales — l_extendedprice is, via q1's scale-2
+    revenue units and q17's scale-4 threshold — must certify at each.  The
+    per-pair residuals batch into the same single df.agg per table."""
     from pyspark.sql import functions as F
 
     from lms_etl_pipeline_spark.functions.numeric import UNIT_CALLS
 
-    # col -> max scale used anywhere (the strictest precondition)
-    need: dict[str, int] = {}
+    # col -> every scale it is routed at (each is its own precondition)
+    need: dict[str, set[int]] = {}
     for col, scale in UNIT_CALLS:
-        need[col] = max(need.get(col, -1), scale)
+        need.setdefault(col, set()).add(scale)
     if not need:
         return ["units() registry is empty — build the catalog plans first"]
 
@@ -367,16 +375,14 @@ def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
         located.update(cols)
         aggs = [
             F.max(
-                F.abs(
-                    F.col(c) * (10 ** need[c])
-                    - F.round(F.col(c) * (10 ** need[c]))
-                )
-            ).alias(c)
+                F.abs(F.col(c) * (10**s) - F.round(F.col(c) * (10**s)))
+            ).alias(f"{c}__s{s}")
             for c in cols
+            for s in sorted(need[c])
         ]
         # NaN-blindness guard: NaN > margin is FALSE, so a NaN-poisoned
         # money column would pass a plain residual compare — count
-        # non-finite rows separately and fail on any.
+        # non-finite rows separately (once per column) and fail on any.
         aggs += [
             F.sum(
                 F.when(
@@ -387,7 +393,6 @@ def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
         ]
         row = df.agg(*aggs).collect()[0]
         for c in cols:
-            resid = row[c]
             n_nf = row[f"__nf_{c}"] or 0
             if n_nf:
                 print(f"  units {'VIOLATED':10s} {t}.{c}: {n_nf} non-finite values")
@@ -396,21 +401,23 @@ def unit_precondition_failures(spark, sf_dir: str) -> list[str]:
                     "values — not a money-domain column state"
                 )
                 continue
-            if resid is None:
-                print(f"  units {'n/a':10s} {t}.{c}: all-null column")
-                continue
-            status = "ok" if resid <= UNITS_MARGIN else "VIOLATED"
-            print(
-                f"  units {status:10s} {t}.{c}: max|x*10^{need[c]} - round| "
-                f"= {resid:.3g} <= {UNITS_MARGIN}"
-            )
-            if resid > UNITS_MARGIN:
-                failures.append(
-                    f"units precondition VIOLATED for {t}.{c} at scale "
-                    f"{need[c]}: max residual {resid:.6g} > {UNITS_MARGIN} — "
-                    "the column is not a <=scale-dp value; unit arithmetic "
-                    "would silently quantize it"
+            for s in sorted(need[c]):
+                resid = row[f"{c}__s{s}"]
+                if resid is None:
+                    print(f"  units {'n/a':10s} {t}.{c}@{s}: all-null column")
+                    continue
+                status = "ok" if resid <= UNITS_MARGIN else "VIOLATED"
+                print(
+                    f"  units {status:10s} {t}.{c}: max|x*10^{s} - round| "
+                    f"= {resid:.3g} <= {UNITS_MARGIN}"
                 )
+                if resid > UNITS_MARGIN:
+                    failures.append(
+                        f"units precondition VIOLATED for {t}.{c} at scale "
+                        f"{s}: max residual {resid:.6g} > {UNITS_MARGIN} — "
+                        "the column is not a <=scale-dp value; unit arithmetic "
+                        "would silently quantize it"
+                    )
     for c in sorted(set(need) - located):
         failures.append(
             f"units({c!r}): column not found in any fixture table under "
