@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lms_etl_pipeline_spark.operators.text import shingles, tokens
+from lms_etl_pipeline_spark.session import materialize
 
 
 #: universal-hash family: slot_i(h) = (A[i]*h + B[i]) mod P, all inputs
@@ -301,7 +302,7 @@ def jaccard_pairs_prefix(
         )
     # Reused thrice (prefix explode + both verify probes): cut the lineage
     # once so the ordered arrays are not recomputed per consumer.
-    sh = sh.localCheckpoint(eager=False)
+    sh = materialize(sh, eager=False)
     prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
     pref = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("_g"))
     cands = (

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lms_etl_pipeline_spark.session import materialize
+
 
 def connected_components(
     edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 20
@@ -44,13 +46,12 @@ def connected_components(
     # every iteration's join AND the convergence check — left lazy, the
     # entire upstream subtree (e.g. an LSH pipeline) would re-execute per
     # iteration (measured 4x slowdown on the curation pipeline).
-    sym = (
+    sym = materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    labels = materialize(nodes.withColumn("label", F.col("node")))
 
     for it in range(max_iter):
         # each node's candidate label: min of its own and all neighbors'.
@@ -95,7 +96,7 @@ def connected_components(
         # materialization barrier: the convergence scan below reads the
         # ALREADY-materialized frame (no join), and the lineage can't grow
         # unboundedly across iterations
-        new_labels = hop.localCheckpoint(eager=True)
+        new_labels = materialize(hop)
         changed = new_labels.filter(F.col("label") < F.col("_old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

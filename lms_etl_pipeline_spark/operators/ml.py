@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lms_etl_pipeline_spark.session import materialize
+
 
 def _sq_dist(a, b) -> F.Column:
     """Left-assoc squared L2 between two array<numeric> columns."""
@@ -82,20 +84,19 @@ def kmeans_fit(
     bool}`` — scale tests assert convergence happened and lineage stayed
     bounded without re-deriving the loop count.
     """
-    pts = points.select("id", "vec").localCheckpoint(eager=True)
+    pts = materialize(points.select("id", "vec"))
     w_init = Window.orderBy("id")
-    cent = (
+    cent = materialize(
         pts.withColumn("_rn", F.row_number().over(w_init))
         .filter(F.col("_rn") <= k)
         .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
-        .localCheckpoint(eager=True)
     )
     assign = None
     converged = False
     n_iter = 0
     for _ in range(max_iter):
         n_iter += 1
-        new_assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
+        new_assign = materialize(kmeans_assign(pts, cent))
         if assign is not None:
             moved = (
                 assign.select("id", F.col("cluster").alias("_old"))
@@ -127,12 +128,14 @@ def kmeans_fit(
             )
         )
         # Empty clusters keep their previous centroid so k never shrinks.
-        cent = cent_new.unionByName(
-            cent.join(cent_new.select("cid"), "cid", "left_anti")
-        ).localCheckpoint(eager=True)
+        cent = materialize(
+            cent_new.unionByName(
+                cent.join(cent_new.select("cid"), "cid", "left_anti")
+            )
+        )
     if not converged:
         # max_iter exit: re-assign so assignments match the final centroids.
-        assign = kmeans_assign(pts, cent).localCheckpoint(eager=True)
+        assign = materialize(kmeans_assign(pts, cent))
     if stats is not None:
         stats.update(iterations=n_iter, converged=converged)
     return assign, cent
@@ -160,19 +163,17 @@ def pagerank(
     # Deduplicate parallel edges to match the oracle-checked plan twin
     # pagerank_graph (which applies .distinct()); without this, duplicate
     # (src, dst) rows would silently compute edge-weighted PageRank.
-    sym = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    nodes = (
+    sym = materialize(edges.select("src", "dst").distinct())
+    nodes = materialize(
         sym.select(F.col("src").alias("node"))
         .union(sym.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count("*").alias("n"))
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    pr = (
+    pr = materialize(
         nodes.crossJoin(F.broadcast(nn))
         .select("node", F.round(F.lit(1.0) / F.col("n"), tol_scale).alias("pr"))
-        .localCheckpoint(eager=True)
     )
     n_iter = 0
     converged = False
@@ -200,8 +201,8 @@ def pagerank(
                     tol_scale,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_pr = materialize(new_pr)
         moved = (
             pr.select("node", F.col("pr").alias("_old"))
             .join(new_pr, "node")

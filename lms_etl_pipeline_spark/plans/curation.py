@@ -27,7 +27,7 @@ from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans import anchors
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import _TOKS
-from lms_etl_pipeline_spark.session import default_parallelism
+from lms_etl_pipeline_spark.session import default_parallelism, materialize
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 # DuckDB fragment: distinct word-5-gram set (mirrors tx.shingles(toks, 5)).
@@ -87,9 +87,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus_curation_pipeline pattern): three consumers read it (eval
     # grams, train explode, final anti-join); left lazy, each would
     # recompute tokenize+shingle over the corpus (measured 3x).
-    g = part.select(
-        "doc_id", "lang", tx.shingles(F.col("_toks"), 5).alias("g")
-    ).localCheckpoint(eager=True)
+    g = materialize(
+        part.select("doc_id", "lang", tx.shingles(F.col("_toks"), 5).alias("g"))
+    )
     ev_grams = (
         g.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select(F.explode("g").alias("gram"))
@@ -153,9 +153,11 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 17 s vs 1 s for the same shingle work at sf0.1); exploding a
     # materialized column attribute is free.  Both the df count and the
     # join-back then consume the cheap exploded view.
-    g = part.select(
-        "doc_id", F.array_distinct(tx.shingles(F.col("_toks"), 3)).alias("g")
-    ).localCheckpoint(eager=True)
+    g = materialize(
+        part.select(
+            "doc_id", F.array_distinct(tx.shingles(F.col("_toks"), 3)).alias("g")
+        )
+    )
     pairs = g.select("doc_id", F.explode("g").alias("gram"))
     dfreq = pairs.groupBy("gram").agg(F.count("*").alias("df"))
     bp = F.sum(F.when(F.col("df") >= _BP_DF, 1).otherwise(0)).cast("bigint")

@@ -23,7 +23,7 @@ from lms_etl_pipeline_spark.operators import dedup as dd
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.operators import vectors as vec
 from lms_etl_pipeline_spark.plans.catalog import query
-from lms_etl_pipeline_spark.session import default_parallelism
+from lms_etl_pipeline_spark.session import default_parallelism, materialize
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 EMB_DIM = 64
@@ -1191,7 +1191,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lms_etl_pipeline_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    qf = (
+    qf = materialize(
         tx.quality_features(d, "text", keep_tokens=True)
         .filter(F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") <= 0.5))
         .select(
@@ -1201,7 +1201,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_toks",
             tx.fingerprint_of(F.col("_toks")).alias("fp"),
         )
-        .localCheckpoint(eager=True)
     )
     exact_kept = (
         qf.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
@@ -1450,11 +1449,10 @@ def near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with "Must have at least 1 non zero entry" even though the filter
     # excludes it (hostile-text fixture sweep).  Freezing the filtered
     # frame keeps the UDF strictly after the filter.
-    feats = (
-        tf.transform(shingled)
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=True)
-    )
+    # (materialize()'s persist path is an equivalent barrier: a cached
+    # frame plans as InMemoryRelation, which projection collapse cannot
+    # cross.)
+    feats = materialize(tf.transform(shingled).filter(F.size("toks") > 0))
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
