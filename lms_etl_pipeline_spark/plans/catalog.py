@@ -26,95 +26,75 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation — FINAL debt window.  After seven rounds 255 distinct
-    # oracle-backed queries are driver-green; exactly 37 have never occupied
-    # a window slot (tools/cert_ledger.py --names).  All 37 fit here, so
-    # after this round every oracle-backed query in the catalog has been
-    # driver-certified at least once.  Invariants (unchanged since r5):
-    #   (a) the flagship and events_session_window stay in-window every
-    #       round as driver smoke anchors;
-    #   (b) rotated-out queries remain in the full-catalog local gate
-    #       (tools/check_oracle.py, 292/292 exact) which the driver check
-    #       is a same-engine, same-fixture subset of;
-    #   (c) candidates are pre-screened: each passes the local differential
-    #       gate exactly at sf0.001/0.01/0.1 and emits only (Spark type,
-    #       DuckDB type) column pairings already seen driver-green.
-    #
-    # This window: 2 anchors + 37 never-certified + 11 re-certs.  The
-    # re-cert slots go to queries whose PLAN changed after their last
-    # driver-green row, so the certificate tracks the shipped plan:
-    #   - q1/q6/q17/q18 + tf_idf/q3: round-7 integer-unit fast path and
-    #     tf-idf re-plan landed after their last certification;
-    #   - curriculum_phases/token_budget_selection/window_ntile_percentile/
-    #     agg_percentiles_exact: round-7 bucketed global-rank rewrite;
-    #   - window_range_between: round-8 NULL-safe peers-join fix.
-    #
-    # ROUND-9 ROTATION PREP: after this window the never-certified debt is
-    # ZERO, so the policy shifts permanently to re-cert economy — fill the
-    # 48 free slots with (in priority order) (1) queries whose plan changed
-    # since their last driver-green row (git log of plans/ + bench.py's
-    # plan_changed labels name them; round 8 changed: q9_product_profit,
-    # attribution_linear_multitouch, fifo_returns_allocation,
-    # corpus_curation_pipeline, near_dup_pairs_lsh, minhash_signatures,
-    # model_gains_table, abc_pareto_classification, rfm_segmentation —
-    # whichever aren't certified on their new plans by the r8 window),
-    # then (2) the oldest-certified rows (cert_ledger's green_round dates
-    # them), oldest first.  tests/test_catalog.py's planned_recerts set and
-    # rotation_baseline list move together with this tuple.
-    #
-    # driver smoke anchors
+    # Round-9 rotation — RE-CERT ECONOMY (the policy recorded in round 8,
+    # commit 3bdbbec): never-certified debt hit ZERO in r8, so every slot
+    # after the two smoke anchors now re-certifies, prioritized by
+    #   (1) PLAN CHANGED since the query's last driver-green row:
+    #       r8 re-plans that missed the r8 window — q9 (signed hi/lo
+    #       rounding), fifo_returns_allocation, corpus_curation_pipeline
+    #       (tokenize-once), near_dup_pairs_lsh (shared exchange),
+    #       minhash_signatures — plus the r9 NaN-bucket contract change
+    #       (operators/rank.py nulls='last'): model_gains_table,
+    #       abc_pareto_classification, rfm_segmentation;
+    #   (2) LONGEST-STALE certificates, oldest last-green round first
+    #       (r02 greens, then r03), name-ordered within a round so the
+    #       selection is reproducible from the artifacts alone.
+    # Invariants (unchanged since r5): the two smoke anchors stay
+    # in-window every round; rotated-out queries remain covered by the
+    # full-catalog local gate (tools/check_oracle.py) which the driver
+    # check is a same-engine, same-fixture subset of; all 50 are
+    # exact-oracle-backed.  tests/test_catalog.py re-derives this window
+    # from the policy and the r1-r8 artifacts, so drift fails CI.
     "flagship_regional_revenue",
     "events_session_window",
-    # round-8 fresh wave (all 37 remaining never-certified, ledger order)
-    "token_budget_selection_sharded",
-    "curriculum_phases_sharded",
-    "tokenizer_fertility",
-    "embedding_pairwise_stats",
-    "weighted_median_price",
-    "spelling_variants_symspell",
-    "semdedup_threshold_sweep",
-    "forecast_backtest_eval",
-    "mdm_golden_record",
-    "ks_test_drift",
-    "cramers_v_association",
-    "dup_rate_by_source",
-    "item_cooccurrence_cf",
-    "event_transition_matrix",
-    "cohort_ltv_curve",
-    "funnel_time_to_convert",
-    "hits_hubs_authorities",
-    "join_asof_next_purchase",
-    "pareto_front_2d",
-    "ab_test_lift_report",
-    "share_of_parent_rollup",
-    "active_users_rolling",
-    "event_trigram_paths",
-    "hierarchy_rollup_tree",
-    "attribution_linear_multitouch",
-    "survival_kaplan_meier",
+    "q9_product_profit",
+    "fifo_returns_allocation",
+    "corpus_curation_pipeline",
+    "near_dup_pairs_lsh",
+    "minhash_signatures",
     "model_gains_table",
-    "weekly_wow_change",
-    "period_delta_contribution",
-    "new_vs_returning_daily",
-    "attribution_window_sensitivity",
-    "session_bounce_dwell",
-    "interarrival_time_stats",
-    "fk_integrity_audit",
-    "pk_uniqueness_audit",
-    "cdc_apply_changelog",
-    "gdpr_erasure_cascade",
-    # plan-changed re-certs (11)
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q3_shipping_priority",
-    "tf_idf_top_terms",
-    "curriculum_phases",
-    "token_budget_selection",
-    "window_ntile_percentile",
-    "agg_percentiles_exact",
-    "window_range_between",
+    "abc_pareto_classification",
+    "rfm_segmentation",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "agg_rollup",
+    "agg_stats_exact",
+    "distinct_projection",
+    "events_cohort_retention",
+    "explode_outer_arrays",
+    "join_broadcast_dim_agg",
+    "join_full_outer",
+    "join_inner_orders_customer",
+    "join_interval_events",
+    "join_left_outer_counts",
+    "join_nonequi_range",
+    "join_null_safe",
+    "join_semi",
+    "null_handling",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_cnt_excluding",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_supplier",
+    "scalar_array_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scd2_order_status_history",
+    "set_intersect",
+    "set_union_all",
+    "sort_multi_key",
+    "sort_topk_orders",
+    "timeseries_gap_fill",
+    "unpivot_measures",
+    "agg_collect_sorted",
+    "csv_roundtrip_nation",
+    "dataset_split_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_text",
 )
 
 

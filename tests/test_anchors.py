@@ -82,7 +82,7 @@ from lms_etl_pipeline_spark.plans.catalog import all_oracles
 o = all_oracles()
 assert "event_id < 100000" in o["attribution_linear_multitouch"]
 assert "l_orderkey < 150000" in o["fifo_returns_allocation"]
-from lms_etl_pipeline_spark.plans.behavior import _ATTR_SLICE
+from lms_etl_pipeline_spark.plans.behavior_outcomes import _ATTR_SLICE
 from lms_etl_pipeline_spark.plans.business_analytics import _FIFO_SLICE
 assert _ATTR_SLICE.active and _FIFO_SLICE.active
 print("BOUNDED-OK")

@@ -31,12 +31,17 @@ def test_registry_nonempty_and_oracle_keys_subset():
 
 def test_first_50_follow_the_rotation_policy():
     """The driver differentially checks the FIRST 50 registered queries
-    only.  Since round 6 the window policy is SLOT ECONOMY, not family
-    span (the whole catalog is certified family-by-family across rounds):
-    the two smoke anchors stay in-window every round, and every other
-    slot goes to a query with no prior driver row — a slot spent
-    re-certifying is wasted, because rotated-out queries remain in the
-    full-catalog local gate that the driver check is a subset of."""
+    only.  Round-9 era policy (recorded r8, commit 3bdbbec): the
+    never-certified debt is ZERO, so the window's value is RE-CERT
+    FRESHNESS — the two smoke anchors stay in-window every round; the
+    plan-changed slots come first (queries whose plan changed after their
+    last driver-green row, pinned explicitly since plan changes aren't
+    derivable from artifacts alone); the remaining slots re-derive
+    mechanically from the r1-r8 artifacts as the LONGEST-STALE greens
+    (oldest last-green round first, name-ordered within a round).  The
+    baseline is pinned explicitly — not glob'd — because the driver writes
+    THIS round's CORRECTNESS file at round end, which would otherwise
+    shift the derivation during judging."""
     import json
     import os
 
@@ -46,50 +51,47 @@ def test_first_50_follow_the_rotation_policy():
     from lms_etl_pipeline_spark.plans.catalog import _PRIORITY
 
     assert list(_PRIORITY) == first50
-    # smoke anchors present
-    assert "flagship_regional_revenue" in first50
-    assert "events_session_window" in first50
+    anchors = ["flagship_regional_revenue", "events_session_window"]
+    # r8 re-plans that missed the r8 window + the r9 NaN-bucket contract
+    # change (operators/rank.py nulls='last' call sites)
+    plan_changed = [
+        "q9_product_profit",
+        "fifo_returns_allocation",
+        "corpus_curation_pipeline",
+        "near_dup_pairs_lsh",
+        "minhash_signatures",
+        "model_gains_table",
+        "abc_pareto_classification",
+        "rfm_segmentation",
+    ]
     # all 50 must be exact-oracle-checkable
     rows_only = [n for n in first50 if n not in ORACLES]
     assert len(rows_only) == 0, rows_only
-    # zero wasted slots: nothing besides the anchors and the PINNED re-cert
-    # list may already have a driver row IN THE ARTIFACTS THE WINDOW WAS
-    # AUTHORED AGAINST (tools/cert_ledger.py prints the live
-    # reconciliation).  The baseline is pinned explicitly — not glob'd —
-    # because the driver writes THIS round's CORRECTNESS file at round end,
-    # which certifies the current window and would otherwise flip this test
-    # red during judging.  Each rotation updates _PRIORITY and this list
-    # together.  Round 8: debt (37) < free slots (48), so 11 slots are
-    # deliberately spent re-certifying queries whose plans changed after
-    # their last driver-green row (unit fast path, rank rewrite, NULL-safe
-    # peers join) — pinned here so an accidental re-cert still fails.
-    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 8)]
+
+    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 9)]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    certified: set[str] = set()
+    last_green: dict[str, str] = {}
     for fname in rotation_baseline:
         path = os.path.join(root, fname)
         assert os.path.exists(path), f"rotation baseline artifact missing: {fname}"
         with open(path) as fh:
-            certified |= set(json.load(fh))
-    anchors = {"flagship_regional_revenue", "events_session_window"}
-    planned_recerts = {
-        "q1_pricing_summary",
-        "q6_forecast_revenue",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "q3_shipping_priority",
-        "tf_idf_top_terms",
-        "curriculum_phases",
-        "token_budget_selection",
-        "window_ntile_percentile",
-        "agg_percentiles_exact",
-        "window_range_between",
-    }
-    wasted = [
-        n for n in first50
-        if n in certified and n not in anchors and n not in planned_recerts
-    ]
-    assert wasted == [], f"window slots spent re-certifying: {wasted}"
+            for name, row in json.load(fh).items():
+                if row.get("rows_match") and row.get("hash_match") is not False:
+                    last_green[name] = fname
+    stale_order = sorted(
+        (
+            n
+            for n in last_green
+            if n in ORACLES and n not in set(anchors + plan_changed)
+        ),
+        key=lambda n: (last_green[n], n),
+    )
+    expected = anchors + plan_changed + stale_order[: 48 - len(plan_changed)]
+    assert first50 == expected, (
+        "window drifted from the re-cert policy derivation:\n"
+        f"  missing: {[n for n in expected if n not in first50]}\n"
+        f"  extra:   {[n for n in first50 if n not in expected]}"
+    )
 
 
 @pytest.fixture(scope="module")

@@ -12,18 +12,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from lms_etl_pipeline_spark.plans.corpus_ml import (
-    _BM25_QUERIES,
-    _BM25_TOPK,
-    _KMEANS_K,
-    _N_SHARDS,
-    _SEMDEDUP_TAU,
-    bm25_retrieval_topk,
-    corpus_shuffle_deterministic,
-    kmeans_lloyd,
-    pagerank_graph,
-    semdedup_embedding,
-)
+from lms_etl_pipeline_spark.plans.corpus_ml import _BM25_QUERIES, _BM25_TOPK, _KMEANS_K, _N_SHARDS, _SEMDEDUP_TAU, bm25_retrieval_topk, corpus_shuffle_deterministic, kmeans_lloyd, pagerank_graph, semdedup_embedding
 from lms_etl_pipeline_spark.operators import vectors as vec
 from lms_etl_pipeline_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
@@ -138,12 +127,7 @@ def test_pagerank_conserves_and_orders_mass(spark):
 
 
 def test_rrf_fuses_both_lists_and_ranks_densely(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _RRF_K,
-        _RRF_QIDS,
-        _RRF_TOPK,
-        hybrid_retrieval_rrf,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml import _RRF_K, _RRF_QIDS, _RRF_TOPK, hybrid_retrieval_rrf
 
     rows = hybrid_retrieval_rrf(spark, SF_SMOKE).collect()
     assert rows
@@ -161,11 +145,7 @@ def test_rrf_fuses_both_lists_and_ranks_densely(spark):
 
 
 def test_pmi_pairs_come_from_real_windows(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _PMI_TOPK,
-        _PMI_WINDOW,
-        cooccurrence_pmi,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml import _PMI_TOPK, _PMI_WINDOW, cooccurrence_pmi
 
     rows = cooccurrence_pmi(spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= _PMI_TOPK
@@ -193,10 +173,7 @@ def test_pmi_pairs_come_from_real_windows(spark):
 
 
 def test_incremental_dedup_admits_only_novel_batch_docs(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _BATCH_MOD,
-        incremental_corpus_dedup,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml import _BATCH_MOD, incremental_corpus_dedup
     from lms_etl_pipeline_spark.operators import text as tx
 
     kept = incremental_corpus_dedup(spark, SF_SMOKE).collect()
@@ -299,7 +276,7 @@ def test_int8_quantize_codes_bounded_and_error_within_half_scale(spark):
 
 
 def test_ann_recall_bounds_and_bucket_consistency(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import _ANN_K, _ANN_QIDS, ann_recall_eval
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import _ANN_K, _ANN_QIDS, ann_recall_eval
 
     rows = ann_recall_eval(spark, SF_SMOKE).collect()
     assert rows and len(rows) <= _ANN_QIDS
@@ -312,7 +289,7 @@ def test_ann_recall_bounds_and_bucket_consistency(spark):
 
 
 def test_datasheet_partitions_and_shares_sum_to_one(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import corpus_datasheet
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import corpus_datasheet
 
     rows = corpus_datasheet(spark, SF_SMOKE).collect()
     d = load_table(spark, SF_SMOKE, "documents")
@@ -324,7 +301,7 @@ def test_datasheet_partitions_and_shares_sum_to_one(spark):
 
 
 def test_weighted_sample_prefers_heavier_docs_in_aggregate(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import _WS_K, weighted_sample_es
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import _WS_K, weighted_sample_es
 
     rows = weighted_sample_es(spark, SF_SMOKE).collect()
     d = load_table(spark, SF_SMOKE, "documents")
@@ -345,7 +322,7 @@ def test_weighted_sample_prefers_heavier_docs_in_aggregate(spark):
 
 
 def test_countmin_estimates_upper_bound_truth(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import _CMS_TOPK, countmin_heavy_hitters
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import _CMS_TOPK, countmin_heavy_hitters
 
     rows = countmin_heavy_hitters(spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= _CMS_TOPK
@@ -355,11 +332,8 @@ def test_countmin_estimates_upper_bound_truth(spark):
 
 
 def test_semdedup_kmeans_survivors_below_tau_within_learned_clusters(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _SEMDEDUP_TAU,
-        kmeans_lloyd,
-        semdedup_kmeans,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml import _SEMDEDUP_TAU, kmeans_lloyd
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import semdedup_kmeans
 
     kept = semdedup_kmeans(spark, SF_SMOKE).collect()
     assert kept
@@ -379,7 +353,7 @@ def test_semdedup_kmeans_survivors_below_tau_within_learned_clusters(spark):
 def test_psi_report_bins_partition_and_terms_are_finite(spark):
     import math
 
-    from lms_etl_pipeline_spark.plans.corpus_ml import _PSI_BINS, psi_drift_report
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import _PSI_BINS, psi_drift_report
 
     rows = psi_drift_report(spark, SF_SMOKE).collect()
     d = load_table(spark, SF_SMOKE, "documents")
@@ -392,7 +366,7 @@ def test_psi_report_bins_partition_and_terms_are_finite(spark):
 
 
 def test_lang_confusion_rows_sum_to_corpus_and_fracs_to_one(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import lang_id_confusion
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import lang_id_confusion
 
     rows = lang_id_confusion(spark, SF_SMOKE).collect()
     d = load_table(spark, SF_SMOKE, "documents")
@@ -405,10 +379,7 @@ def test_lang_confusion_rows_sum_to_corpus_and_fracs_to_one(spark):
 
 
 def test_token_budget_selection_respects_budget_and_is_prefix_closed(spark):
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _BUDGET_TOKENS,
-        token_budget_selection,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import _BUDGET_TOKENS, token_budget_selection
 
     rows = sorted(
         token_budget_selection(spark, SF_SMOKE).collect(), key=lambda r: r.cum_toks

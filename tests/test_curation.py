@@ -19,7 +19,7 @@ from lms_etl_pipeline_spark.plans.curation import (
     decontaminate_ngram_overlap,
     domain_mixture_sampling,
 )
-from lms_etl_pipeline_spark.plans.relational import lateral_topk
+from lms_etl_pipeline_spark.plans.relational_deep import lateral_topk
 from lms_etl_pipeline_spark.plans.windows import timeseries_interpolate_linear
 from lms_etl_pipeline_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
@@ -233,7 +233,7 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     """Z-order's reason to exist: per-bucket min/max boxes are tight on
     BOTH dims, so the summed box area is far below a single-key sort's
     (which leaves the second dimension unbounded ~ full range)."""
-    from lms_etl_pipeline_spark.plans.relational import zorder_layout_stats
+    from lms_etl_pipeline_spark.plans.relational_deep import zorder_layout_stats
 
     rows = zorder_layout_stats(spark, SF_SMOKE).collect()
     assert len(rows) == 16

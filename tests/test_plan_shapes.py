@@ -185,7 +185,7 @@ def test_repartition_by_range_plans_range_partitioning(spark):
 
 
 def test_keyless_range_join_is_equi_on_bins_not_nested_loop(spark):
-    from lms_etl_pipeline_spark.plans.relational import range_join_binned
+    from lms_etl_pipeline_spark.plans.relational_deep import range_join_binned
     from tests.conftest import SF_SMOKE
 
     df = range_join_binned(spark, SF_SMOKE)

@@ -123,10 +123,8 @@ def test_sharded_budget_matches_global_per_lang(spark):
     slice (same hash order, same budget)."""
     import __spark_entry__ as em
     from tests.conftest import SF_SMOKE
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _BUDGET_TOKENS_PER_LANG,
-        _bucket,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml import _bucket
+    from lms_etl_pipeline_spark.plans.corpus_ml_eval import _BUDGET_TOKENS_PER_LANG
     from lms_etl_pipeline_spark.operators import text as tx
     from lms_etl_pipeline_spark.sources.tables import load_table
 

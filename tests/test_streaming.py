@@ -378,10 +378,7 @@ def test_streaming_incremental_curation_matches_batch_dedup(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from lms_etl_pipeline_spark.operators.dedup import dedup_delta_against_index
-    from lms_etl_pipeline_spark.plans.corpus_ml import (
-        _BATCH_MOD,
-        incremental_corpus_dedup,
-    )
+    from lms_etl_pipeline_spark.plans.corpus_ml import _BATCH_MOD, incremental_corpus_dedup
     from lms_etl_pipeline_spark.sources.tables import load_table
     from lms_etl_pipeline_spark.streaming import file_stream, run_available_now
     from tests.conftest import SF_SMOKE
