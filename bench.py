@@ -66,6 +66,10 @@ HEADLINE = (
     # onto in round 7 — a regression in that operator was previously
     # invisible to BENCH.
     "token_budget_selection",
+    # Round 9: representative of the as-of/temporal join family (cogrouped
+    # sort-merge "next event after t" shape) — cheap (~0.3 s) and guards a
+    # plan family BENCH was otherwise blind to.
+    "join_asof_next_purchase",
 )
 
 # Watched for drift in round 4 (+11–19% with no plan change landed): one

@@ -25,7 +25,15 @@ hi/lo splits, the LSH band join, the curation composite) over the
 half-decade sf1→sf3, confirming the slopes hold beyond the four
 recorded decades.  Slope = log(t3/t1)/log10(3).
 
-Usage: python tools/scaling_extend.py [--rebuild] [--sf3]
+Round 9 adds a SIXTH point: ``--sf10`` builds a 100-copy (~sf10,
+500k-doc) documents fixture and measures the single heaviest plan
+(``corpus_curation_pipeline``) over the half-decade sf3→sf10, ALSO
+reporting the materialization footprint of its localCheckpoint barriers
+(RDD storage bytes vs the block manager's storage capacity) — the
+memory-headroom evidence behind session.materialize's deployment seam
+(local checkpoint on one box vs persist(MEMORY_AND_DISK) on a cluster).
+
+Usage: python tools/scaling_extend.py [--rebuild] [--sf3] [--sf10]
 """
 
 from __future__ import annotations
@@ -57,6 +65,26 @@ BIG3 = os.path.join(
 )
 SF3_COPIES = 30
 SF3_HEAVY = ("q1_pricing_summary", "near_dup_pairs_lsh", "corpus_curation_pipeline")
+
+BIG10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf10"
+)
+SF10_COPIES = 100
+
+
+def _storage_footprint(spark) -> tuple[int, int]:
+    """(bytes cached across all RDD storage, block-manager storage max) —
+    the localCheckpoint barriers of the plan under test are the only
+    cached RDDs in this tool's session, so the first number IS their
+    materialization footprint."""
+    sc = spark.sparkContext._jsc.sc()
+    cached = sum(
+        info.memSize() + info.diskSize() for info in sc.getRDDStorageInfo()
+    )
+    # statusStore().executorList returns a Scala Seq — iterate via apply(i)
+    execs = sc.statusStore().executorList(True)
+    cap = sum(int(execs.apply(i).maxMemory()) for i in range(execs.size()))
+    return int(cached), int(cap)
 
 
 def build_fixture(
@@ -182,6 +210,48 @@ def main() -> int:
             f"\nworst sf1->sf3 slope: {worst3:.2f} (red flag at {SLOPE_RED_FLAG})"
         )
         return 1 if worst3 >= SLOPE_RED_FLAG else 0
+
+    if "--sf10" in sys.argv:
+        if "--rebuild" in sys.argv or not os.path.isdir(
+            os.path.join(BIG10, "documents.parquet")
+        ):
+            print("building ~sf10 fixture (documents only) ...", flush=True)
+            build_fixture(spark, BIG10, SF10_COPIES, tables=("documents",))
+        if not os.path.isdir(os.path.join(BIG3, "documents.parquet")):
+            print("building ~sf3 fixture (lineitem + documents) ...", flush=True)
+            build_fixture(spark, BIG3, SF3_COPIES, tables=("lineitem", "documents"))
+        name = "corpus_curation_pipeline"
+        print("| query | ~sf3 s | ~sf10 s | out sf3 | out sf10 | slope |")
+        print("|---|---|---|---|---|---|")
+        times, outs, foots = [], [], []
+        for sf_dir in (BIG3, BIG10):
+            force_eval(qs[name](spark, sf_dir))  # warm footers/codegen
+            best = math.inf
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                force_eval(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                # sample immediately after the run, before the context
+                # cleaner unpersists the plan's localCheckpoint RDDs —
+                # a lower bound if the cleaner races, never an overcount
+                foots.append(_storage_footprint(spark))
+            times.append(best)
+            outs.append(qs[name](spark, sf_dir).count())
+        half = math.log10(SF10_COPIES / SF3_COPIES)
+        slope = math.log10(times[1] / times[0]) / half
+        print(
+            f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {outs[0]} "
+            f"| {outs[1]} | {slope:.2f} |"
+        )
+        peak, cap = max(foots, key=lambda t: t[0])
+        print(
+            f"\nmaterialization footprint (localCheckpoint barriers, post-run "
+            f"sample): {peak / 1e6:.0f} MB of {cap / 1e6:.0f} MB block-manager "
+            f"storage ({peak / cap * 100 if cap else 0:.1f}% — headroom "
+            f"{(cap - peak) / 1e6:.0f} MB)"
+        )
+        print(f"worst sf3->sf10 slope: {slope:.2f} (red flag at {SLOPE_RED_FLAG})")
+        return 1 if slope >= SLOPE_RED_FLAG else 0
 
     scales = [("/root/testdata/sf0.01", 0.01), (BASE, 0.1), (BIG, 1.0)]
     # Warm JVM + parquet footers at every scale.
