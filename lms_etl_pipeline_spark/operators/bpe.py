@@ -1,0 +1,137 @@
+"""BPE tokenizer TRAINING primitives — merge-rule learning at corpus scale.
+
+Byte-pair-encoding training (Sennrich et al. 2016; the GPT/Llama tokenizer
+family) iterates: count adjacent symbol pairs over the word-frequency
+dictionary, pick the most frequent pair, merge it everywhere, repeat.  The
+catalog already APPLIES a learned vocabulary (``tokenize_to_vocab_ids``);
+these operators LEARN the merges — the step every pretraining pipeline runs
+before tokenizing a corpus.
+
+Scale posture: everything runs on the WORD-FREQUENCY DICTIONARY (one row
+per distinct word + its corpus count), which is vocabulary-bounded, not
+corpus-bounded — the corpus-sized work is one tokenize + word count, after
+which each merge iteration is a linear pass over the dictionary's symbol
+volume (explode + three word-partitioned windows + rebuild; no global
+window, no cross join beyond the 1-row best-pair broadcast).
+
+Determinism: pair counts are exact integers; the winning pair breaks ties
+by (count DESC, left ASC, right ASC) — a documented divergence from
+insertion-order tie handling in some reference implementations, chosen
+because it is reproducible across engines, runs, and partitionings.
+
+GREEDY MERGE, SET-WISE.  Reference BPE applies a merge left-to-right,
+non-overlapping, within each word.  Occurrences of a pair (a, b) with
+a != b can never be adjacent (an occurrence at i and i+1 would force
+a = b), so every occurrence merges.  For a == b, occurrences inside a run
+of k consecutive a's sit at offsets 0..k-2, and left-to-right greedy takes
+exactly the EVEN offsets.  Both cases reduce to one window formula: keep
+an occurrence iff its distance from the start of its occurrence-run is
+even — which turns the inherently sequential textbook loop into three
+declarative word-partitioned window functions.  (``aaaa`` + merge (a,a)
+-> ``aa aa``; ``aaa`` -> ``aa a``; pinned in tests/test_bpe.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_dictionary(docs: DataFrame, tokens_col) -> DataFrame:
+    """(word, freq, syms) — the word-frequency dictionary with each word
+    split into its code-point symbols.  ``tokens_col`` is the tokenized
+    text array (whitespace tokens, empties dropped)."""
+    return (
+        docs.select(F.explode(tokens_col).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        # '(?s).' (dotall) matches exactly ONE code point — ANY code
+        # point — in BOTH Java regex (Spark) and RE2 (DuckDB).  Plain '.'
+        # diverges on the hostile fixture: Java excludes every line
+        # terminator (\u2028, \u2029, \u0085) while RE2 excludes only
+        # \n, and Java-\s tokenization keeps those inside words — found
+        # as an off-by-6 corpus_tokens_after on sf_hostile_text.
+        .withColumn("syms", F.expr("regexp_extract_all(word, '(?s).', 0)"))
+    )
+
+
+def best_pair(dict_df: DataFrame) -> DataFrame:
+    """1-row frame (left, right, pair_count): the most frequent adjacent
+    symbol pair over the dictionary, ties broken lexicographically.
+    TakeOrderedAndProject(1) — no global sort materializes."""
+    pairs = dict_df.select(
+        "freq",
+        F.explode(
+            # Spark [] indexing is 0-based; slice() start is 1-based.
+            # slice(syms, 1, n-1) pairs each symbol with its successor;
+            # single-symbol words yield the empty slice (no pairs).
+            F.expr(
+                "transform(slice(syms, 1, size(syms) - 1), (s, i) ->"
+                " struct(s AS l, syms[i + 1] AS r))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(1)
+    )
+
+
+def apply_merge(dict_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Dictionary with the (broadcast 1-row) best pair merged greedily
+    left-to-right in every word — the set-wise formulation from the module
+    docstring.  Columns preserved: word, freq, syms (rewritten)."""
+    tagged = dict_df.crossJoin(F.broadcast(best))
+    pos = tagged.select(
+        "word",
+        "freq",
+        "left",
+        "right",
+        F.posexplode("syms").alias("j", "sym"),
+    )
+    w = Window.partitionBy("word").orderBy("j")
+    # occurrence = this symbol starts the pair (lead() is NULL at the last
+    # position -> coalesce to false)
+    pos = pos.withColumn(
+        "occ",
+        F.coalesce(
+            (F.col("sym") == F.col("left"))
+            & (F.lead("sym").over(w) == F.col("right")),
+            F.lit(False),
+        ),
+    )
+    # occurrence-run detection: consecutive occurrence positions share
+    # j - row_number() (counted over occurrences only); greedy keeps the
+    # even offsets within each run
+    pos = pos.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("word", "occ").orderBy("j"))
+    ).withColumn("_run", F.when(F.col("occ"), F.col("j") - F.col("_rn")))
+    w_run = Window.partitionBy("word", "_run")
+    pos = pos.withColumn(
+        "kept",
+        F.col("occ") & (((F.col("j") - F.min("j").over(w_run)) % 2) == 0),
+    )
+    # a position is consumed when its predecessor merged it away
+    pos = pos.withColumn(
+        "consumed", F.coalesce(F.lag("kept").over(w), F.lit(False))
+    )
+    return (
+        pos.filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            "j",
+            F.when(F.col("kept"), F.concat(F.col("left"), F.col("right")))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .groupBy("word", "freq")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "sym"))),
+                lambda s: s.sym,
+            ).alias("syms")
+        )
+    )

@@ -882,3 +882,129 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stops.alias("ok_stops"),
         (ok_words & ok_mwl & ok_alpha & ok_stops).alias("kept"),
     )
+
+
+# -- BPE tokenizer training (merge-rule learning) ----------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One BPE training iteration as chained DuckDB CTEs: d{k} -> best{k}
+    (most frequent adjacent pair, lexicographic tie-break) -> d{k+1} (the
+    greedy left-to-right merge applied set-wise — see operators/bpe.py:
+    an occurrence merges iff its offset from the start of its
+    occurrence-run is even, which is exact for a != b trivially and for
+    a == b reproduces textbook run behavior)."""
+    return f"""
+    pairs{k} AS (
+      SELECT freq, syms, UNNEST(RANGE(1, LEN(syms))) AS i FROM d{k}
+    ),
+    best{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM pairs{k} GROUP BY 1, 2
+      ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ),
+    pos{k} AS (
+      SELECT d.word, d.freq, b.l, b.r, d.syms,
+             UNNEST(RANGE(1, LEN(d.syms) + 1)) AS j
+      FROM d{k} d CROSS JOIN best{k} b
+    ),
+    occ{k} AS (
+      SELECT word, freq, l, r, j, syms[j] AS sym,
+             COALESCE(syms[j] = l AND LEAD(syms[j]) OVER
+                 (PARTITION BY word ORDER BY j) = r, FALSE) AS occ
+      FROM pos{k}
+    ),
+    run{k} AS (
+      SELECT *, CASE WHEN occ THEN j - ROW_NUMBER() OVER
+                 (PARTITION BY word, occ ORDER BY j) END AS run
+      FROM occ{k}
+    ),
+    kept{k} AS (
+      SELECT *, occ AND (j - MIN(j) OVER (PARTITION BY word, run)) % 2 = 0
+                 AS kept
+      FROM run{k}
+    ),
+    cons{k} AS (
+      SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY word ORDER BY j),
+                         FALSE) AS consumed
+      FROM kept{k}
+    ),
+    d{k + 1} AS (
+      SELECT word, freq,
+             LIST(CASE WHEN kept THEN l || r ELSE sym END ORDER BY j) AS syms
+      FROM cons{k} WHERE NOT consumed
+      GROUP BY word, freq
+    ),
+    after{k} AS (
+      SELECT CAST(SUM(freq * LEN(syms)) AS BIGINT) AS corpus_tokens_after
+      FROM d{k + 1}
+    )"""
+
+
+_BPE_ORACLE = (
+    f"""
+    WITH d1 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             REGEXP_EXTRACT_ALL(word, '(?s).') AS syms
+      FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),"""
+    + ",".join(_bpe_iter_sql(k) for k in range(1, _BPE_ITERS + 1))
+    + "".join(
+        f"""
+    {"SELECT" if k == 1 else "UNION ALL SELECT"} {k} AS iteration,
+           b.l AS merge_left, b.r AS merge_right, b.pair_count,
+           a.corpus_tokens_after
+    FROM best{k} b CROSS JOIN after{k} a"""
+        for k in range(1, _BPE_ITERS + 1)
+    )
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING: learn the first three merge rules over the
+    corpus (count adjacent code-point pairs on the word-frequency
+    dictionary, merge the most frequent pair everywhere, repeat), emitting
+    each rule with its pair count and the post-merge corpus token count —
+    the tokenizer-construction step every pretraining pipeline runs before
+    ``tokenize_to_vocab_ids``-style application.
+
+    Scale: the corpus-sized work is ONE tokenize + word count; every
+    iteration then runs on the vocabulary-bounded dictionary (explode +
+    word-partitioned windows + rebuild — operators/bpe.py), with the
+    winning pair a 1-row TakeOrderedAndProject broadcast (ALLOW_CROSS).
+    The textbook left-to-right greedy merge is applied SET-WISE (an
+    occurrence merges iff its offset within its occurrence-run is even),
+    so the inherently sequential loop becomes three declarative window
+    passes.  Ties break (count DESC, left ASC, right ASC) — documented
+    divergence from insertion-order tie handling, chosen for
+    cross-engine/cross-run reproducibility.  The dictionary is
+    re-materialized between iterations (``session.materialize``) so the
+    per-iteration lineage stays bounded, mirroring operators/ml.py's
+    iterative discipline."""
+    from lms_etl_pipeline_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    dk = bpe.word_dictionary(d, tx.tokens("text"))
+    out = None
+    for it in range(1, _BPE_ITERS + 1):
+        b = bpe.best_pair(dk)
+        dk = materialize(bpe.apply_merge(dk, b))
+        after = dk.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias(
+                "corpus_tokens_after"
+            )
+        )
+        row = b.crossJoin(F.broadcast(after)).select(
+            F.lit(it).alias("iteration"),
+            F.col("left").alias("merge_left"),
+            F.col("right").alias("merge_right"),
+            "pair_count",
+            "corpus_tokens_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

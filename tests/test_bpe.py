@@ -1,0 +1,119 @@
+"""operators/bpe.py: BPE merge-rule learning, differentially tested
+against a pure-Python TEXTBOOK implementation (the sequential
+left-to-right greedy loop) — the set-wise window formulation must
+reproduce it exactly, including same-symbol runs where the greedy
+subtlety lives.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from lms_etl_pipeline_spark.operators import bpe
+
+
+def ref_apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Textbook sequential left-to-right greedy merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_train(words: dict[str, int], iters: int):
+    """Textbook trainer: (rules, dicts) with the repo's tie-break."""
+    d = {w: (list(w), f) for w, f in words.items()}
+    rules = []
+    for _ in range(iters):
+        counts: Counter = Counter()
+        for syms, f in d.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((a, b, n))
+        d = {w: (ref_apply_merge(s, a, b), f) for w, (s, f) in d.items()}
+    return rules, d
+
+
+@pytest.mark.parametrize(
+    ("word", "pair", "want"),
+    [
+        ("aaaa", ("a", "a"), ["aa", "aa"]),       # even run: all pairs merge
+        ("aaa", ("a", "a"), ["aa", "a"]),         # odd run: trailing singleton
+        ("aaaaa", ("a", "a"), ["aa", "aa", "a"]),
+        ("abab", ("a", "b"), ["ab", "ab"]),       # a != b: never overlapping
+        ("xaby", ("a", "b"), ["x", "ab", "y"]),
+        ("ab", ("b", "a"), ["a", "b"]),           # no occurrence
+        ("a", ("a", "a"), ["a"]),                 # single symbol: no pairs
+    ],
+)
+def test_apply_merge_greedy_semantics(spark, word, pair, want):
+    d = spark.createDataFrame([(word, 1)], "word string, freq long").withColumn(
+        "syms", F.expr("regexp_extract_all(word, '(?s).', 0)")
+    )
+    best = spark.createDataFrame(
+        [(pair[0], pair[1], 1)], "left string, right string, pair_count long"
+    )
+    got = bpe.apply_merge(d, best).collect()[0]["syms"]
+    assert got == want == ref_apply_merge(list(word), *pair)
+
+
+def test_train_matches_textbook_reference(spark):
+    """Three iterations over a deliberately nasty corpus (same-symbol runs,
+    ties, multi-char merges feeding later iterations) must equal the
+    sequential textbook trainer rule-for-rule and dictionary-for-dictionary."""
+    texts = [
+        "aaaa aaa banana bandana",
+        "aaaa banana banana abab",
+        "mississippi bookkeeper aaa",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    words: Counter = Counter(w for t in texts for w in t.split())
+
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    dk = bpe.word_dictionary(docs, tx.tokens("text"))
+    got_rules = []
+    for _ in range(3):
+        b = bpe.best_pair(dk)
+        row = b.collect()[0]
+        got_rules.append((row["left"], row["right"], row["pair_count"]))
+        dk = bpe.apply_merge(dk, b)
+    want_rules, want_dict = ref_train(dict(words), 3)
+    assert got_rules == want_rules
+    got_dict = {r["word"]: (r["syms"], r["freq"]) for r in dk.collect()}
+    assert got_dict == {w: (s, f) for w, (s, f) in want_dict.items()}
+
+
+def test_query_shape_and_monotone_counts(spark):
+    """The registered query emits one row per learnable merge with
+    non-increasing pair counts and strictly decreasing corpus tokens."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        em.queries()["bpe_train_merges"](spark, SF_SMOKE)
+        .orderBy("iteration")
+        .collect()
+    )
+    assert [r["iteration"] for r in rows] == [1, 2, 3]
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    toks = [r["corpus_tokens_after"] for r in rows]
+    assert all(a > b for a, b in zip(toks, toks[1:]))
+    # each merge removes exactly pair_count symbol slots from the corpus:
+    # tokens_after[k] = tokens_after[k-1] - pair_count[k]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["corpus_tokens_after"] == (
+            prev["corpus_tokens_after"] - cur["pair_count"]
+        )
