@@ -47,6 +47,9 @@ _PRIORITY: tuple[str, ...] = (
     # from the policy and the r1-r8 artifacts, so drift fails CI.
     "flagship_regional_revenue",
     "events_session_window",
+    # fresh debt (round-9 addition, never certified): fresh-first per the
+    # standing slot-economy rule
+    "bpe_train_merges",
     "q9_product_profit",
     "fifo_returns_allocation",
     "corpus_curation_pipeline",
@@ -94,7 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "csv_roundtrip_nation",
     "dataset_split_assign",
     "dedup_embedding_cosine",
-    "dedup_exact_text",
 )
 
 

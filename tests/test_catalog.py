@@ -52,6 +52,9 @@ def test_first_50_follow_the_rotation_policy():
 
     assert list(_PRIORITY) == first50
     anchors = ["flagship_regional_revenue", "events_session_window"]
+    # fresh debt first (standing slot-economy rule): round-9 additions
+    # with no driver row yet
+    fresh = ["bpe_train_merges"]
     # r8 re-plans that missed the r8 window + the r9 NaN-bucket contract
     # change (operators/rank.py nulls='last' call sites)
     plan_changed = [
@@ -82,11 +85,16 @@ def test_first_50_follow_the_rotation_policy():
         (
             n
             for n in last_green
-            if n in ORACLES and n not in set(anchors + plan_changed)
+            if n in ORACLES and n not in set(anchors + fresh + plan_changed)
         ),
         key=lambda n: (last_green[n], n),
     )
-    expected = anchors + plan_changed + stale_order[: 48 - len(plan_changed)]
+    expected = (
+        anchors
+        + fresh
+        + plan_changed
+        + stale_order[: 48 - len(fresh) - len(plan_changed)]
+    )
     assert first50 == expected, (
         "window drifted from the re-cert policy derivation:\n"
         f"  missing: {[n for n in expected if n not in first50]}\n"
