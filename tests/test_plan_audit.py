@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tools.audit_plans import (
+    ALLOW_BROADCAST,
     ALLOW_CROSS,
     ALLOW_GLOBAL_WINDOW,
     ALLOW_GLOBAL_WINDOW_CORPUS,
@@ -75,6 +76,18 @@ def test_allowlists_are_disjoint_and_registered():
     both = set(ALLOW_GLOBAL_WINDOW) & set(ALLOW_GLOBAL_WINDOW_CORPUS)
     assert both == set(), both
     registered = set(em.queries())
-    for allow in (ALLOW_CROSS, ALLOW_GLOBAL_WINDOW, ALLOW_GLOBAL_WINDOW_CORPUS):
+    for allow in (
+        ALLOW_CROSS,
+        ALLOW_GLOBAL_WINDOW,
+        ALLOW_GLOBAL_WINDOW_CORPUS,
+        ALLOW_BROADCAST,
+    ):
         missing = set(allow) - registered
         assert missing == set(), missing
+    # broadcast bounds must name real fixture tables with positive ratios
+    for name, (table, ratio) in ALLOW_BROADCAST.items():
+        assert table in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split(), name
+        assert ratio > 0, name
