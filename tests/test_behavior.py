@@ -358,7 +358,7 @@ def test_km_handles_censoring_correctly(spark):
     df = spark.createDataFrame(
         rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
-    import lms_etl_pipeline_spark.plans.behavior as B
+    import lms_etl_pipeline_spark.plans.behavior_outcomes as B
 
     orig = B.load_table
     df.createOrReplaceTempView("___km_lit")
