@@ -70,6 +70,10 @@ HEADLINE = (
     # sort-merge "next event after t" shape) — cheap (~0.3 s) and guards a
     # plan family BENCH was otherwise blind to.
     "join_asof_next_purchase",
+    # Round 9: the new tokenizer-TRAINING family (BPE merge learning) —
+    # three materialize-barriered window iterations over the word
+    # dictionary; drift here means the iterative-window discipline broke.
+    "bpe_train_merges",
 )
 
 # Watched for drift in round 4 (+11–19% with no plan change landed): one

@@ -102,16 +102,21 @@ def apply_merge(dict_df: DataFrame, best: DataFrame) -> DataFrame:
             F.lit(False),
         ),
     )
-    # occurrence-run detection: consecutive occurrence positions share
-    # j - row_number() (counted over occurrences only); greedy keeps the
-    # even offsets within each run
+    # occurrence-run detection on the SAME (word, j) partitioning as every
+    # other window in this pass (so Catalyst plans ONE exchange + one sort
+    # for the whole merge, instead of re-shuffling for a (word, occ) or
+    # (word, run) keyed window): a run STARTS where occ holds but didn't
+    # at j-1; the current run's start is the running max of start
+    # positions (starts increase with j); greedy keeps even offsets.
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
     pos = pos.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("word", "occ").orderBy("j"))
-    ).withColumn("_run", F.when(F.col("occ"), F.col("j") - F.col("_rn")))
-    w_run = Window.partitionBy("word", "_run")
+        "_is_start",
+        F.col("occ") & ~F.coalesce(F.lag("occ").over(w), F.lit(False)),
+    )
+    run_start = F.max(F.when(F.col("_is_start"), F.col("j"))).over(w_cum)
     pos = pos.withColumn(
         "kept",
-        F.col("occ") & (((F.col("j") - F.min("j").over(w_run)) % 2) == 0),
+        F.col("occ") & (((F.col("j") - run_start) % 2) == 0),
     )
     # a position is consumed when its predecessor merged it away
     pos = pos.withColumn(

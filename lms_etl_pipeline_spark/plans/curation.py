@@ -917,14 +917,19 @@ def _bpe_iter_sql(k: int) -> str:
                  (PARTITION BY word ORDER BY j) = r, FALSE) AS occ
       FROM pos{k}
     ),
-    run{k} AS (
-      SELECT *, CASE WHEN occ THEN j - ROW_NUMBER() OVER
-                 (PARTITION BY word, occ ORDER BY j) END AS run
+    st{k} AS (
+      SELECT *, occ AND NOT COALESCE(LAG(occ) OVER
+                 (PARTITION BY word ORDER BY j), FALSE) AS is_start
       FROM occ{k}
     ),
+    run{k} AS (
+      SELECT *, MAX(CASE WHEN is_start THEN j END)
+                 OVER (PARTITION BY word ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) AS run_start
+      FROM st{k}
+    ),
     kept{k} AS (
-      SELECT *, occ AND (j - MIN(j) OVER (PARTITION BY word, run)) % 2 = 0
-                 AS kept
+      SELECT *, occ AND (j - run_start) % 2 = 0 AS kept
       FROM run{k}
     ),
     cons{k} AS (
@@ -989,10 +994,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lms_etl_pipeline_spark.operators import bpe
 
     d = load_table(spark, sf_dir, "documents")
-    dk = bpe.word_dictionary(d, tx.tokens("text"))
+    # materialize the dictionary (the tokenize+count subtree feeds three
+    # consumers in iteration 1) and each 1-row winner (consumed by the
+    # merge pass, the output row, and the token count — re-running the
+    # TakeOrdered pass per consumer tripled the per-iteration cost)
+    dk = materialize(bpe.word_dictionary(d, tx.tokens("text")))
     out = None
     for it in range(1, _BPE_ITERS + 1):
-        b = bpe.best_pair(dk)
+        b = materialize(bpe.best_pair(dk))
         dk = materialize(bpe.apply_merge(dk, b))
         after = dk.agg(
             F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias(
