@@ -58,6 +58,8 @@ _PRIORITY: tuple[str, ...] = (
     "model_gains_table",
     "abc_pareto_classification",
     "rfm_segmentation",
+    # + the r9 fuzz-seed-11 double-round-tie fix (unrounded quotient)
+    "timeseries_seasonal_profile",
     "agg_cube",
     "agg_distinct_counts",
     "agg_grouping_sets",
@@ -96,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_collect_sorted",
     "csv_roundtrip_nation",
     "dataset_split_assign",
-    "dedup_embedding_cosine",
 )
 
 

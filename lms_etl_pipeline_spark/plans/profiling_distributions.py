@@ -131,11 +131,11 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof AS (
       SELECT event_type, hod,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-                 AS raw_mean
+                 AS seasonal_mean
       FROM e GROUP BY event_type, hod)
     SELECT e.event_id, e.event_type, CAST(e.hod AS BIGINT) AS hod, e.value,
-           ROUND(p.raw_mean, 6) AS seasonal_mean,
-           ROUND(e.value - ROUND(p.raw_mean, 6), 6) AS residual
+           p.seasonal_mean,
+           e.value - p.seasonal_mean AS residual
     FROM e JOIN prof p USING (event_type, hod)
     """,
 )
@@ -146,9 +146,16 @@ def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to diurnal metrics (the calendar twin of ``events_rolling_anomaly``'s
     rolling window).
 
-    Determinism: the seasonal mean is an exact DECIMAL sum / count rounded
-    at scale 6 BEFORE the residual subtraction, so residuals are identical
-    doubles on both engines.
+    Determinism: the seasonal mean is an exact DECIMAL sum (order-
+    independent), ONE exact decimal→double cast (scaled sum < 2^53 at
+    every checked SF), ONE IEEE division by the count — bit-identical on
+    both engines WITHOUT rounding; the residual is then one IEEE
+    subtraction of identical doubles, also bit-identical.  Deliberately
+    NO ROUND() on the quotient: rounding a double that happens to sit
+    within an ulp of a decimal .5 boundary is engine-divergent (Spark
+    rounds the full binary expansion via BigDecimal, DuckDB rounds the
+    scaled double — fuzz seed 11 landed a seasonal mean on exactly such a
+    tie), whereas the unrounded quotient is deterministic by IEEE 754.
 
     Scale: one map-side-combining aggregate on the bounded
     (type × 24-hour) key, broadcast back onto the events in a map-only
@@ -159,10 +166,9 @@ def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value", F.hour("ts").alias("hod")
     )
     prof = e.groupBy("event_type", "hod").agg(
-        F.round(
+        (
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("seasonal_mean")
     )
     return e.join(F.broadcast(prof), ["event_type", "hod"]).select(
@@ -171,7 +177,7 @@ def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hod").cast("bigint").alias("hod"),
         "value",
         "seasonal_mean",
-        F.round(F.col("value") - F.col("seasonal_mean"), 6).alias("residual"),
+        (F.col("value") - F.col("seasonal_mean")).alias("residual"),
     )
 
 

@@ -66,6 +66,8 @@ def test_first_50_follow_the_rotation_policy():
         "model_gains_table",
         "abc_pareto_classification",
         "rfm_segmentation",
+        # r9 fuzz-seed-11 double-round-tie fix
+        "timeseries_seasonal_profile",
     ]
     # all 50 must be exact-oracle-checkable
     rows_only = [n for n in first50 if n not in ORACLES]
