@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "rfm_segmentation",
     # + the r9 fuzz-seed-11 double-round-tie fix (unrounded quotient)
     "timeseries_seasonal_profile",
+    "pinball_loss_eval",
     "agg_cube",
     "agg_distinct_counts",
     "agg_grouping_sets",
@@ -97,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot_measures",
     "agg_collect_sorted",
     "csv_roundtrip_nation",
-    "dataset_split_assign",
 )
 
 

@@ -323,30 +323,43 @@ _TRAIN_DAYS = 21
 def _pinball_oracle() -> str:
     arms = []
     for q in _PINBALL_QS:
+        tq = int(round(q * 10))  # q in tenths: 5 or 9, exact
         arms.append(f"""
     SELECT t.event_type, CAST({q} AS DOUBLE) AS q,
            CAST(COUNT(*) AS BIGINT) AS n_test_days,
-           CAST(CAST(CAST(SUM(CAST(ROUND(
-             CASE WHEN t.x >= f.yhat THEN {q!r} * (t.x - f.yhat)
-                  ELSE {q - 1!r} * (t.x - f.yhat) END, 6) AS DECIMAL(18,6)))
-             * 1000000 AS HUGEINT) // COUNT(*) AS BIGINT) AS DOUBLE)
-             / 1000000.0 AS pinball_loss
+           CAST(CAST(CAST(SUM(CAST(
+             CASE WHEN t.x_u * 10 >= f.yhat_10u
+                  THEN {tq} * (t.x_u * 10 - f.yhat_10u)
+                  ELSE {tq - 10} * (t.x_u * 10 - f.yhat_10u) END
+             AS DECIMAL(38,0))) AS HUGEINT)
+             // (COUNT(*) * 100) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS pinball_loss
     FROM test t JOIN (
-      SELECT event_type, QUANTILE_CONT(x, {q}) AS yhat
-      FROM train GROUP BY 1) f
+      SELECT event_type,
+             MAX(CASE WHEN rn = ((n-1) * {tq}) // 10 THEN x_u END)
+               * (10 - ((n-1) * {tq}) % 10)
+             + MAX(CASE WHEN rn = ((n-1) * {tq} + 9) // 10 THEN x_u END)
+               * (((n-1) * {tq}) % 10) AS yhat_10u
+      FROM ranked GROUP BY event_type, n) f
     ON f.event_type = t.event_type
     GROUP BY t.event_type""")
     prefix = f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS x
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) * 1000000
+                  AS BIGINT) AS x_u
       FROM events GROUP BY 1, 2),
     origin AS (SELECT MIN(day) AS d0 FROM daily),
     lab AS (
       SELECT d.*, DATEDIFF('day', o.d0, d.day) < {_TRAIN_DAYS} AS is_train
       FROM daily d CROSS JOIN origin o),
-    train AS (SELECT event_type, x FROM lab WHERE is_train),
-    test AS (SELECT event_type, x FROM lab WHERE NOT is_train)
+    ranked AS (
+      SELECT event_type, x_u,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY x_u, event_type) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM lab WHERE is_train),
+    test AS (SELECT event_type, x_u FROM lab WHERE NOT is_train)
     """
     return prefix + " UNION ALL ".join(arms)
 
@@ -360,58 +373,84 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning), completing the eval suite beside ``forecast_backtest_eval``
     (point forecasts) and ``retrieval_mrr_ndcg`` (rankings).
 
-    Determinism: the daily series is decimal-summed then rounded once;
-    the train quantile interpolates the same sorted doubles in both
-    engines; per-day losses are rounded then DECIMAL-summed, and the
-    closing mean is a truncated integer division of exact micro-units
-    (Spark ``div`` ≡ DuckDB ``//``) — no ROUND of a derived double ratio
-    remains, so no .5 boundary can split the engines.
+    Determinism — EXACT INTEGER END TO END (round-9 fuzz seed 16): the
+    earlier form rounded per-day losses at 6 dp, and ``ROUND(q*err, 6)``
+    on an inexact double splits the engines when the product sits within
+    an ulp of a .5 boundary (the double-round-tie class; one test day of
+    seed 16 landed there and shifted a truncated mean by 1e-6).  Now the
+    daily series is exact micro-units; the train quantile interpolates
+    bracketing order statistics in integer 1e-7 units (the
+    ``interarrival_time_stats`` recipe — q is in tenths, so the weight is
+    an integer 0..9); each day's loss is ``10q`` or ``10q−10`` times an
+    integer error (1e-8 units, exact); the DECIMAL(38,0) sum and the
+    closing truncated division are exact on both engines.  No double is
+    rounded anywhere.
 
     Scale: events collapse to (type x day); everything after is
-    report-sized.  The per-type quantile table is a broadcast join.
+    report-sized.  The per-type quantile table is a broadcast join; the
+    rank window partitions on the bounded type key.
     """
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
-        .cast("double")
-        .alias("x")
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6) * 1_000_000)
+        .cast("bigint")
+        .alias("x_u")
     )
     origin = daily.agg(F.min("day").alias("d0"))
     lab = daily.crossJoin(F.broadcast(origin)).withColumn(
         "is_train", F.datediff(F.col("day"), F.col("d0")) < _TRAIN_DAYS
     )
-    train = lab.filter("is_train")
-    test = lab.filter("NOT is_train")
+    wr = Window.partitionBy("event_type").orderBy("x_u", "event_type")
+    wn = Window.partitionBy("event_type")
+    ranked = (
+        lab.filter("is_train")
+        .select(
+            "event_type",
+            "x_u",
+            (F.row_number().over(wr) - 1).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+    )
+    test = lab.filter("NOT is_train").select("event_type", "x_u")
     out = None
     for q in _PINBALL_QS:
-        f = train.groupBy("event_type").agg(
-            F.expr(f"percentile(x, {q})").alias("yhat")
-        )
-        err = F.col("x") - F.col("yhat")
-        loss = F.when(err >= 0, F.lit(q) * err).otherwise(F.lit(q - 1) * err)
+        tq = int(round(q * 10))
+        f = ranked.groupBy("event_type", "n").agg(
+            (
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr(f"((n-1) * {tq}) DIV 10"),
+                        F.col("x_u"),
+                    )
+                )
+                * F.expr(f"10 - ((n-1) * {tq}) % 10")
+                + F.max(
+                    F.when(
+                        F.col("rn") == F.expr(f"((n-1) * {tq} + 9) DIV 10"),
+                        F.col("x_u"),
+                    )
+                )
+                * F.expr(f"((n-1) * {tq}) % 10")
+            ).alias("yhat_10u")
+        ).select("event_type", "yhat_10u")
+        err = F.col("x_u") * 10 - F.col("yhat_10u")
+        loss = F.when(err >= 0, F.lit(tq) * err).otherwise(F.lit(tq - 10) * err)
         arm = (
             test.join(F.broadcast(f), "event_type")
             .groupBy("event_type")
             .agg(
                 F.count("*").cast("bigint").alias("n_test_days"),
-                (F.sum(F.round(loss, 6).cast("decimal(18,6)")) * 1_000_000)
-                .cast("decimal(38,0)")
-                .alias("_s"),
-            )
-            .select(
-                "event_type",
-                "n_test_days",
-                (
-                    F.expr("CAST(_s div n_test_days AS BIGINT)")
-                    .cast("double")
-                    / 1_000_000.0
-                ).alias("pinball_loss"),
+                F.sum(loss.cast("decimal(38,0)")).alias("_s"),
             )
             .select(
                 "event_type",
                 F.lit(float(q)).alias("q"),
                 "n_test_days",
-                "pinball_loss",
+                (
+                    F.expr("CAST(_s div (n_test_days * 100) AS BIGINT)")
+                    .cast("double")
+                    / 1_000_000.0
+                ).alias("pinball_loss"),
             )
         )
         out = arm if out is None else out.unionByName(arm)

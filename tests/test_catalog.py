@@ -66,8 +66,9 @@ def test_first_50_follow_the_rotation_policy():
         "model_gains_table",
         "abc_pareto_classification",
         "rfm_segmentation",
-        # r9 fuzz-seed-11 double-round-tie fix
+        # r9 fuzz-seed-11/16 double-round-tie fixes
         "timeseries_seasonal_profile",
+        "pinball_loss_eval",
     ]
     # all 50 must be exact-oracle-checkable
     rows_only = [n for n in first50 if n not in ORACLES]

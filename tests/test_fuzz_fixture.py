@@ -55,8 +55,14 @@ FIXED = [
     "survival_kaplan_meier",           # 2: LN(0) on total churn
 ]
 
-#: seed-11 finding (round 9): the double-round tie class
-FIXED_SEED11 = ["timeseries_seasonal_profile"]
+#: round-9 seed findings: seed -> queries fixed on it (both are the
+#: double-round-tie class; seed 16's fix additionally surfaced that
+#: DuckDB's // on DECIMAL operands is plain DOUBLE division — oracle
+#: integer division must go through HUGEINT)
+FIXED_BY_SEED = {
+    11: ["timeseries_seasonal_profile"],
+    16: ["pinball_loss_eval"],
+}
 
 
 @pytest.fixture(scope="module")
@@ -102,25 +108,24 @@ def test_oracle_match_on_fuzz_seed0(spark, fuzz0, duckf, name):
     assert problems == [], problems
 
 
-@pytest.fixture(scope="module")
-def fuzz11(spark, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("fuzz11"))
-    build(spark, 11, out)
-    return out
-
-
-@pytest.mark.parametrize("name", FIXED_SEED11)
-def test_oracle_match_on_fuzz_seed11(spark, fuzz11, name):
+@pytest.mark.parametrize(
+    ("seed", "name"),
+    [(s, n) for s, names in FIXED_BY_SEED.items() for n in names],
+)
+def test_oracle_match_on_round9_seeds(spark, tmp_path_factory, seed, name):
     """Seed 11's seasonal mean lands within an ulp of a 6-dp rounding tie
-    (67.5977435…): the unrounded-quotient formulation must match exactly
-    where the ROUND()ed one diverged."""
+    (67.5977435…); seed 16 lands one pinball per-day loss on the same
+    boundary: the exact formulations must match where the ROUND()ed ones
+    diverged."""
+    out = str(tmp_path_factory.mktemp(f"fuzz{seed}"))
+    build(spark, seed, out)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fuzz11}/{t}.parquet/*.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet/*.parquet')"
         )
     try:
-        sdf = QUERIES[name](spark, fuzz11)
+        sdf = QUERIES[name](spark, out)
         rel = con.sql(ORACLES[name])
         problems = compare(
             name, sdf, rel.limit(MAX_COMPARE_ROWS + 1).fetchall(), list(rel.columns)
