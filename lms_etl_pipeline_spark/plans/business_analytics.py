@@ -94,7 +94,8 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY o_orderdate ASC, o_orderkey ASC)
                AS valid_to
       FROM orders),
-    t AS (SELECT MIN(o_orderdate) + INTERVAL 365 DAY AS asof FROM orders)
+    t AS (SELECT CAST(MIN(o_orderdate) AS DATE) + INTERVAL 365 DAY AS asof
+          FROM orders)
     SELECT h.o_custkey,
            h.o_orderstatus AS status_asof,
            CAST(ROUND(CAST(h.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
@@ -115,8 +116,12 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactly one row per customer key survives, because [valid_from,
     valid_to) windows partition each key's timeline — the filter IS the
-    snapshot.  The as-of instant derives from the data (min order date +
-    365d) as a 1-row broadcast, not a hardcoded constant.
+    snapshot.  The as-of instant derives from the data as a 1-row
+    broadcast, not a hardcoded constant: midnight of (first order DATE +
+    365 days) — the DATE truncation is explicit ON BOTH SIDES because
+    order timestamps need not be midnight-aligned (fuzz seed 19's first
+    order lands at 23:00, which silently shifted an interval-on-timestamp
+    oracle anchor by 23 hours and reclassified boundary rows).
 
     Scale: the history build is one window shuffle on the natural key; the
     snapshot filter is applied per row with a broadcast 1-row timestamp —
