@@ -18,15 +18,17 @@ Measurement discipline (round-2 advisories):
   ``count()`` — Catalyst column-prunes projection-only plans under count,
   which silently under-reports projection-shaped work (e.g. minhash's
   hash-slot arrays were being optimized away);
-- each query runs ``BENCH_REPS`` times (default 2) and reports the MIN —
-  this box shows ±25% run-to-run variance, and min-take tames it so
-  round-over-round deltas mean something;
-- the three queries that drifted upward in round 4 with no plan change
-  (``dedup_embedding_cosine``, ``knn_cosine_exact``, ``minhash_signatures``)
-  take an extra rep, and every headline query's **normalized optimized-plan
-  fingerprint** is emitted alongside its timing — a round-over-round timing
-  delta with an unchanged fingerprint is noise by construction, one with a
-  changed fingerprint names the plan diff;
+- each query runs ``BENCH_REPS`` times (default 2; **min 5 for sub-second
+  queries** — round-9 finding: the driver's re-run of bit-identical plans
+  swung ±6% on the total and ±30% on sub-second queries at 2-3 reps, so
+  round-over-round "improvements" had outrun the noise floor) and reports
+  the MIN plus the **cross-rep spread** (max−min) per query;
+- every headline query's **normalized optimized-plan fingerprint** is
+  emitted alongside its timing, and each timing carries a
+  ``delta_significant`` flag — true ONLY when the plan hash changed or
+  |Δ vs the previous round| exceeds both runs' measured spreads.  A
+  round summary may claim a regression/improvement ONLY for flagged
+  queries; everything else is "plans unchanged, timing within noise";
 - (round 7) each query ALSO reports ``exec`` — the sum of Spark job
   durations for the best rep, i.e. the in-job (scheduling + executor)
   slice of the end-to-end wall time.  The gap to the end-to-end number is
@@ -76,13 +78,11 @@ HEADLINE = (
     "bpe_train_merges",
 )
 
-# Watched for drift in round 4 (+11–19% with no plan change landed): one
-# extra rep so min-take has three samples against the box's ±25% variance.
-EXTRA_REPS = {
-    "dedup_embedding_cosine": 3,
-    "knn_cosine_exact": 3,
-    "minhash_signatures": 3,
-}
+# Sub-second queries sit inside the box's fixed-cost noise floor, where
+# min-of-2 still swings ±30% with an unchanged plan (measured rounds 4, 6,
+# and — decisively — the round-9 builder-vs-driver same-hash comparison):
+# they get at least this many reps so min + spread are meaningful.
+SUBSEC_MIN_REPS = 5
 
 
 def sink_of(df):
@@ -160,32 +160,31 @@ def main() -> int:
         return tot
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     execs: dict[str, float] = {}
     plans: dict[str, str] = {}
     reps_used: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        samples: list[float] = []
         ebest = float("inf")
-        n_reps = max(reps, EXTRA_REPS.get(name, 0))
+        n_reps = reps
         done = 0
         while done < n_reps:
             before = _job_ids()
             t0 = time.perf_counter()
             force_eval(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             try:
                 ebest = min(ebest, _jobs_sum(_job_ids() - before))
             except Exception:  # noqa: BLE001 - status store is best-effort
                 pass
             done += 1
-            # Sub-second queries sit inside the box's fixed-cost noise
-            # floor, where min-of-2 still swings ±30% with an unchanged
-            # plan (round-6 events_session_window): give them min-of-3 so
-            # a plan_changed=false move is self-evidently noise.
-            if done == n_reps and best < 1.0 and n_reps < 3:
-                n_reps = 3
-        timings[name] = round(best, 3)
+            # sub-second queries: escalate to SUBSEC_MIN_REPS (see above)
+            if done == n_reps and min(samples) < 1.0 and n_reps < SUBSEC_MIN_REPS:
+                n_reps = SUBSEC_MIN_REPS
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
         reps_used[name] = done
         if ebest != float("inf"):
             execs[name] = round(ebest, 3)
@@ -222,6 +221,8 @@ def main() -> int:
         # at equal round, prefer the driver's artifact (end-of-round state)
         candidates.append((int(m.group(2)), 0 if m.group(1) else 1, f))
     prev_hashes: dict[str, str] = {}
+    prev_timings: dict[str, float] = {}
+    prev_spreads: dict[str, float] = {}
     baseline_file: str | None = None
     for _rnd, _pri, f in sorted(candidates, reverse=True):
         try:
@@ -235,6 +236,8 @@ def main() -> int:
             continue
         if hashes:
             prev_hashes, baseline_file = hashes, f
+            prev_timings = doc.get("queries") or {}
+            prev_spreads = doc.get("spread") or {}
             break
     plan_changed = {
         name: (
@@ -243,6 +246,21 @@ def main() -> int:
         )
         for name in plans
     }
+    # A round-over-round delta is attributable ONLY when the plan changed
+    # (the hash names the cause) or |Δ| clears BOTH runs' measured
+    # cross-rep spreads (pre-spread baselines contribute 0).  Everything
+    # else is run-to-run variance by construction — the round-9 lesson.
+    delta_significant = {}
+    for name in plans:
+        if plan_changed[name] is not False:  # True, or "new" (first recording)
+            delta_significant[name] = True
+            continue
+        prev_t = prev_timings.get(name)
+        if prev_t is None:
+            delta_significant[name] = True
+            continue
+        noise = max(spreads[name], prev_spreads.get(name, 0.0))
+        delta_significant[name] = abs(timings[name] - prev_t) > noise
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -259,6 +277,12 @@ def main() -> int:
         # that amortizes away at scale.  See the loop comment.
         "exec_total_sec": round(sum(execs.values()), 3),
         "exec": execs,
+        # max−min over this run's reps: the measured per-query noise floor
+        "spread": spreads,
+        # true only when the plan hash changed or |Δ vs baseline| clears
+        # both runs' spreads — the ONLY queries a round summary may claim
+        # a regression/improvement for
+        "delta_significant": delta_significant,
         "plan_hashes": plans,
         "plan_changed": plan_changed,
         "plan_baseline": baseline_file,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lms_etl_pipeline_spark.session import materialize
+from lms_etl_pipeline_spark.session import materialize, release
 
 
 def connected_components(
@@ -51,7 +51,8 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = materialize(nodes.withColumn("label", F.col("node")))
+    prev_m = materialize(nodes.withColumn("label", F.col("node")))
+    labels = prev_m
 
     for it in range(max_iter):
         # each node's candidate label: min of its own and all neighbors'.
@@ -94,10 +95,15 @@ def connected_components(
                 "_old",
             )
         # materialization barrier: the convergence scan below reads the
-        # ALREADY-materialized frame (no join), and the lineage can't grow
-        # unboundedly across iterations
-        new_labels = materialize(hop)
+        # ALREADY-materialized frame (no join).  cut_lineage is REQUIRED
+        # here: hop references the previous labels frame TWICE (the own-row
+        # union + the neighbor join), so preserved lineage would double the
+        # plan tree per iteration (2^k).  Each superseded iteration's CACHE
+        # is released below so at most two full-dataset caches are live.
+        new_labels = materialize(hop, cut_lineage=True)
         changed = new_labels.filter(F.col("label") < F.col("_old")).count()
+        release(prev_m)
+        prev_m = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lms_etl_pipeline_spark.session import materialize
+from lms_etl_pipeline_spark.session import materialize, release
 
 
 def _sq_dist(a, b) -> F.Column:
@@ -104,6 +104,10 @@ def kmeans_fit(
                 .filter(F.col("cluster") != F.col("_old"))
                 .count()
             )
+            # the previous assignment is superseded once the convergence
+            # probe has read both frames — free its cache (persist mode
+            # would otherwise pin one full-corpus cache per iteration)
+            release(assign)
             if moved == 0:
                 assign = new_assign
                 converged = True
@@ -128,14 +132,24 @@ def kmeans_fit(
             )
         )
         # Empty clusters keep their previous centroid so k never shrinks.
+        # cut_lineage: this plan references the previous cent TWICE (via
+        # cent_new's assignment pass and the anti-join), so persist-mode
+        # lineage would double per iteration (2^k — measured driver OOM at
+        # max_iter=10); the checkpoint is k rows, i.e. free.
+        prev_cent = cent
         cent = materialize(
             cent_new.unionByName(
                 cent.join(cent_new.select("cid"), "cid", "left_anti")
-            )
+            ),
+            cut_lineage=True,
         )
+        release(prev_cent)  # superseded k-row centroid cache
     if not converged:
         # max_iter exit: re-assign so assignments match the final centroids.
+        last = assign
         assign = materialize(kmeans_assign(pts, cent))
+        if last is not None:
+            release(last)
     if stats is not None:
         stats.update(iterations=n_iter, converged=converged)
     return assign, cent
@@ -202,6 +216,9 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        # no cut_lineage: each iteration references the previous pr exactly
+        # ONCE (the contrib join), so persist-mode plan growth is linear in
+        # the (bounded) iteration count — not the 2^k doubling shape.
         new_pr = materialize(new_pr)
         moved = (
             pr.select("node", F.col("pr").alias("_old"))
@@ -209,6 +226,7 @@ def pagerank(
             .filter(F.col("pr") != F.col("_old"))
             .count()
         )
+        release(pr)  # superseded score frame (probe above read both)
         pr = new_pr
         n_iter += 1
         if moved == 0:

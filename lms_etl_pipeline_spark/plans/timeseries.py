@@ -415,25 +415,34 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for q in _PINBALL_QS:
         tq = int(round(q * 10))
+        # All arithmetic past this point runs in DECIMAL(38,0), not BIGINT:
+        # x_u is a scale-6 micro-unit daily sum backed by DECIMAL(18,6)
+        # (up to ~1e18), so x_u*10 and tq*err would silently wrap int64 on
+        # adversarial magnitudes while the DuckDB oracle (which sums
+        # through HUGEINT) would not — widening first keeps both engines
+        # exact (ADVICE r9).
+        x_dec = F.col("x_u").cast("decimal(38,0)")
         f = ranked.groupBy("event_type", "n").agg(
             (
                 F.max(
                     F.when(
                         F.col("rn") == F.expr(f"((n-1) * {tq}) DIV 10"),
-                        F.col("x_u"),
+                        x_dec,
                     )
                 )
                 * F.expr(f"10 - ((n-1) * {tq}) % 10")
                 + F.max(
                     F.when(
                         F.col("rn") == F.expr(f"((n-1) * {tq} + 9) DIV 10"),
-                        F.col("x_u"),
+                        x_dec,
                     )
                 )
                 * F.expr(f"((n-1) * {tq}) % 10")
-            ).alias("yhat_10u")
+            )
+            .cast("decimal(38,0)")
+            .alias("yhat_10u")
         ).select("event_type", "yhat_10u")
-        err = F.col("x_u") * 10 - F.col("yhat_10u")
+        err = x_dec * 10 - F.col("yhat_10u")
         loss = F.when(err >= 0, F.lit(tq) * err).otherwise(F.lit(tq - 10) * err)
         arm = (
             test.join(F.broadcast(f), "event_type")

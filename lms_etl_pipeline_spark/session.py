@@ -64,7 +64,7 @@ def default_parallelism(spark: SparkSession, fallback: int = 32) -> int:
 MATERIALIZE_CONF = "spark.lms_etl_pipeline_spark.materialize"
 
 
-def _materialize_mode(master: str, override: str | None = None) -> str:
+def _materialize_mode(master: str | None, override: str | None = None) -> str:
     """Pick the multi-consumer materialization strategy for a deployment.
 
     ``local-checkpoint`` truncates lineage and is the fastest barrier on a
@@ -75,6 +75,13 @@ def _materialize_mode(master: str, override: str | None = None) -> str:
     executor's partitions recompute — the right default off-local — at the
     cost of plan-tree growth in iterative loops (bounded: every loop in
     this engine is diameter- or iteration-bounded).
+
+    ``master=None`` (the session flavor hides ``spark.master`` — e.g. a
+    Spark Connect client, which typically FRONTS a real cluster) defaults
+    to ``persist``: the safe, lineage-preserving strategy.  Guessing
+    "local" there would silently re-introduce the availability hazard on
+    exactly the deployments the persist path exists to protect; users on a
+    genuinely-local Connect server can opt back in via the override conf.
     """
     if override in ("local-checkpoint", "persist"):
         return override
@@ -83,10 +90,34 @@ def _materialize_mode(master: str, override: str | None = None) -> str:
             f"{MATERIALIZE_CONF} must be 'local-checkpoint' or 'persist', "
             f"got {override!r}"
         )
+    if master is None:
+        return "persist"
     return "local-checkpoint" if master.startswith("local") else "persist"
 
 
-def materialize(df, *, eager: bool = True):
+def _session_mode(spark) -> str:
+    """Resolve the effective materialization mode for a live session."""
+    try:
+        master = spark.conf.get("spark.master")
+    except Exception:  # noqa: BLE001 - Connect sessions hide spark.master
+        master = None
+    try:
+        override = spark.conf.get(MATERIALIZE_CONF)
+    except Exception:  # noqa: BLE001 - conf unset
+        override = None
+    if master is None and override is None:
+        import warnings
+
+        warnings.warn(
+            "spark.master is not readable from this session; defaulting to "
+            f"the lineage-preserving 'persist' materialization (set "
+            f"{MATERIALIZE_CONF} to override)",
+            stacklevel=3,
+        )
+    return _materialize_mode(master, override)
+
+
+def materialize(df, *, eager: bool = True, cut_lineage: bool = False):
     """Deployment-mode seam for multi-consumer / iterative reuse barriers
     (VERDICT r8 "What's wrong #4"): every plan that materializes a frame
     for several consumers (curation's tokenized corpus, graph label
@@ -94,17 +125,38 @@ def materialize(df, *, eager: bool = True):
     ``localCheckpoint`` — local masters keep the fast local checkpoint,
     cluster masters get lineage-preserving ``persist(MEMORY_AND_DISK)``
     (populated via a count() when ``eager``).  Override per session with
-    the ``spark.lms_etl_pipeline_spark.materialize`` conf."""
+    the ``spark.lms_etl_pipeline_spark.materialize`` conf.
+
+    ``cut_lineage=True`` is REQUIRED at every materialize site inside an
+    iterative loop whose body references the previous iteration's frame
+    more than once (k-means' empty-cluster anti-join, label propagation's
+    own-row union): persist preserves lineage, so iteration k's logical
+    plan would nest TWO copies of iteration k-1's — 2^k plan growth that
+    OOMs the driver around depth 10 (measured: ``kmeans_fit`` max_iter=10
+    under persist blew an 8 GB heap building the plan string alone).  In
+    persist mode it takes a **reliable checkpoint** (replicated by the
+    cluster DFS, lineage truncated — the standard iterative-Spark barrier,
+    cf. GraphX/MLlib periodic checkpointing) when a checkpoint dir is set,
+    else falls back to persist with a warning.  Local-checkpoint mode
+    already truncates lineage, so the flag is a no-op there."""
     spark = df.sparkSession
-    try:
-        master = spark.conf.get("spark.master")
-    except Exception:  # noqa: BLE001 - Connect sessions hide spark.master
-        master = "local[*]"
-    try:
-        override = spark.conf.get(MATERIALIZE_CONF)
-    except Exception:  # noqa: BLE001 - conf unset
-        override = None
-    if _materialize_mode(master, override) == "persist":
+    if _session_mode(spark) == "persist":
+        if cut_lineage:
+            try:
+                has_dir = spark.sparkContext.getCheckpointDir() is not None
+            except Exception:  # noqa: BLE001 - Connect hides sparkContext
+                has_dir = False
+            if has_dir:
+                return df.checkpoint(eager=eager)
+            import warnings
+
+            warnings.warn(
+                "iterative materialize in persist mode without a checkpoint "
+                "dir: logical plans nest across iterations (exponentially if "
+                "the loop body references the previous frame twice). Call "
+                "sc.setCheckpointDir(...) for cluster-grade lineage cuts.",
+                stacklevel=2,
+            )
         from pyspark.storagelevel import StorageLevel
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -112,6 +164,33 @@ def materialize(df, *, eager: bool = True):
             out.count()
         return out
     return df.localCheckpoint(eager=eager)
+
+
+def release(df) -> None:
+    """Free a frame previously returned by :func:`materialize` once a NEWER
+    materialized frame supersedes it (iterative loops: connected
+    components, k-means, PageRank, BPE merge passes).
+
+    Only acts in **persist** mode: there, every iteration would otherwise
+    pin a fresh full-dataset MEMORY_AND_DISK cache, so a 20-iteration run
+    holds up to 20 copies — evicting useful blocks and filling disk at
+    exactly the cluster scale the persist path targets.  Unpersisting is
+    safe there because persist PRESERVES lineage (a late consumer
+    recomputes).  In local-checkpoint mode this is a no-op: the checkpoint
+    blocks are the ONLY copy of the data behind a truncated lineage, so
+    dropping them would break any later consumer, and a single-machine run
+    has no per-iteration replication cost to save.
+
+    Call only after the superseding frame is materialized (eager count
+    done) AND any probe reading both frames (convergence counts) has run.
+
+    Frames that took the reliable-checkpoint path (``cut_lineage=True``
+    with a checkpoint dir) carry no persist level — unpersist() is then a
+    harmless no-op; their checkpoint FILES are reclaimed by the cluster's
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` once unreferenced.
+    """
+    if _session_mode(df.sparkSession) == "persist":
+        df.unpersist()
 
 
 def get_spark(app_name: str = "lms-etl-pipeline-spark", **overrides: str) -> SparkSession:

@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from lms_etl_pipeline_spark.session import (
     MATERIALIZE_CONF,
     _materialize_mode,
+    _session_mode,
+    default_parallelism,
     materialize,
+    release,
 )
 
 
@@ -68,6 +71,122 @@ def test_persist_path_pinned_via_override(spark):
     finally:
         spark.conf.unset(MATERIALIZE_CONF)
         out.unpersist()
+
+
+def test_unknown_master_defaults_to_persist():
+    """ADVICE r9: a session that hides ``spark.master`` (Spark Connect)
+    typically FRONTS a real cluster — the safe default is the
+    lineage-preserving persist path, not a silent local[*] guess."""
+    assert _materialize_mode(None) == "persist"
+    assert _materialize_mode(None, "local-checkpoint") == "local-checkpoint"
+
+
+class _RaisingConf:
+    """Conf facade that only knows the keys it was given — Connect-shaped."""
+
+    def __init__(self, vals):
+        self._vals = vals
+
+    def get(self, key):
+        if key in self._vals:
+            return self._vals[key]
+        raise RuntimeError(f"CONFIG_NOT_AVAILABLE: {key}")
+
+
+class _FakeSession:
+    def __init__(self, vals):
+        self.conf = _RaisingConf(vals)
+
+    @property
+    def sparkContext(self):  # Connect sessions raise on this accessor
+        raise NotImplementedError("sparkContext is not supported on Connect")
+
+
+def test_session_mode_connect_fallbacks():
+    """Directly exercises the except-paths a Spark Connect session takes
+    (grpc isn't installed in this sandbox, so a live Connect server can't
+    run here — these stubs reproduce exactly what the client raises)."""
+    with pytest.warns(UserWarning, match="persist"):
+        assert _session_mode(_FakeSession({})) == "persist"
+    # an explicit override silences the guess entirely
+    assert (
+        _session_mode(_FakeSession({MATERIALIZE_CONF: "local-checkpoint"}))
+        == "local-checkpoint"
+    )
+    # classic session shape: master readable, no override
+    assert _session_mode(_FakeSession({"spark.master": "local[4]"})) == "local-checkpoint"
+    assert _session_mode(_FakeSession({"spark.master": "yarn"})) == "persist"
+
+
+def test_default_parallelism_connect_fallbacks():
+    assert (
+        default_parallelism(_FakeSession({"spark.sql.shuffle.partitions": "48"}))
+        == 48
+    )
+    assert default_parallelism(_FakeSession({}), fallback=7) == 7
+
+
+def test_release_unpersists_only_in_persist_mode(spark):
+    from pyspark.storagelevel import StorageLevel
+
+    # persist mode: release() frees the cache (lineage survives, so the
+    # frame stays usable — it just recomputes)
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    try:
+        out = materialize(spark.range(10).select(F.col("id")))
+        assert out.storageLevel == StorageLevel.MEMORY_AND_DISK
+        release(out)
+        assert out.storageLevel == StorageLevel.NONE
+        assert out.count() == 10
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+    # local-checkpoint mode: release() must be a NO-OP — the checkpoint
+    # blocks are the only copy behind a truncated lineage
+    out = materialize(spark.range(10).select(F.col("id")))
+    level_before = out.storageLevel
+    release(out)
+    assert out.storageLevel == level_before
+    assert out.count() == 10
+
+
+def test_iterative_loops_bound_live_caches_in_persist_mode(spark, tmp_path):
+    """ADVICE r9 (medium): iterative loops must unpersist superseded
+    frames — a 20-iteration run must NOT hold 20 full-dataset caches.
+    A checkpoint dir is set (standard practice for iterative Spark on a
+    cluster): loop barriers whose body references the previous frame twice
+    take the reliable-checkpoint path, bounding plan growth (without it,
+    persist-mode kmeans at max_iter=10 OOMs the driver on 2^k plan
+    nesting — measured)."""
+    from lms_etl_pipeline_spark.operators.graph import connected_components
+    from lms_etl_pipeline_spark.operators.ml import kmeans_fit
+
+    jsc = spark.sparkContext._jsc
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        base = jsc.getPersistentRDDs().size()
+        # a depth-8 chain forces several label-propagation iterations
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], "a long, b long"
+        )
+        cc = connected_components(edges)
+        assert cc.count() == 9
+        # live caches: the symmetrized edges + the final label frame only
+        assert jsc.getPersistentRDDs().size() - base <= 2
+
+        base = jsc.getPersistentRDDs().size()
+        pts = spark.createDataFrame(
+            [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)],
+            "id long, vec array<double>",
+        )
+        stats: dict = {}
+        assign, cent = kmeans_fit(pts, k=3, max_iter=10, stats=stats)
+        assert assign.count() == 40
+        assert stats["iterations"] >= 2
+        # live caches: pts + final assignment + final centroids
+        assert jsc.getPersistentRDDs().size() - base <= 3
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
 
 
 def test_persist_path_runs_an_iterative_consumer(spark):
