@@ -76,6 +76,10 @@ HEADLINE = (
     # three materialize-barriered window iterations over the word
     # dictionary; drift here means the iterative-window discipline broke.
     "bpe_train_merges",
+    # Round 10: the realistic-budget hybrid (64 merges learned driver-side
+    # over the vocabulary-bounded dictionary) — guards the bounded-collect
+    # gate and the tokenize+count distributed prefix.
+    "bpe_train_merges_deep",
 )
 
 # Sub-second queries sit inside the box's fixed-cost noise floor, where

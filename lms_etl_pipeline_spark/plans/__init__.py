@@ -17,6 +17,7 @@ from lms_etl_pipeline_spark.plans import llm_similarity  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import etl  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import multimodal  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import curation  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import tokenizer  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import corpus_ml  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import corpus_ml_eval  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import training_mix  # noqa: E402,F401
@@ -28,6 +29,7 @@ from lms_etl_pipeline_spark.plans import behavior_outcomes  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import governance  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import timeseries  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import graph_retrieval  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import similarity_calibration  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import stats_eval  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import business_analytics  # noqa: E402,F401
 

@@ -117,3 +117,61 @@ def test_query_shape_and_monotone_counts(spark):
         assert cur["corpus_tokens_after"] == (
             prev["corpus_tokens_after"] - cur["pair_count"]
         )
+
+
+def test_local_learner_matches_textbook_and_distributed(spark):
+    """The driver-local learner (hybrid deep path) must equal BOTH the
+    textbook trainer and the distributed operator loop rule-for-rule —
+    including pair counts and post-merge corpus token totals."""
+    texts = [
+        "aaaa aaa banana bandana",
+        "aaaa banana banana abab",
+        "mississippi bookkeeper aaa",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    from lms_etl_pipeline_spark.operators import text as tx
+
+    dk = bpe.word_dictionary(docs, tx.tokens("text"))
+    rows = dk.select("freq", "syms").collect()
+    got = bpe.learn_merges_local([(r["freq"], r["syms"]) for r in rows], 6)
+
+    want_rules, _ = ref_train(
+        dict(Counter(w for t in texts for w in t.split())), 6
+    )
+    assert [(l, r, c) for _, l, r, c, _ in got] == want_rules
+
+    # distributed loop, same 6 merges — totals must agree too
+    dk2 = bpe.word_dictionary(docs, tx.tokens("text"))
+    for it, left, right, count, total in got:
+        b = bpe.best_pair(dk2)
+        row = b.collect()[0]
+        assert (row["left"], row["right"], row["pair_count"]) == (
+            left,
+            right,
+            count,
+        )
+        dk2 = bpe.apply_merge(dk2, b)
+        got_total = dk2.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("t")
+        ).collect()[0]["t"]
+        assert got_total == total
+
+
+def test_deep_query_hybrid_arms_agree(spark, monkeypatch):
+    """bpe_train_merges_deep: the driver-local arm (dictionary within
+    budget) and the distributed fallback arm (budget forced to 0) must
+    produce identical rows at the same merge budget."""
+    from lms_etl_pipeline_spark.plans import tokenizer
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(tokenizer, "_DEEP_MERGES", 8)
+    local = sorted(
+        map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect())
+    )
+    assert len(local) == 8
+    monkeypatch.setattr(bpe, "LOCAL_DICT_BUDGET_ROWS", 0)
+    dist = sorted(
+        map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect())
+    )
+    assert local == dist
