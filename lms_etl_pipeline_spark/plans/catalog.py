@@ -26,78 +26,77 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation — RE-CERT ECONOMY (the policy recorded in round 8,
-    # commit 3bdbbec): never-certified debt hit ZERO in r8, so every slot
-    # after the two smoke anchors now re-certifies, prioritized by
-    #   (1) PLAN CHANGED since the query's last driver-green row:
-    #       r8 re-plans that missed the r8 window — q9 (signed hi/lo
-    #       rounding), fifo_returns_allocation, corpus_curation_pipeline
-    #       (tokenize-once), near_dup_pairs_lsh (shared exchange),
-    #       minhash_signatures — plus the r9 NaN-bucket contract change
-    #       (operators/rank.py nulls='last'): model_gains_table,
-    #       abc_pareto_classification, rfm_segmentation;
-    #   (2) LONGEST-STALE certificates, oldest last-green round first
-    #       (r02 greens, then r03), name-ordered within a round so the
-    #       selection is reproducible from the artifacts alone.
+    # Round-10 rotation — RE-CERT ECONOMY (policy recorded in round 8):
+    # slots after the two smoke anchors go to
+    #   (1) FRESH DEBT: bpe_train_merges_deep (round-10 addition, never
+    #       certified);
+    #   (2) CHANGED since last driver-green: pinball_loss_eval (r10
+    #       DECIMAL(38,0) widening closes the int64-wrap hazard) and the
+    #       three iterative-operator consumers (dedup_clusters,
+    #       kmeans_lloyd, pagerank_graph) whose loop internals gained the
+    #       release()/cut_lineage discipline — behavior-identical in the
+    #       driver's local session, re-certified out of caution;
+    #   (3) LONGEST-STALE certificates from the r1-r9 artifacts, oldest
+    #       last-green round first, name-ordered within a round so the
+    #       selection is reproducible from the artifacts alone (r3 greens,
+    #       then r4).
     # Invariants (unchanged since r5): the two smoke anchors stay
     # in-window every round; rotated-out queries remain covered by the
     # full-catalog local gate (tools/check_oracle.py) which the driver
     # check is a same-engine, same-fixture subset of; all 50 are
     # exact-oracle-backed.  tests/test_catalog.py re-derives this window
-    # from the policy and the r1-r8 artifacts, so drift fails CI.
+    # from the policy and the r1-r9 artifacts, so drift fails CI.
     "flagship_regional_revenue",
     "events_session_window",
-    # fresh debt (round-9 addition, never certified): fresh-first per the
-    # standing slot-economy rule
-    "bpe_train_merges",
-    "q9_product_profit",
-    "fifo_returns_allocation",
-    "corpus_curation_pipeline",
-    "near_dup_pairs_lsh",
-    "minhash_signatures",
-    "model_gains_table",
-    "abc_pareto_classification",
-    "rfm_segmentation",
-    # + the r9 fuzz-seed-11 double-round-tie fix (unrounded quotient)
-    "timeseries_seasonal_profile",
+    "bpe_train_merges_deep",
     "pinball_loss_eval",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_min_max_by",
-    "agg_rollup",
-    "agg_stats_exact",
-    "distinct_projection",
-    "events_cohort_retention",
-    "explode_outer_arrays",
-    "join_broadcast_dim_agg",
-    "join_full_outer",
-    "join_inner_orders_customer",
-    "join_interval_events",
-    "join_left_outer_counts",
-    "join_nonequi_range",
-    "join_null_safe",
-    "join_semi",
-    "null_handling",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_cnt_excluding",
-    "q19_disjunctive_predicates",
-    "q2_min_cost_supplier",
-    "scalar_array_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scd2_order_status_history",
-    "set_intersect",
-    "set_union_all",
-    "sort_multi_key",
-    "sort_topk_orders",
-    "timeseries_gap_fill",
-    "unpivot_measures",
-    "agg_collect_sorted",
-    "csv_roundtrip_nation",
+    "dedup_clusters",
+    "kmeans_lloyd",
+    "pagerank_graph",
+    # longest-stale re-certs (mechanical derivation)
+    "dataset_split_assign",
+    "dedup_embedding_cosine",
+    "dedup_exact_text",
+    "doc_chunk_sliding",
+    "domain_mixture_sampling",
+    "etl_flatten_json_props",
+    "events_funnel_conversion",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "join_asof_last_click",
+    "knn_cosine_exact",
+    "multimodal_frame_sample",
+    "ngram_jaccard_pairs",
+    "q12_shipmode_priority",
+    "q8_market_share",
+    "subquery_correlated",
+    "text_language_id",
+    "text_token_stats",
+    "tfidf_cosine_pairs",
+    "udtf_sentence_split",
+    "window_row_number_rank",
+    "agg_salted_skew",
+    "applyinpandas_group_rank",
+    "bm25_retrieval_topk",
+    "cooccurrence_pmi",
+    "corpus_shuffle_deterministic",
+    "decontaminate_ngram_overlap",
+    "doc_quality_filter",
+    "embedding_int8_quantize",
+    "etl_align_to_schema",
+    "etl_pack_custom_fields",
+    "etl_users_pipeline_shape",
+    "events_rolling_anomaly",
+    "events_type_pivot",
+    "filter_project_casts",
+    "gopher_quality_rules",
+    "hybrid_retrieval_rrf",
+    "incremental_corpus_dedup",
+    "join_anti",
+    "k_anonymity_profile",
+    "lang_id_confusion",
+    "lateral_topk",
+    "multimodal_image_decode",
 )
 
 

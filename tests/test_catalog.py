@@ -37,7 +37,7 @@ def test_first_50_follow_the_rotation_policy():
     plan-changed slots come first (queries whose plan changed after their
     last driver-green row, pinned explicitly since plan changes aren't
     derivable from artifacts alone); the remaining slots re-derive
-    mechanically from the r1-r8 artifacts as the LONGEST-STALE greens
+    mechanically from the r1-r9 artifacts as the LONGEST-STALE greens
     (oldest last-green round first, name-ordered within a round).  The
     baseline is pinned explicitly — not glob'd — because the driver writes
     THIS round's CORRECTNESS file at round end, which would otherwise
@@ -52,29 +52,24 @@ def test_first_50_follow_the_rotation_policy():
 
     assert list(_PRIORITY) == first50
     anchors = ["flagship_regional_revenue", "events_session_window"]
-    # fresh debt first (standing slot-economy rule): round-9 additions
+    # fresh debt first (standing slot-economy rule): round-10 additions
     # with no driver row yet
-    fresh = ["bpe_train_merges"]
-    # r8 re-plans that missed the r8 window + the r9 NaN-bucket contract
-    # change (operators/rank.py nulls='last' call sites)
+    fresh = ["bpe_train_merges_deep"]
+    # changed since last driver-green: the r10 DECIMAL(38,0) widening
+    # (pinball) and the iterative-operator consumers whose loop internals
+    # gained the release()/cut_lineage discipline (behavior-identical in
+    # the driver's local session; re-certified out of caution)
     plan_changed = [
-        "q9_product_profit",
-        "fifo_returns_allocation",
-        "corpus_curation_pipeline",
-        "near_dup_pairs_lsh",
-        "minhash_signatures",
-        "model_gains_table",
-        "abc_pareto_classification",
-        "rfm_segmentation",
-        # r9 fuzz-seed-11/16 double-round-tie fixes
-        "timeseries_seasonal_profile",
         "pinball_loss_eval",
+        "dedup_clusters",
+        "kmeans_lloyd",
+        "pagerank_graph",
     ]
     # all 50 must be exact-oracle-checkable
     rows_only = [n for n in first50 if n not in ORACLES]
     assert len(rows_only) == 0, rows_only
 
-    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 9)]
+    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 10)]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, str] = {}
     for fname in rotation_baseline:

@@ -32,6 +32,25 @@ rates, finite metrics) — the domain GATES (units residual, finite-metric)
 must pass on every generated fixture; violating them is the other tools'
 job (tools/make_sf_hostile.py).
 
+Round 10 widens the generator with three axes it could not previously
+produce (VERDICT r9 "Next round" #4), ACTIVE FOR SEEDS >= 20 ONLY so the
+seed-0..19 fixtures that pin earlier defect classes stay byte-identical:
+
+- sub-day timestamp knife edges: instants that are midnight in non-UTC /
+  half- and quarter-hour-offset zones (18:30, 18:15, 03:30, 11:00 UTC),
+  DST-transition wall times (02:30 on historic spring-forward dates), and
+  .999999/.000001-microsecond date-boundary straddles — generalizing the
+  seed-19 midnight class to every date-truncation/window-bucket site;
+- unicode normalization + case-mapping hazards in document text: NFC vs
+  NFD pairs (café, naïve), compatibility ligatures (ﬁ), sharp-s/case
+  round-trips (ß/STRASSE), Turkish dotted İ, combining marks, zero-width
+  joiners inside words, and astral-plane emoji (surrogate-pair length
+  class) — tokenization, code-point counting, and lower()/upper()
+  differ across regex engines and collations if anything normalizes;
+- negative/zero values wherever the declared domain allows them:
+  supplier balances and event metric values go negative (customer
+  balances already did), exercising abs/quantile/sign-sensitive paths.
+
 Usage:
     python tools/fuzz_fixture.py <seed> [out_dir]   # generate only
     python tools/fuzz_fixture.py <seed> --sweep     # generate + full sweep
@@ -79,6 +98,44 @@ _VOCAB = (
     "batch stream spark data row column filter value query big slow fast"
 ).split()
 
+#: seeds >= this get the round-10 widened axes; below it, fixtures stay
+#: byte-identical to the ones that pinned the earlier defect classes
+WIDE_AXES_FROM_SEED = 20
+
+# UTC instants that are midnight (or a DST wall-time hole) somewhere:
+# +05:30 (18:30 prev day), +05:45 (18:15), -03:30 (03:30), +13:00 (11:00);
+# plus US spring-forward wall times and microsecond date-boundary straddles.
+_WIDE_TS = [
+    datetime(1996, 3, 31, 18, 30),
+    datetime(1996, 3, 31, 18, 15),
+    datetime(1996, 4, 1, 3, 30),
+    datetime(1996, 4, 1, 11, 0),
+    datetime(1997, 4, 6, 2, 30),     # inside the US spring-forward hole
+    datetime(1997, 10, 26, 1, 30),   # repeated fall-back wall time
+    datetime(1995, 12, 31, 23, 59, 59, 999999),
+    datetime(1996, 1, 1, 0, 0, 0, 1),
+    datetime(2001, 8, 31, 23, 59, 59, 999999),
+    datetime(2001, 9, 1, 0, 0, 0, 1),
+]
+
+# unicode hazard tokens: NFC/NFD pairs, ligatures, case-mapping traps,
+# combining marks, ZWJ-inside-word, astral-plane (surrogate pairs).
+# Escape sequences, not literals, so the exact code points are pinned.
+_WIDE_VOCAB = [
+    "caf\u00e9",             # cafe NFC (precomposed e-acute)
+    "cafe\u0301",            # cafe NFD (e + combining acute, same glyph)
+    "na\u00efve",            # naive NFC
+    "nai\u0308ve",           # naive NFD
+    "\ufb01le",              # "file" with the fi compatibility ligature
+    "stra\u00dfe",           # sharp-s upper-cases to SS (length-changing)
+    "STRASSE",
+    "\u0130stanbul",         # Turkish dotted capital I (lower() expands)
+    "a\u200db",              # zero-width joiner inside a word
+    "x\u0300\u0301",        # stacked combining marks on one base
+    "\U0001f642ok",          # astral-plane emoji prefix (surrogate pair)
+    "\U0001f9ea",            # lone astral code point
+]
+
 
 def _money(rng: random.Random, lo: float = 0.0, hi: float = 105000.0) -> float:
     """Exact <=2dp double, biased to tie-heavy and knife-edge cents."""
@@ -98,23 +155,26 @@ def _rate(rng: random.Random, hi_bp: int = 1000) -> float:
     return min(bp, hi_bp) / 10000.0
 
 
-def _ts(rng: random.Random) -> datetime:
+def _ts(rng: random.Random, wide: bool = False) -> datetime:
+    if wide and rng.random() < 0.15:
+        return rng.choice(_WIDE_TS)
     if rng.random() < 0.35:
         return rng.choice(_BOUNDARY_TS)
     base = datetime(1995, 1, 1) + timedelta(days=rng.randrange(0, 2500))
     return base + timedelta(hours=rng.randrange(24))
 
 
-def _text(rng: random.Random, shared: list[str]) -> str:
+def _text(rng: random.Random, shared: list[str], wide: bool = False) -> str:
+    vocab = _VOCAB + _WIDE_VOCAB if wide else _VOCAB
     pick = rng.random()
     if pick < 0.05:
         return rng.choice(["", " ", "one"])
     if pick < 0.25:
         return rng.choice(shared)  # exact duplicate
     if pick < 0.40:
-        return rng.choice(shared) + " " + rng.choice(_VOCAB)  # near-dup
+        return rng.choice(shared) + " " + rng.choice(vocab)  # near-dup
     n = rng.randrange(3, 40)
-    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+    return " ".join(rng.choice(vocab) for _ in range(n))
 
 
 def _vec(rng: random.Random, pool: list[list[float]]) -> list[float]:
@@ -130,6 +190,7 @@ def _vec(rng: random.Random, pool: list[list[float]]) -> list[float]:
 
 def build(spark, seed: int, out_dir: str) -> str:
     rng = random.Random(seed)
+    wide = seed >= WIDE_AXES_FROM_SEED
     os.makedirs(out_dir, exist_ok=True)
 
     regions = [(i, n) for i, n in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
@@ -145,7 +206,17 @@ def build(spark, seed: int, out_dir: str) -> str:
     ]
     spark.createDataFrame(customers, "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
-    suppliers = [(i, f"Supplier#{i:09d}", rng.randrange(25), _money(rng, 0, 9999)) for i in range(SIZES["supplier"])]
+    suppliers = [
+        (
+            i,
+            f"Supplier#{i:09d}",
+            rng.randrange(25),
+            round(rng.choice([-888.88, -0.01, 0.0, _money(rng, 0, 9999)]), 2)
+            if wide
+            else _money(rng, 0, 9999),
+        )
+        for i in range(SIZES["supplier"])
+    ]
     spark.createDataFrame(suppliers, "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
 
     adjs, nouns = ["red", "green", "cold", "hot", "small", "large"], ["widget", "bolt", "gear", "cog"]
@@ -163,7 +234,7 @@ def build(spark, seed: int, out_dir: str) -> str:
     for i in range(SIZES["orders"]):
         cust = hot_cust if rng.random() < 0.2 else rng.randrange(SIZES["customer"] + 10)  # +10: orphans
         price = rng.choice([399999.99, 400000.00, 400000.01, _money(rng, 900, 450000)])
-        orders.append((i, cust, rng.choice("FOP"), price, _ts(rng), rng.choice(prios)))
+        orders.append((i, cust, rng.choice("FOP"), price, _ts(rng, wide), rng.choice(prios)))
     spark.createDataFrame(orders, "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
     hot_part, hot_supp = rng.randrange(SIZES["part"]), rng.randrange(SIZES["supplier"])
@@ -181,7 +252,7 @@ def build(spark, seed: int, out_dir: str) -> str:
             _rate(rng, 800),
             rng.choice("ANR"),
             rng.choice("FO"),
-            _ts(rng),
+            _ts(rng, wide),
         ))
     spark.createDataFrame(lineitems, "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
@@ -189,7 +260,7 @@ def build(spark, seed: int, out_dir: str) -> str:
     hot_user = rng.randrange(60)
     events = []
     for i in range(SIZES["events"]):
-        ts = _ts(rng)
+        ts = _ts(rng, wide)
         if rng.random() < 0.25:
             ts = ts.replace(minute=0, second=0)  # heavy duplicate instants
         events.append((
@@ -197,16 +268,28 @@ def build(spark, seed: int, out_dir: str) -> str:
             ts,
             hot_user if rng.random() < 0.25 else rng.randrange(60),
             rng.choice(etypes),
-            round(rng.choice([0.0, -0.0, 1.0, 99.99, 100.0, rng.uniform(0, 500)]), 6),
+            round(
+                rng.choice(
+                    [0.0, -0.0, 1.0, 99.99, 100.0, -99.99, -1.0, -0.000001,
+                     rng.uniform(-500, 500)]
+                    if wide
+                    else [0.0, -0.0, 1.0, 99.99, 100.0, rng.uniform(0, 500)]
+                ),
+                6,
+            ),
             rng.choice(['{"k": 0}', '{"k": 87}', '{}', f'{{"k": {rng.randrange(100)}}}']),
         ))
     spark.createDataFrame(events, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
-    shared = [" ".join(rng.choice(_VOCAB) for _ in range(rng.randrange(8, 25))) for _ in range(12)]
+    bvocab = _VOCAB + _WIDE_VOCAB if wide else _VOCAB
+    shared = [
+        " ".join(rng.choice(bvocab) for _ in range(rng.randrange(8, 25)))
+        for _ in range(12)
+    ]
     langs = ["en", "es", "de", "fr", "zh"]
     docs = []
     for i in range(SIZES["documents"]):
-        t = _text(rng, shared)
+        t = _text(rng, shared, wide)
         docs.append((i, t, rng.choice(langs), f"src{rng.randrange(8)}", len(t)))
     spark.createDataFrame(docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 

@@ -33,7 +33,18 @@ reporting the materialization footprint of its localCheckpoint barriers
 memory-headroom evidence behind session.materialize's deployment seam
 (local checkpoint on one box vs persist(MEMORY_AND_DISK) on a cluster).
 
+Round 10 adds ``--materialize-cells``: the SAME heavy plans
+(``corpus_curation_pipeline`` + the iterative ``dedup_clusters``) timed
+under BOTH materialization strategies (``local-checkpoint`` vs
+``persist``, toggled via the session conf seam) at ~sf3 and ~sf10 —
+the measured cost of the 100 TB cluster default that r9's sixth decade
+left unquantified (VERDICT r9 "What's wrong #2").  Persist cells set a
+checkpoint dir first (standard practice for iterative Spark on a
+cluster), so loop barriers whose body references the previous frame
+twice take the reliable-checkpoint path.
+
 Usage: python tools/scaling_extend.py [--rebuild] [--sf3] [--sf10]
+       [--materialize-cells [--skip-sf10]]
 """
 
 from __future__ import annotations
@@ -210,6 +221,49 @@ def main() -> int:
             f"\nworst sf1->sf3 slope: {worst3:.2f} (red flag at {SLOPE_RED_FLAG})"
         )
         return 1 if worst3 >= SLOPE_RED_FLAG else 0
+
+    if "--materialize-cells" in sys.argv:
+        import gc
+
+        from lms_etl_pipeline_spark.session import MATERIALIZE_CONF
+
+        for d, copies, tabs in (
+            (BIG3, SF3_COPIES, ("lineitem", "documents")),
+            (BIG10, SF10_COPIES, ("documents",)),
+        ):
+            if not os.path.isdir(os.path.join(d, "documents.parquet")):
+                print(f"building {d} ...", flush=True)
+                build_fixture(spark, d, copies, tables=tabs)
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(os.path.dirname(BIG), "ckpt")
+        )
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        names = ("corpus_curation_pipeline", "dedup_clusters")
+        dirs = [BIG3] if "--skip-sf10" in sys.argv else [BIG3, BIG10]
+        print(f"driver/executor heap: {mem}")
+        print("| query | fixture | strategy | e2e s (min of 2) |")
+        print("|---|---|---|---|")
+        for sf_dir in dirs:
+            label = "~sf3" if sf_dir == BIG3 else "~sf10"
+            for name in names:
+                for strategy in ("local-checkpoint", "persist"):
+                    spark.conf.set(MATERIALIZE_CONF, strategy)
+                    best = math.inf
+                    for rep in range(REPS + 1):  # rep 0 warms footers/codegen
+                        t0 = time.perf_counter()
+                        force_eval(qs[name](spark, sf_dir))
+                        if rep > 0:
+                            best = min(best, time.perf_counter() - t0)
+                        # drop python refs so the ContextCleaner can reap
+                        # this rep's checkpoint/persist blocks before the
+                        # next cell measures
+                        gc.collect()
+                    print(
+                        f"| {name} | {label} | {strategy} | {best:.2f} |",
+                        flush=True,
+                    )
+        spark.conf.unset(MATERIALIZE_CONF)
+        return 0
 
     if "--sf10" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.isdir(
