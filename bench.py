@@ -80,6 +80,10 @@ HEADLINE = (
     # over the vocabulary-bounded dictionary) — guards the bounded-collect
     # gate and the tokenize+count distributed prefix.
     "bpe_train_merges_deep",
+    # Round 10: distributed full-batch GD training (12 aggregate passes
+    # over a materialized feature frame + literal-weight re-entry) — the
+    # iterative-aggregate plan family BENCH was otherwise blind to.
+    "quality_classifier_train",
 )
 
 # Sub-second queries sit inside the box's fixed-cost noise floor, where

@@ -18,6 +18,7 @@ from lms_etl_pipeline_spark.plans import etl  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import multimodal  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import curation  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import tokenizer  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import classifier_train  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import corpus_ml  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import corpus_ml_eval  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import training_mix  # noqa: E402,F401

@@ -49,6 +49,8 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_regional_revenue",
     "events_session_window",
     "bpe_train_merges_deep",
+    "quality_classifier_train",
+    "quality_classifier_predict",
     "pinball_loss_eval",
     "dedup_clusters",
     "kmeans_lloyd",
@@ -95,8 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_anti",
     "k_anonymity_profile",
     "lang_id_confusion",
-    "lateral_topk",
-    "multimodal_image_decode",
 )
 
 

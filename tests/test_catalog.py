@@ -53,8 +53,13 @@ def test_first_50_follow_the_rotation_policy():
     assert list(_PRIORITY) == first50
     anchors = ["flagship_regional_revenue", "events_session_window"]
     # fresh debt first (standing slot-economy rule): round-10 additions
-    # with no driver row yet
-    fresh = ["bpe_train_merges_deep"]
+    # with no driver row yet (deep BPE, then the GD classifier-training
+    # pair in registration order)
+    fresh = [
+        "bpe_train_merges_deep",
+        "quality_classifier_train",
+        "quality_classifier_predict",
+    ]
     # changed since last driver-green: the r10 DECIMAL(38,0) widening
     # (pinball) and the iterative-operator consumers whose loop internals
     # gained the release()/cut_lineage discipline (behavior-identical in
