@@ -43,7 +43,7 @@ checkpoint dir first (standard practice for iterative Spark on a
 cluster), so loop barriers whose body references the previous frame
 twice take the reliable-checkpoint path.
 
-Usage: python tools/scaling_extend.py [--rebuild] [--sf3] [--sf10]
+Usage: python tools/scaling_extend.py [--rebuild] [--sf3] [--sf10] [--lsh-sf10]
        [--materialize-cells [--skip-sf10]]
 """
 
@@ -264,6 +264,55 @@ def main() -> int:
                     )
         spark.conf.unset(MATERIALIZE_CONF)
         return 0
+
+    if "--lsh-sf10" in sys.argv:
+        # Seventh decade (VERDICT r9 "Next round" #8): the second-heaviest
+        # headline plan, near_dup_pairs_lsh, measured over sf3->sf10 with
+        # the same semantics-aware gate as the curation row — the banded
+        # pair set grows superlinearly BY DATA (cross-copy cliques), so
+        # gate on min(slope vs input, slope vs own output volume).
+        if not os.path.isdir(os.path.join(BIG10, "documents.parquet")):
+            print("building ~sf10 fixture (documents only) ...", flush=True)
+            build_fixture(spark, BIG10, SF10_COPIES, tables=("documents",))
+        if not os.path.isdir(os.path.join(BIG3, "documents.parquet")):
+            print("building ~sf3 fixture (lineitem + documents) ...", flush=True)
+            build_fixture(spark, BIG3, SF3_COPIES, tables=("lineitem", "documents"))
+        name = "near_dup_pairs_lsh"
+        print("| query | ~sf3 s | ~sf10 s | pairs sf3 | pairs sf10 | slope_in | slope_out | slope |")
+        print("|---|---|---|---|---|---|---|---|")
+        times, outs, foots = [], [], []
+        for sf_dir in (BIG3, BIG10):
+            force_eval(qs[name](spark, sf_dir))  # warm footers/codegen
+            best = math.inf
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                force_eval(qs[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                foots.append(_storage_footprint(spark))
+            times.append(best)
+            outs.append(qs[name](spark, sf_dir).count())
+        half = math.log10(SF10_COPIES / SF3_COPIES)
+        slope_in = math.log10(times[1] / times[0]) / half
+        growth_out = math.log10(max(outs[1], 1) / max(outs[0], 1))
+        slope_out = (
+            math.log10(times[1] / times[0]) / growth_out
+            if growth_out > half
+            else slope_in
+        )
+        slope = min(slope_in, slope_out)
+        print(
+            f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {outs[0]} "
+            f"| {outs[1]} | {slope_in:.2f} | {slope_out:.2f} | {slope:.2f} |"
+        )
+        peak, cap = max(foots, key=lambda t: t[0])
+        print(
+            f"\nmaterialization footprint (post-run sample): {peak / 1e6:.0f} MB "
+            f"of {cap / 1e6:.0f} MB block-manager storage "
+            f"({peak / cap * 100 if cap else 0:.1f}% — headroom "
+            f"{(cap - peak) / 1e6:.0f} MB)"
+        )
+        print(f"worst sf3->sf10 slope: {slope:.2f} (red flag at {SLOPE_RED_FLAG})")
+        return 1 if slope >= SLOPE_RED_FLAG else 0
 
     if "--sf10" in sys.argv:
         if "--rebuild" in sys.argv or not os.path.isdir(
