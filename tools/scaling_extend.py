@@ -254,6 +254,15 @@ def main() -> int:
                         force_eval(qs[name](spark, sf_dir))
                         if rep > 0:
                             best = min(best, time.perf_counter() - t0)
+                        # persist() registers frames in the SQL CacheManager,
+                        # which matches by LOGICAL PLAN — so the next rep's
+                        # identical plan would silently replay rep k's
+                        # InMemoryRelation instead of recomputing (measured:
+                        # a 21x "speedup" at ~sf10 that was pure cache hit).
+                        # localCheckpoint is RDD-level and never cache-shares
+                        # across reps; clear the SQL cache so both strategies
+                        # measure a COLD end-to-end run.
+                        spark.catalog.clearCache()
                         # drop python refs so the ContextCleaner can reap
                         # this rep's checkpoint/persist blocks before the
                         # next cell measures
