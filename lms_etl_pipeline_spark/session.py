@@ -127,6 +127,16 @@ def materialize(df, *, eager: bool = True, cut_lineage: bool = False):
     (populated via a count() when ``eager``).  Override per session with
     the ``spark.lms_etl_pipeline_spark.materialize`` conf.
 
+    The persist path's cost is MEASURED (SCALING.md "Round 10: the
+    persist() path TIMED"): +14–33% over localCheckpoint at ~sf3 on the
+    two heaviest consumers, shrinking to parity/+19% at ~sf10 — i.e. the
+    cluster default's overhead is bounded and smallest at exactly the
+    scale where the non-spillable localCheckpoint barrier OOMs an 8 GB
+    heap.  Note persist() also registers the frame with the SQL
+    CacheManager (plan-matched reuse across identical subplans in one
+    session) — a feature on a warm cluster, but benchmarks must
+    clearCache() between cold-run reps.
+
     ``cut_lineage=True`` is REQUIRED at every materialize site inside an
     iterative loop whose body references the previous iteration's frame
     more than once (k-means' empty-cluster anti-join, label propagation's
