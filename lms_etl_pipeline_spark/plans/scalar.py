@@ -64,12 +64,20 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate + INTERVAL 30 DAY AS due_date,
            CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch0,
            CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-           CAST(EPOCH(o_orderdate) AS BIGINT) AS unix_ts
+           CAST(EPOCH_US(o_orderdate) // 1000000 AS BIGINT) AS unix_ts
     FROM orders
     """,
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time scalar battery (UTC session TZ; SURVEY §1.2 T5/T7 posture)."""
+    """Date/time scalar battery (UTC session TZ; SURVEY §1.2 T5/T7 posture).
+
+    unix_ts: Spark's ``unix_timestamp`` FLOORS to whole seconds; DuckDB's
+    float ``EPOCH()`` under ``CAST(... AS BIGINT)`` ROUNDS, so a
+    .999999-microsecond timestamp diverges by one second (fuzz seed 20,
+    the sub-day knife-edge axis: 23:59:59.999999 → 999302399 vs
+    999302400).  The oracle therefore floors in exact integer microseconds
+    (``EPOCH_US // 1000000`` — truncation ≡ floor for post-1970 instants,
+    which is the fixtures' declared date domain)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

@@ -66,6 +66,11 @@ FIXED_BY_SEED = {
     # the oracle's interval-on-timestamp as-of anchor 23h from the plan's
     # date-truncated one; both sides now truncate to DATE explicitly
     19: ["scd2_snapshot_asof"],
+    # seed 20 (round 10, the sub-day knife-edge axis): a SEVENTH class —
+    # float-EPOCH-cast ROUNDS where Spark's unix_timestamp FLOORS, so a
+    # 23:59:59.999999 instant diverged by one second; the oracle now
+    # floors in exact integer microseconds (EPOCH_US // 1000000)
+    20: ["scalar_date_funcs"],
 }
 
 
@@ -116,7 +121,7 @@ def test_oracle_match_on_fuzz_seed0(spark, fuzz0, duckf, name):
     ("seed", "name"),
     [(s, n) for s, names in FIXED_BY_SEED.items() for n in names],
 )
-def test_oracle_match_on_round9_seeds(spark, tmp_path_factory, seed, name):
+def test_oracle_match_on_found_seeds(spark, tmp_path_factory, seed, name):
     """Seed 11's seasonal mean lands within an ulp of a 6-dp rounding tie
     (67.5977435…); seed 16 lands one pinball per-day loss on the same
     boundary: the exact formulations must match where the ROUND()ed ones
