@@ -144,7 +144,7 @@ _ATTR_SLICE = anchors.AnchorSlice("event_id", 100000, kind="gate")
       SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touch
       FROM touches GROUP BY purchase_id)
     SELECT t.purchase_id, t.click_id, n.n_touch,
-           ROUND(t.value / n.n_touch, 6) AS credit
+           t.value / n.n_touch AS credit
     FROM touches t JOIN counted n USING (purchase_id)
     """,
 )
@@ -155,7 +155,14 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     gives 100% to one click; this splits credit across the touchpath).
 
     Determinism: touch membership is exact timestamp comparisons; credit
-    is one double division of a raw value by an exact count, rounded.
+    is ONE double division of a raw value by an exact count, emitted
+    UNROUNDED: IEEE division is correctly rounded, so the two engines'
+    doubles are bit-identical, whereas ROUND(double, 6) is the seed-11/16
+    tie class in a new costume — Spark rounds the SHORTEST DECIMAL REPR
+    half-up while DuckDB rounds the binary value, and fuzz seed 23 landed
+    value/2 exactly on a 7th-decimal 5 (65.0863005 -> 65.086301 vs
+    65.0863).  A cosmetic round on an already-deterministic double only
+    ADDS divergence risk.
 
     Scale: the touch join keeps the EQUI component (user_id) with the
     time band as a residual predicate — hash join, never a nested loop
@@ -199,7 +206,7 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             "purchase_id",
             "click_id",
             "n_touch",
-            F.round(F.col("value") / F.col("n_touch"), 6).alias("credit"),
+            (F.col("value") / F.col("n_touch")).alias("credit"),
         )
     )
 

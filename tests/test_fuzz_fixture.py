@@ -71,6 +71,13 @@ FIXED_BY_SEED = {
     # 23:59:59.999999 instant diverged by one second; the oracle now
     # floors in exact integer microseconds (EPOCH_US // 1000000)
     20: ["scalar_date_funcs"],
+    # seed 23: the seed-11/16 round-tie class in a new costume — ROUND on
+    # an already-deterministic double division (value/n_touch landed on a
+    # 7th-decimal 5; Spark rounds the shortest decimal repr half-up,
+    # DuckDB rounds the binary value).  Fixed by emitting the raw IEEE
+    # quotient: correctly-rounded division is bit-identical across
+    # engines, so the cosmetic round only added divergence risk.
+    23: ["attribution_linear_multitouch"],
 }
 
 
