@@ -51,6 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_train_merges_deep",
     "quality_classifier_train",
     "quality_classifier_predict",
+    "eval_pass_at_k",
     "pinball_loss_eval",
     "dedup_clusters",
     "kmeans_lloyd",
@@ -96,7 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_corpus_dedup",
     "join_anti",
     "k_anonymity_profile",
-    "lang_id_confusion",
 )
 
 

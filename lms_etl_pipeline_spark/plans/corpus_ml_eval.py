@@ -819,3 +819,81 @@ def event_type_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t1", "t2")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# pass@k estimation (code-eval harness aggregate)
+# --------------------------------------------------------------------------
+
+#: pass@k is estimated at these k (the HumanEval convention's small ks)
+_PASS_KS = (1, 5)
+
+
+def _pass_ratio_sql(k: int) -> str:
+    """1 - C(n-c, k)/C(n, k) as a LEFT-ASSOCIATIVE product of k single
+    correctly-rounded double divisions ((n-c-i)/(n-i), i ascending) — the
+    numerically-stable unbiased estimator form from the HumanEval paper,
+    chosen here because every intermediate is deterministic IEEE (no
+    factorial overflow for large n, no ROUND knife edges)."""
+    prod = " * ".join(
+        f"(CAST(n_attempts - n_correct - {i} AS DOUBLE)"
+        f" / CAST(n_attempts - {i} AS DOUBLE))"
+        for i in range(k)
+    )
+    return (
+        f"CASE WHEN n_attempts >= {k} THEN "
+        f"1.0 - (CASE WHEN n_attempts - n_correct >= {k} THEN {prod} "
+        f"ELSE 0.0 END) END"
+    )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_attempts,
+             CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_attempts, n_correct,
+           {_pass_ratio_sql(1)} AS pass_at_1,
+           {_pass_ratio_sql(5)} AS pass_at_5
+    FROM g
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k estimation — the code-eval harness aggregate (Chen et al.
+    2021, "Evaluating Large Language Models Trained on Code"): each task
+    (here: user) has n sampled attempts (events) of which c are correct
+    (value > 0 — exercising the round-10 negative-metric axis), and the
+    unbiased estimator is ``1 - C(n-c, k) / C(n, k)``.
+
+    Exactness: the binomial ratio is evaluated as the left-associative
+    product of k individual divisions ``(n-c-i)/(n-i)`` — each division
+    is IEEE correctly rounded on exact integer inputs and both engines
+    evaluate the identical expression tree, so the doubles are
+    bit-identical with NO rounding step (the seed-23 lesson: a cosmetic
+    ROUND on a deterministic double only adds divergence risk).  Tasks
+    with n < k yield NULL (estimator undefined); n-c < k yields exactly
+    1.0.
+
+    Scale: one map-side-combining aggregate over (task, attempts) — no
+    window, no shuffle beyond the group-by; the estimator arithmetic is
+    per-group scalar math on two BIGINTs.  100 TB of eval logs reduce in
+    a single pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_attempts"),
+        F.sum(F.when(F.col("value") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return g.select(
+        "user_id",
+        "n_attempts",
+        "n_correct",
+        F.expr(_pass_ratio_sql(1)).alias("pass_at_1"),
+        F.expr(_pass_ratio_sql(5)).alias("pass_at_5"),
+    )

@@ -59,6 +59,7 @@ def test_first_50_follow_the_rotation_policy():
         "bpe_train_merges_deep",
         "quality_classifier_train",
         "quality_classifier_predict",
+        "eval_pass_at_k",
     ]
     # changed since last driver-green: the r10 DECIMAL(38,0) widening
     # (pinball) and the iterative-operator consumers whose loop internals

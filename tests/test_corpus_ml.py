@@ -391,3 +391,56 @@ def test_token_budget_selection_respects_budget_and_is_prefix_closed(spark):
     for r in rows:
         assert r.cum_toks == prev + r.n_toks
         prev = r.cum_toks
+
+
+# ------------------------------------------------------------- pass@k
+
+
+class TestEvalPassAtK:
+    def test_matches_comb_formula_and_edges(self, spark):
+        """Every row must equal the textbook 1 - C(n-c,k)/C(n,k) (checked
+        via math.comb), with n<k -> NULL and n-c<k -> exactly 1.0."""
+        import math
+
+        import pytest
+
+        from tests.conftest import SF_SMOKE
+
+        import __spark_entry__ as em
+
+        rows = em.queries()["eval_pass_at_k"](spark, SF_SMOKE).collect()
+        assert rows
+        saw_null = saw_one = False
+        for r in rows:
+            n, c = r["n_attempts"], r["n_correct"]
+            for k, col in ((1, "pass_at_1"), (5, "pass_at_5")):
+                got = r[col]
+                if n < k:
+                    assert got is None
+                    saw_null = True
+                    continue
+                expect = 1.0 - math.comb(n - c, k) / math.comb(n, k) if n - c >= k else 1.0
+                if n - c < k:
+                    assert got == 1.0
+                    saw_one = True
+                # the engine computes the product form; comb/comb is the
+                # same rational so they agree to an ulp — and for the
+                # within-double-exact magnitudes here, exactly
+                assert got == pytest.approx(expect, abs=1e-12), (n, c, k)
+        assert saw_one, "fixture must exercise the n-c<k -> 1.0 arm"
+
+    def test_fewer_attempts_than_k_yields_null(self, spark, tmp_path):
+        """n < k is estimator-undefined: pass_at_5 must be NULL, not 1.0
+        or a negative-factorial artifact."""
+        import __spark_entry__ as em
+        from tests.conftest import SF_SMOKE
+
+        few = str(tmp_path / "few")
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").orderBy(
+            "event_id"
+        ).limit(3).write.parquet(f"{few}/events.parquet")
+        rows = em.queries()["eval_pass_at_k"](spark, few).collect()
+        assert rows
+        assert all(r["n_attempts"] < 5 for r in rows)
+        assert all(r["pass_at_5"] is None for r in rows)
+        assert all(r["pass_at_1"] is not None for r in rows)
