@@ -27,6 +27,14 @@ opposite sides.  Fix: when the operands are already engine-identical
 UNROUNDED quotient — deterministic by IEEE 754 — instead of introducing
 a rounding step that is itself engine-divergent
 (timeseries_seasonal_profile; pinned below on the seed-11 fixture).
+
+Round 10 widened the generator (seeds >=20: sub-day timestamp knife
+edges, NFC/NFD unicode hazards, negative metrics/balances) and swept the
+full 20-29 band clean after fixing two more classes on it: seed 20's
+float-EPOCH-cast rounding (SEVENTH class — DuckDB CAST(EPOCH(ts) AS
+BIGINT) rounds where Spark's unix_timestamp floors; oracle now floors in
+integer EPOCH_US) and seed 23's round-tie recurrence in the attribution
+credit (the raw IEEE quotient is emitted, see FIXED_BY_SEED).
 """
 
 from __future__ import annotations
