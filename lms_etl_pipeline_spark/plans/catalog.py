@@ -36,6 +36,9 @@ _PRIORITY: tuple[str, ...] = (
     #       kmeans_lloyd, pagerank_graph) whose loop internals gained the
     #       release()/cut_lineage discipline — behavior-identical in the
     #       driver's local session, re-certified out of caution;
+    #       kmeans_lloyd ADDITIONALLY re-planned late in r10 (fuzz seed
+    #       37: float32->decimal cast class — exact-integer centroid
+    #       quantization, unrounded bit-identical distances);
     #   (3) LONGEST-STALE certificates from the r1-r9 artifacts, oldest
     #       last-green round first, name-ordered within a round so the
     #       selection is reproducible from the artifacts alone (r3 greens,

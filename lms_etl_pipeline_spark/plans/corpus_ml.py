@@ -327,16 +327,22 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
                  UNNEST(e.embedding) AS val
           FROM a1 JOIN embeddings e USING (vec_id)),
     c1e AS (SELECT cluster, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(27,8))) AS DOUBLE)
-                         / COUNT(*), 6) AS v
-            FROM m GROUP BY 1, 2),
+                   CAST((CASE WHEN s8 >= 0
+                         THEN (2 * CAST(s8 * 100000000 AS HUGEINT) + 100 * n)
+                              // (200 * n)
+                         ELSE -((2 * CAST(-s8 * 100000000 AS HUGEINT) + 100 * n)
+                              // (200 * n)) END) AS DOUBLE) / 1000000.0 AS v
+            FROM (SELECT cluster, pos,
+                         SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,8))) AS s8,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM m GROUP BY 1, 2)),
     c1 AS (SELECT cluster AS cid, LIST(v ORDER BY pos) AS cvec
            FROM c1e GROUP BY 1),
     p2 AS (SELECT e.vec_id, c.cid,
                   {_d2_sql("e.embedding", "c.cvec")} AS d2
            FROM embeddings e CROSS JOIN c1 c)
     SELECT vec_id, cluster, dist FROM (
-      SELECT vec_id, cid AS cluster, ROUND(d2, 4) AS dist,
+      SELECT vec_id, cid AS cluster, d2 AS dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       FROM p2) WHERE rn = 1
     """,
@@ -364,11 +370,40 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = a1.join(e, "vec_id").select(
         "cluster", F.posexplode("embedding").alias("pos", "val")
     )
-    c1e = m.groupBy("cluster", "pos").agg(
-        F.round(
-            F.sum(F.col("val").cast("decimal(27,8)")).cast("double") / F.count("*"),
-            6,
-        ).alias("v")
+    # Centroid means quantize to 6 dp in EXACT integer arithmetic
+    # (round-half-away of S/(100n) in 1e-6 units, S = exact 1e-8-unit
+    # sum): ROUND(double, 6) here was itself the seed-37 tie — a mean on
+    # a 7th-decimal 5 rounded differently per engine, shifting the
+    # centroid by 1e-6 and every downstream distance with it.  The same
+    # integer formula runs on both engines, so the quantized centroid is
+    # identical by construction; /1e6 is one correctly-rounded divide.
+    c1e = (
+        m.groupBy("cluster", "pos")
+        .agg(
+            # float -> DOUBLE -> decimal: casting float32 STRAIGHT to a
+            # scale-8 decimal diverges between engines on ~20% of values
+            # (Spark rounds the float's SHORTEST repr, ~7 sig digits;
+            # DuckDB rounds its binary expansion — seed 37: 949 element
+            # mismatches).  Widening to double first makes Spark's
+            # shortest repr carry the full binary value, so both engines
+            # quantize the same number.
+            F.sum(F.col("val").cast("double").cast("decimal(27,8)")).alias("s8"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            (
+                F.expr(
+                    "CASE WHEN s8 >= 0 THEN "
+                    "(2 * CAST(s8 * 100000000 AS DECIMAL(38,0)) + 100 * n) "
+                    "div (200 * n) "
+                    "ELSE -((2 * CAST(-s8 * 100000000 AS DECIMAL(38,0)) "
+                    "+ 100 * n) div (200 * n)) END"
+                ).cast("double")
+                / 1000000.0
+            ).alias("v"),
+        )
     )
     c1 = (
         c1e.groupBy("cluster")
@@ -379,7 +414,12 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a2 = _assign(e, c1)
-    return a2.select("vec_id", "cluster", F.round("d2", 4).alias("dist"))
+    # dist is emitted UNROUNDED: the squared-L2 fold is bit-identical
+    # across engines (left-assoc, identical rounded centroid inputs), so
+    # a cosmetic ROUND(4) only adds the round-tie hazard — fuzz seed 37
+    # landed one distance on a 5th-decimal 5 (7.3407 vs 7.3408), the
+    # seed-23 class on a 4-dp stage.
+    return a2.select("vec_id", "cluster", F.col("d2").alias("dist"))
 
 
 # ---------------------------------------------------------------------------
