@@ -26,80 +26,82 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation — RE-CERT ECONOMY (policy recorded in round 8):
+    # Round-11 rotation — RE-CERT ECONOMY (policy recorded in round 8):
     # slots after the two smoke anchors go to
-    #   (1) FRESH DEBT: bpe_train_merges_deep (round-10 addition, never
-    #       certified);
-    #   (2) CHANGED since last driver-green: pinball_loss_eval (r10
-    #       DECIMAL(38,0) widening closes the int64-wrap hazard) and the
-    #       three iterative-operator consumers (dedup_clusters,
-    #       kmeans_lloyd, pagerank_graph) whose loop internals gained the
-    #       release()/cut_lineage discipline — behavior-identical in the
-    #       driver's local session, re-certified out of caution;
-    #       kmeans_lloyd ADDITIONALLY re-planned late in r10 (fuzz seed
-    #       37: float32->decimal cast class — exact-integer centroid
-    #       quantization, unrounded bit-identical distances);
-    #   (3) LONGEST-STALE certificates from the r1-r9 artifacts, oldest
+    #   (1) CHANGED since last driver row: quality_classifier_train (the
+    #       r10 red row — loss output re-emitted as two BIGINT limbs, no
+    #       decimal-class column; MUST be re-presented) and
+    #       quality_classifier_predict (now scores a freshly derived
+    #       feature plan instead of pinning the training cache);
+    #   (2) ROWS-ONLY DEBT (VERDICT r10 next-round #5): the ten genuinely
+    #       non-SQL-expressible queries have never had a green driver row
+    #       (two err'd no_oracle in r02, none re-presented since) — the
+    #       driver's rows-only check is free validation of their anchor
+    #       chains, so all ten get their first window this round,
+    #       name-ordered;
+    #   (3) LONGEST-STALE certificates from the r1-r10 artifacts, oldest
     #       last-green round first, name-ordered within a round so the
-    #       selection is reproducible from the artifacts alone (r3 greens,
-    #       then r4).
+    #       selection is reproducible from the artifacts alone.
     # Invariants (unchanged since r5): the two smoke anchors stay
     # in-window every round; rotated-out queries remain covered by the
     # full-catalog local gate (tools/check_oracle.py) which the driver
-    # check is a same-engine, same-fixture subset of; all 50 are
-    # exact-oracle-backed.  tests/test_catalog.py re-derives this window
-    # from the policy and the r1-r9 artifacts, so drift fails CI.
+    # check is a same-engine, same-fixture subset of; every windowed query
+    # is exact-oracle-backed EXCEPT the ten explicitly-named rows-only
+    # entries (each chained to a named driver-green exact anchor in
+    # tools/cert_ledger.py).  tests/test_catalog.py re-derives this window
+    # from the policy and the r1-r10 artifacts, so drift fails CI.
     "flagship_regional_revenue",
     "events_session_window",
-    "bpe_train_merges_deep",
     "quality_classifier_train",
     "quality_classifier_predict",
-    "eval_pass_at_k",
-    "pinball_loss_eval",
-    "dedup_clusters",
-    "kmeans_lloyd",
-    "pagerank_graph",
+    # rows-only debt (first driver window for each)
+    "agg_approx_count_distinct",
+    "agg_approx_percentiles",
+    "dedup_simhash",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "knn_mllib_brp",
+    "near_dup_pairs_mllib",
+    "sample_fraction",
+    "sample_stratified_by_priority",
+    "sketch_hll_partial_merge",
     # longest-stale re-certs (mechanical derivation)
-    "dataset_split_assign",
-    "dedup_embedding_cosine",
-    "dedup_exact_text",
-    "doc_chunk_sliding",
-    "domain_mixture_sampling",
-    "etl_flatten_json_props",
-    "events_funnel_conversion",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "join_asof_last_click",
-    "knn_cosine_exact",
-    "multimodal_frame_sample",
-    "ngram_jaccard_pairs",
-    "q12_shipmode_priority",
-    "q8_market_share",
-    "subquery_correlated",
-    "text_language_id",
-    "text_token_stats",
-    "tfidf_cosine_pairs",
-    "udtf_sentence_split",
-    "window_row_number_rank",
-    "agg_salted_skew",
-    "applyinpandas_group_rank",
-    "bm25_retrieval_topk",
-    "cooccurrence_pmi",
-    "corpus_shuffle_deterministic",
-    "decontaminate_ngram_overlap",
-    "doc_quality_filter",
-    "embedding_int8_quantize",
-    "etl_align_to_schema",
-    "etl_pack_custom_fields",
-    "etl_users_pipeline_shape",
-    "events_rolling_anomaly",
-    "events_type_pivot",
-    "filter_project_casts",
-    "gopher_quality_rules",
-    "hybrid_retrieval_rrf",
-    "incremental_corpus_dedup",
-    "join_anti",
-    "k_anonymity_profile",
+    "lang_id_confusion",
+    "lateral_topk",
+    "multimodal_image_decode",
+    "multimodal_join_features",
+    "orc_roundtrip_orders",
+    "pandas_udaf_geomean",
+    "quality_ranker_auc",
+    "range_join_binned",
+    "scalar_json_funcs",
+    "semdedup_embedding",
+    "semdedup_kmeans",
+    "set_except",
+    "split_leakage_safe",
+    "timeseries_interpolate_linear",
+    "tokenize_to_vocab_ids",
+    "weighted_sample_es",
+    "window_time_rolling",
+    "window_topk_per_group",
+    "agg_incremental_merge",
+    "ann_recall_eval",
+    "bpe_pair_merges",
+    "cogroup_pandas_asof",
+    "corpus_datasheet",
+    "corpus_pack_sequences",
+    "countmin_heavy_hitters",
+    "curated_corpus_partitioned_write",
+    "dataset_mix_allocation",
+    "dedup_fingerprint",
+    "dedup_winnowing",
+    "doc_repetition_signals",
+    "domain_cap_filter",
+    "etl_dq_violations",
+    "etl_parse_datetime_strict",
+    "event_type_itemsets",
+    "events_sessionize_gap",
+    "funnel_conversion",
 )
 
 

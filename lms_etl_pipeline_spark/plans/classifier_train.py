@@ -29,7 +29,13 @@ This module adds that trainer as an exact, oracle-checkable operator:
   split for the same reason.  Per-row products stay under int64 for any
   document below ~9.2e6 tokens (|r| <= 1e6 micro-units; the margin is the
   same precondition class `pinball_loss_eval` documents); cross-row sums
-  go through DECIMAL(38,0) / HUGEINT.
+  go through DECIMAL(38,0) / HUGEINT *internally*, but the OUTPUT emits
+  the loss as two BIGINT limbs (``loss_hi = loss // 10^18``, ``loss_lo =
+  loss % 10^18``) — unbounded exactness with no decimal-class column in
+  the result (round 11: the driver's native-type cell hashing diverges on
+  Python ``Decimal`` vs ``int`` even at equal values, the same family as
+  the HUGEINT rule in ``tools/check_oracle.py``, which now also refuses
+  DECIMAL outputs catalog-wide).
 
 Scale posture (100 TB): feature extraction is the only corpus-sized work
 and runs once; it is materialized via the deployment-keyed seam
@@ -52,8 +58,6 @@ referenced twice (output row + next weight state).
 
 from __future__ import annotations
 
-from decimal import Decimal
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,9 +73,12 @@ GD_ITERS = 12
 LR_SHIFT = 12
 #: micro-unit scale for weights, predictions, and residuals
 _U = 1_000_000
+#: limb base for the exact loss output: loss = loss_hi * _LIMB + loss_lo,
+#: both limbs int64-safe for ANY corpus (hi saturates at ~1.7e20 docs)
+_LIMB = 10**18
 
 _TRAIN_SCHEMA = (
-    "iteration int, loss_u decimal(38,0), w_bias bigint, "
+    "iteration int, loss_hi bigint, loss_lo bigint, w_bias bigint, "
     "w_ntokens bigint, w_distinct bigint, w_stop bigint"
 )
 
@@ -143,7 +150,8 @@ _CHAIN_SQL = (
 _TRAIN_ORACLE = _CHAIN_SQL + "".join(
     f"""
     {"SELECT" if k == 1 else "UNION ALL SELECT"} {k} AS iteration,
-           CAST(g.loss_u AS DECIMAL(38,0)) AS loss_u,
+           CAST(g.loss_u // {_LIMB} AS BIGINT) AS loss_hi,
+           CAST(g.loss_u % {_LIMB} AS BIGINT) AS loss_lo,
            w.w0 AS w_bias, w.w1 AS w_ntokens, w.w2 AS w_distinct,
            w.w3 AS w_stop
     FROM g{k} g CROSS JOIN w{k} w"""
@@ -222,7 +230,7 @@ def _train(spark: SparkSession, sf_dir: str):
         history.append(
             (
                 it,
-                Decimal(loss) if loss is not None else None,
+                int(loss) if loss is not None else None,
                 w[0],
                 w[1],
                 w[2],
@@ -237,12 +245,18 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distill the rule-based quality filter into a linear scorer by
     distributed full-batch GD (K=12, lr=2^-12, hard-sigmoid link, exact
     scale-6 integer arithmetic end to end — module docstring).  Output: one
-    row per iteration with the pre-update squared loss (micro-units²) and
-    the post-update weights, i.e. the full verifiable training trajectory.
+    row per iteration with the pre-update squared loss (micro-units², as
+    two exact BIGINT limbs hi/lo at base 10^18 — no decimal-class output
+    column) and the post-update weights, i.e. the full verifiable training
+    trajectory.
     """
     history, _, feats = _train(spark, sf_dir)
     release(feats)
-    return spark.createDataFrame(history, _TRAIN_SCHEMA)
+    rows = [
+        (it, *(divmod(loss, _LIMB) if loss is not None else (None, None)), *ws)
+        for it, loss, *ws in history
+    ]
+    return spark.createDataFrame(rows, _TRAIN_SCHEMA)
 
 
 @query("quality_classifier_predict", oracle=_PREDICT_ORACLE)
@@ -255,11 +269,15 @@ def quality_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-sigmoid score.
     """
     _, w, feats = _train(spark, sf_dir)
-    out = feats.select(
+    # score over a FRESHLY derived (unmaterialized) feature plan, not the
+    # training cache: the returned plan is lazy, and referencing the
+    # materialized frame would pin a CacheManager entry with no handle for
+    # the caller to release (and make repeated cold-run timings silently
+    # warm via plan-matched cache reuse) — round-11 advisory.  The weights
+    # are literals, so serving is one narrow scan either way.
+    release(feats)
+    return _features(spark, sf_dir).select(
         "doc_id",
         F.col("y").alias("y_rule"),
         F.expr(_margin_sql(w)).cast("bigint").alias("p_u6"),
     )
-    # the projection is lazy: keep the feats cache alive for the consumer;
-    # it is tiny (4 ints/doc) and evictable (MEMORY_AND_DISK / localCheckpoint)
-    return out

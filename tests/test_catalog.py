@@ -31,17 +31,18 @@ def test_registry_nonempty_and_oracle_keys_subset():
 
 def test_first_50_follow_the_rotation_policy():
     """The driver differentially checks the FIRST 50 registered queries
-    only.  Round-9 era policy (recorded r8, commit 3bdbbec): the
-    never-certified debt is ZERO, so the window's value is RE-CERT
-    FRESHNESS — the two smoke anchors stay in-window every round; the
-    plan-changed slots come first (queries whose plan changed after their
-    last driver-green row, pinned explicitly since plan changes aren't
-    derivable from artifacts alone); the remaining slots re-derive
-    mechanically from the r1-r9 artifacts as the LONGEST-STALE greens
-    (oldest last-green round first, name-ordered within a round).  The
-    baseline is pinned explicitly — not glob'd — because the driver writes
-    THIS round's CORRECTNESS file at round end, which would otherwise
-    shift the derivation during judging."""
+    only.  Round-11 policy: the two smoke anchors stay in-window every
+    round; CHANGED-since-last-driver-row slots come next (pinned
+    explicitly since plan changes aren't derivable from artifacts alone);
+    then the TEN rows-only queries get their first-ever driver window
+    (VERDICT r10 next-round #5 — none has a green driver row in ten
+    rounds; the driver's rows-only check is free validation of the anchor
+    chains), name-ordered; the remaining slots re-derive mechanically from
+    the r1-r10 artifacts as the LONGEST-STALE greens (oldest last-green
+    round first, name-ordered within a round).  The baseline is pinned
+    explicitly — not glob'd — because the driver writes THIS round's
+    CORRECTNESS file at round end, which would otherwise shift the
+    derivation during judging."""
     import json
     import os
 
@@ -52,30 +53,20 @@ def test_first_50_follow_the_rotation_policy():
 
     assert list(_PRIORITY) == first50
     anchors = ["flagship_regional_revenue", "events_session_window"]
-    # fresh debt first (standing slot-economy rule): round-10 additions
-    # with no driver row yet (deep BPE, then the GD classifier-training
-    # pair in registration order)
-    fresh = [
-        "bpe_train_merges_deep",
+    # changed since last driver row: the r10 red row re-emitted with
+    # BIGINT loss limbs, and its serving twin re-planned to score a fresh
+    # feature plan (cache-pinning advisory)
+    plan_changed = [
         "quality_classifier_train",
         "quality_classifier_predict",
-        "eval_pass_at_k",
     ]
-    # changed since last driver-green: the r10 DECIMAL(38,0) widening
-    # (pinball) and the iterative-operator consumers whose loop internals
-    # gained the release()/cut_lineage discipline (behavior-identical in
-    # the driver's local session; re-certified out of caution)
-    plan_changed = [
-        "pinball_loss_eval",
-        "dedup_clusters",
-        "kmeans_lloyd",
-        "pagerank_graph",
-    ]
-    # all 50 must be exact-oracle-checkable
-    rows_only = [n for n in first50 if n not in ORACLES]
-    assert len(rows_only) == 0, rows_only
+    # the ten genuinely non-SQL-expressible queries — rows-only by design,
+    # each chained to a named oracle-backed anchor (cert_ledger); this
+    # window is their first driver presentation
+    rows_only = sorted(n for n in QUERIES if n not in ORACLES)
+    assert [n for n in first50 if n not in ORACLES] == rows_only
 
-    rotation_baseline = [f"CORRECTNESS_r0{r}.json" for r in range(1, 10)]
+    rotation_baseline = [f"CORRECTNESS_r{r:02d}.json" for r in range(1, 11)]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict[str, str] = {}
     for fname in rotation_baseline:
@@ -89,15 +80,15 @@ def test_first_50_follow_the_rotation_policy():
         (
             n
             for n in last_green
-            if n in ORACLES and n not in set(anchors + fresh + plan_changed)
+            if n in ORACLES and n not in set(anchors + plan_changed + rows_only)
         ),
         key=lambda n: (last_green[n], n),
     )
     expected = (
         anchors
-        + fresh
         + plan_changed
-        + stale_order[: 48 - len(fresh) - len(plan_changed)]
+        + rows_only
+        + stale_order[: 50 - len(anchors) - len(plan_changed) - len(rows_only)]
     )
     assert first50 == expected, (
         "window drifted from the re-cert policy derivation:\n"
@@ -139,6 +130,36 @@ def test_hugeint_gate_fires_on_deliberate_offender(duck):
     assert hugeint_columns(rel) == ["s"]
     rel_ok = duck.sql("SELECT CAST(SUM(i) AS BIGINT) AS s FROM range(10) t(i)")
     assert hugeint_columns(rel_ok) == []
+
+
+def test_decimal_gate_fires_on_deliberate_offender(duck, spark):
+    """The round-10 driver-red class: a DECIMAL(38,x) output column fetches
+    as decimal.Decimal, which the driver's native-type hasher mismatches
+    against Spark's int even at equal values (quality_classifier_train was
+    the ONLY decimal-output query among 297 oracles and the only hash-red
+    row).  Both the DuckDB-side and Spark-side gates must detect it."""
+    from tools.check_oracle import hugeint_columns, spark_decimal_columns
+
+    rel = duck.sql("SELECT CAST(42 AS DECIMAL(38,0)) AS d, 1 AS ok")
+    assert hugeint_columns(rel) == ["d"]
+    sdf = spark.sql("SELECT CAST(42 AS DECIMAL(38,0)) AS d, 1 AS ok")
+    assert spark_decimal_columns(sdf) == ["d"]
+    sdf_ok = spark.sql("SELECT CAST(42 AS BIGINT) AS d, 1 AS ok")
+    assert spark_decimal_columns(sdf_ok) == []
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_spark_plan_emits_no_decimal(spark, name):
+    """No registered Spark plan may emit a decimal-typed OUTPUT column —
+    binding only, no execution (internal decimal widening is fine; the rule
+    is about what reaches the driver's native-type hasher)."""
+    from tools.check_oracle import spark_decimal_columns
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert spark_decimal_columns(df) == [], (
+        f"{name}: cast decimal outputs to bigint/double or split into "
+        "BIGINT limbs"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

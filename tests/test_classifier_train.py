@@ -72,6 +72,27 @@ class TestTrainExactness:
         assert got == expected
         assert list(w) == list(expected[-1][2])
 
+    def test_output_emits_exact_bigint_limbs(self, spark):
+        """Round 11: loss is emitted as two BIGINT limbs (hi/lo at base
+        10^18) — unbounded exactness with NO decimal-class output column
+        (the driver's native-type cell hashing diverges on Decimal vs int
+        even at equal values; CORRECTNESS_r10's one red row)."""
+        from lms_etl_pipeline_spark.plans.classifier_train import (
+            _LIMB,
+            _train,
+            quality_classifier_train,
+        )
+        from lms_etl_pipeline_spark.session import release
+
+        history, _, frame = _train(spark, SF_SMOKE)
+        release(frame)
+        df = quality_classifier_train(spark, SF_SMOKE)
+        assert all("decimal" not in t for _, t in df.dtypes)
+        rows = df.collect()
+        assert all(0 <= r["loss_lo"] < _LIMB and r["loss_hi"] >= 0 for r in rows)
+        got = {r["iteration"]: r["loss_hi"] * _LIMB + r["loss_lo"] for r in rows}
+        assert got == {it: loss for it, loss, *_ in history}
+
     def test_loss_strictly_improves(self, spark):
         from lms_etl_pipeline_spark.plans.classifier_train import _train
         from lms_etl_pipeline_spark.session import release
@@ -128,7 +149,7 @@ class TestEmptyCorpus:
         )
         out = quality_classifier_train(spark, empty).collect()
         assert len(out) == GD_ITERS
-        assert all(r["loss_u"] is None for r in out)
+        assert all(r["loss_hi"] is None and r["loss_lo"] is None for r in out)
         assert all(
             r[c] == 0 for r in out for c in ("w_bias", "w_ntokens", "w_distinct", "w_stop")
         )

@@ -38,19 +38,34 @@ def _norm_cell(v):
 
 
 def hugeint_columns(rel) -> list[str]:
-    """Columns of a DuckDB relation whose type is int128 (HUGEINT).
+    """Columns of a DuckDB relation whose native cell class diverges from
+    the Spark fetch path's at equal values: int128 (HUGEINT) and ANY
+    DECIMAL(p,s).
 
-    The external driver hashes DuckDB cells by native type and int128
-    mismatches Spark's BIGINT even at equal values, while our fetchall()
-    comparator normalizes int128 -> Python int and is blind to the class.
-    Every integer aggregate in an oracle must be CAST(... AS BIGINT);
-    this makes the defect structurally detectable at gate time.
+    The external driver hashes cells by native type: HUGEINT mismatches
+    Spark's BIGINT, and a DECIMAL column fetches as ``decimal.Decimal``
+    whose hash/repr differs from Spark's int/float even when every value
+    is equal (round 10's sole red driver row, `quality_classifier_train`,
+    was the one DECIMAL(38,0) output among 297 oracles).  Our fetchall()
+    comparator normalizes both classes -> Python scalars and is blind to
+    them, so this gate makes the defect structurally detectable: every
+    integer aggregate in an oracle must be CAST(... AS BIGINT) (split
+    into BIGINT limbs if the sum can exceed int64), and no query may
+    emit a decimal-typed output column on either side.
     """
     return [
         c
         for c, t in zip(rel.columns, (str(t) for t in rel.types))
-        if "HUGEINT" in t
+        if "HUGEINT" in t or "DECIMAL" in t
     ]
+
+
+def spark_decimal_columns(sdf) -> list[str]:
+    """Spark-side twin of the decimal rule: output DecimalType columns
+    fetch as ``decimal.Decimal`` and diverge in the driver's native-type
+    hashing exactly like DuckDB DECIMAL does (same defect class from the
+    other engine)."""
+    return [c for c, t in sdf.dtypes if t.startswith("decimal")]
 
 
 # Refuse to materialize comparator inputs past this many rows.  Guards the
@@ -135,9 +150,13 @@ def main() -> int:
             rel = con.sql(oracles[name])
             duck_cols = list(rel.columns)
             problems = [
-                f"oracle emits driver-unsafe HUGEINT in column {c!r} "
-                f"(CAST the aggregate to BIGINT)"
+                f"oracle emits driver-unsafe HUGEINT/DECIMAL in column {c!r} "
+                f"(CAST to BIGINT, or split into BIGINT limbs)"
                 for c in hugeint_columns(rel)
+            ] + [
+                f"Spark plan emits driver-unsafe DECIMAL in column {c!r} "
+                f"(cast to bigint/double, or split into BIGINT limbs)"
+                for c in spark_decimal_columns(sdf)
             ]
             duck_rows = rel.limit(MAX_COMPARE_ROWS + 1).fetchall()
             if not problems:
