@@ -1,11 +1,16 @@
 """Multimodal column operators: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas`` (SURVEY.md §2.12 last row).
 
-The container ships no image/audio codecs (PIL/ffmpeg/librosa), so the
-*decode* step is stubbed two ways, per the build contract:
+Each *decode* step ships two paths, per the build contract:
 
-- ``decode=\"real\"`` raises ``NotImplementedError`` with the exact
-  dependency needed — the seam where PIL/torchvision plugs in;
+- ``decode=\"real\"`` (round 11) decodes genuine container formats with
+  what the sandbox actually has: WAV/PCM via the stdlib ``wave`` module
+  (8/16/32-bit, any channel count) and PPM/PGM (P6/P5 binary netpbm) via
+  pure byte arithmetic + numpy — including a real nearest-neighbor image
+  resize.  No PIL/librosa needed.  A payload that fails to parse yields a
+  NULL-featured row, never a task failure — at 100 TB some payloads WILL
+  be corrupt, and one bad blob must not kill a 1000-executor stage.  The
+  one remaining environment seam is VIDEO decode (needs ffmpeg).
 - ``decode=\"fake\"`` (default) derives deterministic pseudo-features from
   the bytes themselves (length, md5, byte-histogram stats).  Deliberately
   SQL-expressible so the whole mapInPandas pipeline — schema handling,
@@ -21,6 +26,8 @@ and fan-out (frame sampling) emitted incrementally per batch.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,10 +65,116 @@ def _segment_stat(payloads: pd.Series, lengths: pd.Series, stat: str) -> pd.Seri
         out[nonempty] = np.sqrt(means) if stat == "rms" else means
     return pd.Series(out)
 
+# ---------------------------------------------------------------------------
+# Real codecs (stdlib + numpy only — no PIL/librosa in the sandbox)
+
+_WAV_DTYPES = {1: np.uint8, 2: "<i2", 4: "<i4"}
+
+
+def parse_wav(payload: bytes):
+    """Decode a RIFF/WAV payload with the stdlib ``wave`` module.
+
+    Returns ``(sample_rate, n_channels, n_samples_per_channel, samples)``
+    where ``samples`` is a float64 array of the interleaved PCM values
+    CENTERED at zero (8-bit WAV is unsigned by spec — shifted by -128), or
+    ``None`` if the payload is not a parseable 8/16/32-bit PCM WAV.
+    """
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            sw = w.getsampwidth()
+            dtype = _WAV_DTYPES.get(sw)
+            if dtype is None:
+                return None
+            rate, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError, OSError):
+        return None
+    if rate <= 0 or ch <= 0:
+        return None
+    vals = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        vals -= 128.0
+    return rate, ch, len(vals) // ch, vals
+
+
+_PNM_WS = b" \t\r\n\x0b\x0c"
+
+
+def parse_netpbm(payload: bytes):
+    """Decode a BINARY netpbm payload (P6 RGB / P5 grayscale) by pure byte
+    arithmetic: whitespace-and-comment header parse, then one frombuffer.
+
+    Returns ``(width, height, pixels)`` with ``pixels`` uint8 shaped
+    (h, w, 3) — grayscale broadcast to 3 channels — or ``None`` when
+    unparseable.  Only maxval <= 255 (1 byte per sample) is supported.
+    """
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        return None
+    fields: list[int] = []
+    i = 2
+    try:
+        while len(fields) < 3:
+            while payload[i] in _PNM_WS:
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while payload[i] not in b"\r\n":
+                    i += 1
+                continue
+            j = i
+            while payload[j] not in _PNM_WS:
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # exactly ONE whitespace byte after maxval, per spec
+    except (IndexError, ValueError):
+        return None
+    w, h, maxval = fields
+    ch = 3 if magic == b"P6" else 1
+    if not (0 < maxval <= 255 and w > 0 and h > 0):
+        return None
+    need = w * h * ch
+    data = payload[i : i + need]
+    if len(data) < need:
+        return None
+    px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Re-encode an (h, w, 3) uint8 array as a binary P6 PPM payload."""
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample to (th, tw, 3) with the floor index map
+    ``src = (dst * src_len) // dst_len`` — deterministic, pure integer."""
+    h, w, _ = px.shape
+    rows = (np.arange(th, dtype=np.int64) * h) // th
+    cols = (np.arange(tw, dtype=np.int64) * w) // tw
+    return px[rows[:, None], cols[None, :]]
+
+
 #: Output schema of ``decode_image_features``.
 IMAGE_FEATURES_SCHEMA = (
     "id BIGINT, payload_bytes BIGINT, payload_md5 STRING, "
     "pseudo_width INT, pseudo_height INT, mean_byte DOUBLE"
+)
+
+#: Output schema of ``decode_image_features(decode="real")`` — NULL feature
+#: fields (not a task failure) when a payload is not parseable netpbm.
+IMAGE_REAL_SCHEMA = (
+    "id BIGINT, width INT, height INT, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+)
+
+#: Output schema of ``decode_audio_features(decode="real")``.
+AUDIO_REAL_SCHEMA = (
+    "id BIGINT, sample_rate INT, n_channels INT, n_samples BIGINT, "
+    "duration_s DOUBLE, rms DOUBLE"
 )
 
 #: Output schema of ``sample_frames`` (fan-out: one row per sampled frame).
@@ -88,12 +201,36 @@ def decode_image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     ``fake`` decode derives: payload size, content md5, a deterministic
     pseudo width/height (bytes mod 509 / mod 293 — coprime so the pair
     varies), and the mean byte value (the vectorized-batch-compute part).
+
+    ``real`` decode (round 11) parses binary netpbm (P6 PPM / P5 PGM) by
+    pure byte arithmetic and emits true dimensions + per-channel means;
+    a payload that is not parseable netpbm yields a NULL-featured row.
     """
-    if decode == "real":  # pragma: no cover - codec not shipped in this env
-        raise NotImplementedError(
-            "real image decode requires PIL/torchvision; install one and "
-            "replace _fake_image_batch with Image.open over io.BytesIO"
-        )
+    if decode == "real":
+
+        def extract_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: dict[str, list] = {
+                    "id": [], "width": [], "height": [],
+                    "mean_r": [], "mean_g": [], "mean_b": [],
+                }
+                for vid, payload in zip(pdf["id"], pdf["payload"]):
+                    parsed = parse_netpbm(bytes(payload))
+                    out["id"].append(vid)
+                    if parsed is None:
+                        for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                            out[k].append(None)
+                        continue
+                    w, h, px = parsed
+                    means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(extract_real, IMAGE_REAL_SCHEMA)
     if decode != "fake":
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -140,17 +277,50 @@ def sample_frames(df: DataFrame, frame_size: int = 256, max_frames: int = 8) -> 
     return df.mapInPandas(frames, FRAME_SAMPLE_SCHEMA)
 
 
-def resize_images(df: DataFrame, target_bytes: int = 1024, decode: str = "fake") -> DataFrame:
-    """Resize stub: real path names its dependency; fake path 'resizes' by
-    deterministic stride subsampling of the byte stream to ``target_bytes``
-    — preserving the mapInPandas shape of a real resize (binary in,
-    smaller binary out, per-batch vectorized)."""
-    if decode == "real":  # pragma: no cover
-        raise NotImplementedError(
-            "real image resize requires PIL (Image.resize); install it and "
-            "replace the stride subsampler"
-        )
+def resize_images(
+    df: DataFrame,
+    target_bytes: int = 1024,
+    decode: str = "fake",
+    target_wh: tuple[int, int] = (32, 32),
+) -> DataFrame:
+    """Image resize over a binary column (binary in, smaller binary out,
+    per-batch vectorized).
+
+    ``fake`` 'resizes' by deterministic stride subsampling of the byte
+    stream to ``target_bytes``.  ``real`` (round 11) decodes binary netpbm
+    and performs a TRUE nearest-neighbor resample to ``target_wh``,
+    re-encoding as P6 PPM — pure integer index arithmetic, no PIL; a
+    non-netpbm payload yields a NULL payload row.
+    """
     schema = "id BIGINT, payload BINARY, orig_bytes BIGINT, resized_bytes BIGINT"
+    if decode == "real":
+        tw, th = target_wh
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"target_wh must be positive, got {target_wh!r}")
+
+        def resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: dict[str, list] = {
+                    "id": [], "payload": [], "orig_bytes": [], "resized_bytes": [],
+                }
+                for vid, payload in zip(pdf["id"], pdf["payload"]):
+                    raw = bytes(payload)
+                    parsed = parse_netpbm(raw)
+                    out["id"].append(vid)
+                    out["orig_bytes"].append(len(raw))
+                    if parsed is None:
+                        out["payload"].append(None)
+                        out["resized_bytes"].append(None)
+                        continue
+                    _, _, px = parsed
+                    small = encode_ppm(resize_nearest(px, tw, th))
+                    out["payload"].append(small)
+                    out["resized_bytes"].append(len(small))
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(resize_real, schema)
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,12 +339,44 @@ def resize_images(df: DataFrame, target_bytes: int = 1024, decode: str = "fake")
 
 
 def decode_audio_features(df: DataFrame, decode: str = "fake") -> DataFrame:
-    """Audio stub: same contract as images (real path names its dependency)."""
-    if decode == "real":  # pragma: no cover
-        raise NotImplementedError(
-            "real audio decode requires soundfile/librosa; install one and "
-            "replace the fake featureizer"
-        )
+    """Audio feature extraction over a binary column.
+
+    ``fake`` derives pseudo-features from the raw bytes (differentially
+    testable against DuckDB).  ``real`` (round 11) decodes RIFF/WAV PCM
+    with the stdlib ``wave`` module — true sample rate, channel count,
+    per-channel sample count, duration, and RMS amplitude over the
+    zero-centered interleaved samples; an unparseable payload yields a
+    NULL-featured row.
+    """
+    if decode == "real":
+
+        def extract_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: dict[str, list] = {
+                    "id": [], "sample_rate": [], "n_channels": [],
+                    "n_samples": [], "duration_s": [], "rms": [],
+                }
+                for vid, payload in zip(pdf["id"], pdf["payload"]):
+                    parsed = parse_wav(bytes(payload))
+                    out["id"].append(vid)
+                    if parsed is None:
+                        for k in ("sample_rate", "n_channels", "n_samples",
+                                  "duration_s", "rms"):
+                            out[k].append(None)
+                        continue
+                    rate, ch, n, vals = parsed
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(ch)
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(n / rate)
+                    out["rms"].append(
+                        float(np.sqrt(np.mean(vals * vals))) if vals.size else None
+                    )
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(extract_wav, AUDIO_REAL_SCHEMA)
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     schema = "id BIGINT, payload_bytes BIGINT, pseudo_duration_s DOUBLE, rms_byte DOUBLE"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -60,6 +60,9 @@ def test_first_50_follow_the_rotation_policy():
         "quality_classifier_train",
         "quality_classifier_predict",
     ]
+    # fresh debt: round-11 addition, never presented (the real-WAV-decode
+    # exact certificate)
+    fresh = ["multimodal_wav_decode_real"]
     # the ten genuinely non-SQL-expressible queries — rows-only by design,
     # each chained to a named oracle-backed anchor (cert_ledger); this
     # window is their first driver presentation
@@ -80,16 +83,13 @@ def test_first_50_follow_the_rotation_policy():
         (
             n
             for n in last_green
-            if n in ORACLES and n not in set(anchors + plan_changed + rows_only)
+            if n in ORACLES
+            and n not in set(anchors + plan_changed + fresh + rows_only)
         ),
         key=lambda n: (last_green[n], n),
     )
-    expected = (
-        anchors
-        + plan_changed
-        + rows_only
-        + stale_order[: 50 - len(anchors) - len(plan_changed) - len(rows_only)]
-    )
+    pinned = anchors + plan_changed + fresh + rows_only
+    expected = pinned + stale_order[: 50 - len(pinned)]
     assert first50 == expected, (
         "window drifted from the re-cert policy derivation:\n"
         f"  missing: {[n for n in expected if n not in first50]}\n"
