@@ -64,7 +64,10 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate + INTERVAL 30 DAY AS due_date,
            CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch0,
            CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-           CAST(EPOCH_US(o_orderdate) // 1000000 AS BIGINT) AS unix_ts
+           CAST(CASE WHEN EPOCH_US(o_orderdate) >= 0
+                     THEN EPOCH_US(o_orderdate) // 1000000
+                     ELSE -((-EPOCH_US(o_orderdate) + 999999) // 1000000)
+                END AS BIGINT) AS unix_ts
     FROM orders
     """,
 )
@@ -76,8 +79,12 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     .999999-microsecond timestamp diverges by one second (fuzz seed 20,
     the sub-day knife-edge axis: 23:59:59.999999 → 999302399 vs
     999302400).  The oracle therefore floors in exact integer microseconds
-    (``EPOCH_US // 1000000`` — truncation ≡ floor for post-1970 instants,
-    which is the fixtures' declared date domain)."""
+    — and (round 11, advisory) via a SIGN-SPLIT integer floor rather than
+    bare ``//``, because DuckDB ``//`` truncates toward zero (-7//2 = -3)
+    while Spark floors, so a pre-1970 instant would diverge by one second
+    the moment a fuzz axis crosses the epoch.  The oracle is now
+    domain-independent instead of leaning on the post-1970 fixture
+    declaration."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

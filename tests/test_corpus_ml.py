@@ -100,7 +100,7 @@ def test_kmeans_assigns_every_vector_to_nearest_final_centroid(spark):
     assert len(clusters) > 1, "degenerate single-cluster solution"
     assert all(r.dist >= 0 for r in rows)
     # seed vectors must sit in (at least plausibly) their own neighborhoods:
-    # distances are finite and rounded at 4 dp
+    # distances are the unrounded bit-identical squared-L2 fold, finite
     assert all(not math.isnan(r.dist) for r in rows)
 
 

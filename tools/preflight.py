@@ -41,6 +41,9 @@ STEPS = lambda sf_dir: [  # noqa: E731
     ("skew_gate", [sys.executable, "tools/skew_stress.py", "--gate"]),
     # round 8: rows-only -> exact-anchor chain must reconcile green.
     ("cert_ledger", [sys.executable, "tools/cert_ledger.py"]),
+    # round 11: COVERAGE.md may not claim ✅ for a query whose latest
+    # driver row is non-green unless the line is marked 'driver-pending'.
+    ("coverage_gate", [sys.executable, "tools/coverage_gate.py"]),
 ]
 
 
