@@ -54,8 +54,9 @@ _PRIORITY: tuple[str, ...] = (
     "events_session_window",
     "quality_classifier_train",
     "quality_classifier_predict",
-    # fresh debt: the round-11 real-WAV-decode certificate (exact oracle)
+    # fresh debt: the round-11 real-codec certificates (exact oracles)
     "multimodal_wav_decode_real",
+    "multimodal_ppm_decode_real",
     # rows-only debt (first driver window for each)
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
@@ -102,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "etl_dq_violations",
     "etl_parse_datetime_strict",
     "event_type_itemsets",
-    "events_sessionize_gap",
 )
 
 

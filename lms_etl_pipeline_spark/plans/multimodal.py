@@ -75,6 +75,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Synth sample rate for the WAV round-trip certificate below.
 _WAV_RATE = 16000
 
+#: Synth image width (pixels) for the PPM round-trip certificate below.
+_PPM_W = 16
+
+
+@query(
+    "multimodal_ppm_decode_real",
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST({_PPM_W} AS INTEGER) AS width,
+           CAST((OCTET_LENGTH(ENCODE(text)) + {3 * _PPM_W} - 1)
+                // {3 * _PPM_W} AS INTEGER) AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(CAST(LENGTH(text) AS BIGINT)),
+                i -> CASE WHEN i % 3 = 0
+                     THEN UNICODE(text[CAST(i + 1 AS INTEGER)]) ELSE 0 END))
+               AS BIGINT) AS sum_r,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(CAST(LENGTH(text) AS BIGINT)),
+                i -> CASE WHEN i % 3 = 1
+                     THEN UNICODE(text[CAST(i + 1 AS INTEGER)]) ELSE 0 END))
+               AS BIGINT) AS sum_g,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(CAST(LENGTH(text) AS BIGINT)),
+                i -> CASE WHEN i % 3 = 2
+                     THEN UNICODE(text[CAST(i + 1 AS INTEGER)]) ELSE 0 END))
+               AS BIGINT) AS sum_b
+    FROM documents
+    WHERE LENGTH(text) > 0 AND REGEXP_MATCHES(text, '^[\\x01-\\x7F]*$')
+    """,
+)
+def multimodal_ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec certificate (round 11) — the netpbm twin of
+    `multimodal_wav_decode_real`: synthesize a genuine binary P6 PPM per
+    document ({_PPM_W} px wide, text bytes as RGB samples zero-padded to
+    the last row), decode it with the pure-byte-arithmetic netpbm path
+    (`operators.multimodal.parse_netpbm`), and emit integer-exact
+    per-channel sums DuckDB recomputes straight from the text (byte i
+    feeds channel i mod 3; zero padding adds nothing).  A hash-green row
+    proves the image decode reproduces every pixel byte cross-engine.
+    ASCII-filtered like the WAV twin.  Scale shape: one map-only
+    mapInPandas pass, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        (F.length("text") > 0) & F.col("text").rlike("^[\\x01-\\x7F]*$")
+    ).select(F.col("doc_id").alias("id"), "text")
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            row_bytes = 3 * _PPM_W
+            for vid, text in zip(pdf["id"], pdf["text"]):
+                data = text.encode("utf-8")
+                h = (len(data) + row_bytes - 1) // row_bytes
+                data += b"\x00" * (h * row_bytes - len(data))
+                payload = b"P6\n%d %d\n255\n" % (_PPM_W, h) + data
+                w, got_h, px = mm.parse_netpbm(payload)
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["id"].append(vid)
+                out["width"].append(w)
+                out["height"].append(got_h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "id BIGINT, width INT, height INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+    )
+    return docs.mapInPandas(synth_and_decode, schema)
+
 
 @query(
     "multimodal_wav_decode_real",

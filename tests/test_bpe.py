@@ -175,3 +175,26 @@ def test_deep_query_hybrid_arms_agree(spark, monkeypatch):
         map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect())
     )
     assert local == dist
+
+
+def test_deep_query_budget_knife_edge(spark, monkeypatch):
+    """VERDICT r10 #6: the hybrid gate at exactly |dictionary| ± 1 — budget
+    == dict rows takes the driver-local arm, budget == dict rows - 1 takes
+    the distributed fallback, and both arms must agree on the SAME fixture
+    (the knife edge where one extra word flips the physical strategy)."""
+    from lms_etl_pipeline_spark.operators import text as tx
+    from lms_etl_pipeline_spark.plans import tokenizer
+    from lms_etl_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(tokenizer, "_DEEP_MERGES", 4)
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_dict = bpe.word_dictionary(d, tx.tokens("text")).count()
+    assert n_dict > 1
+
+    monkeypatch.setattr(bpe, "LOCAL_DICT_BUDGET_ROWS", n_dict)  # at budget
+    at = sorted(map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect()))
+    monkeypatch.setattr(bpe, "LOCAL_DICT_BUDGET_ROWS", n_dict - 1)  # 1 under
+    under = sorted(map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect()))
+    assert at == under
+    assert len(at) == 4

@@ -155,6 +155,54 @@ class TestEmptyCorpus:
         )
 
 
+class TestSingleClassCorpora:
+    """VERDICT r10 #6: the GD loop must stay bit-exact when one class is
+    absent (all-y=1 / all-y=0 gradients) and when the hard-sigmoid clamp
+    saturates under huge margins (a 30k-token document drives |w·x| far
+    past both knees by iteration 2)."""
+
+    def _run(self, spark, tmp_path, texts, name):
+        from lms_etl_pipeline_spark.plans.classifier_train import (
+            GD_ITERS,
+            LR_SHIFT,
+            _features,
+            _train,
+        )
+        from lms_etl_pipeline_spark.session import release
+
+        path = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        ).write.parquet(f"{path}/documents.parquet")
+        feats = [
+            (r["y"], r["x1"], r["x2"], r["x3"])
+            for r in _features(spark, path).collect()
+        ]
+        expected = _py_reference(feats, GD_ITERS, LR_SHIFT)
+        history, w, frame = _train(spark, path)
+        release(frame)
+        got = [(it, loss, (w0, w1, w2, w3)) for it, loss, w0, w1, w2, w3 in history]
+        assert got == expected
+        return feats, w
+
+    def test_all_positive_labels(self, spark, tmp_path):
+        texts = [" ".join(f"p{i}x{j}" for j in range(20 + 5 * i)) for i in range(8)]
+        feats, w = self._run(spark, tmp_path, texts, "allpos")
+        assert feats and all(f[0] == 1 for f in feats)
+        # with only positive labels the bias gradient is negative from the
+        # all-0.5 start, so weights move up (toward predicting 1)
+        assert w[0] >= 0
+
+    def test_all_negative_labels_with_clamp_saturation(self, spark, tmp_path):
+        texts = [" ".join("tok" for _ in range(5)) for _ in range(6)]
+        # 30k distinct tokens: n > 1000 -> y=0, and the learned w1 drives
+        # the margin past both hard-sigmoid knees on iteration 2
+        texts.append(" ".join(f"t{j}" for j in range(30_000)))
+        feats, w = self._run(spark, tmp_path, texts, "allneg")
+        assert feats and all(f[0] == 0 for f in feats)
+
+
 class TestPredictComposition:
     def test_predict_scores_match_final_weights(self, spark):
         from lms_etl_pipeline_spark.plans.classifier_train import (

@@ -51,6 +51,20 @@ seed-0..19 fixtures that pin earlier defect classes stay byte-identical:
   supplier balances and event metric values go negative (customer
   balances already did), exercising abs/quantile/sign-sensitive paths.
 
+Round 11 widens the generator again (VERDICT r10 "Next round" #6), ACTIVE
+FOR SEEDS >= 40 ONLY, aimed at the round-10 trainers' preconditions:
+
+- quality-rule knife edges: document token counts ON the label gates
+  (19/20/21 and 999/1000/1001 for ``20 <= n <= 1000``), stopword ratios
+  exactly AT ``2s == n``, and distinct ratios straddling ``20d > n`` —
+  the previous generator never exceeded 40 tokens, so the upper gate and
+  both ratio boundaries were unreachable;
+- single-class label corpora: some seeds produce ALL-pass or ALL-fail
+  corpora (all-y=1 / all-y=0 gradients — the GD loop must stay exact when
+  one class is absent);
+- long documents (up to ~1200 tokens): larger per-row feature magnitudes
+  through the GD products and a deeper BPE dictionary.
+
 Usage:
     python tools/fuzz_fixture.py <seed> [out_dir]   # generate only
     python tools/fuzz_fixture.py <seed> --sweep     # generate + full sweep
@@ -135,6 +149,39 @@ _WIDE_VOCAB = [
     "\U0001f642ok",          # astral-plane emoji prefix (surrogate pair)
     "\U0001f9ea",            # lone astral code point
 ]
+
+
+#: seeds >= this get the round-11 trainer-aimed axes; below, fixtures stay
+#: byte-identical to the seeds that pin earlier defect classes
+TRAINER_AXES_FROM_SEED = 40
+
+#: the engine's English stoplist intersection used by the quality label
+#: (plans/classifier_train._STOPLIST_SQL — keep in sync)
+_STOP_TOKENS = ["the", "a", "an", "and", "of", "to", "in", "is", "on"]
+_NONSTOP = [w for w in _VOCAB if w not in _STOP_TOKENS]
+
+
+def _trainer_text(rng: random.Random) -> str:
+    """Document whose token count/composition sits ON a quality-rule gate:
+    ``20 <= n <= 1000``, ``2*stop <= n``, ``20*distinct > n``."""
+    n = rng.choice([19, 20, 21, 40, 999, 1000, 1001, rng.randrange(3, 1200)])
+    comp = rng.random()
+    if comp < 0.35:
+        # stopword-ratio boundary: s = n//2 gives 2s == n exactly (passes
+        # the gate) for even n, 2s == n-1 for odd — both knife edges
+        s = n // 2
+        toks = [rng.choice(_STOP_TOKENS) for _ in range(s)] + [
+            f"w{rng.randrange(10_000)}" for _ in range(n - s)
+        ]
+    elif comp < 0.7:
+        # distinct-ratio boundary: pool size d straddles 20d > n
+        d = max(n // 20, 1) + rng.choice([0, 1])
+        pool = [f"u{j}" for j in range(d)]
+        toks = [pool[j % d] for j in range(n)]
+    else:
+        toks = [rng.choice(_NONSTOP) for _ in range(n)]
+    rng.shuffle(toks)
+    return " ".join(toks)
 
 
 def _money(rng: random.Random, lo: float = 0.0, hi: float = 105000.0) -> float:
@@ -287,9 +334,26 @@ def build(spark, seed: int, out_dir: str) -> str:
         for _ in range(12)
     ]
     langs = ["en", "es", "de", "fr", "zh"]
+    trainer = seed >= TRAINER_AXES_FROM_SEED
+    # per-seed label regime: most seeds mix; some produce single-class
+    # corpora (all-y=1 / all-y=0 under the quality-rule label)
+    regime = (
+        rng.choice(["mixed"] * 4 + ["all_pass", "all_fail"]) if trainer else "legacy"
+    )
     docs = []
     for i in range(SIZES["documents"]):
-        t = _text(rng, shared, wide)
+        if regime == "all_pass":
+            # in [20, 1000] tokens, all distinct, no stopwords -> y=1 always
+            n = rng.randrange(20, 1001)
+            t = " ".join(f"p{i}x{j}" for j in range(n))
+        elif regime == "all_fail":
+            # under 20 or over 1000 tokens -> y=0 always (empty included)
+            n = rng.choice([0, 1, 5, 19, 1001, 1100])
+            t = " ".join(rng.choice(_NONSTOP) for _ in range(n))
+        elif regime == "mixed" and rng.random() < 0.5:
+            t = _trainer_text(rng)
+        else:
+            t = _text(rng, shared, wide)
         docs.append((i, t, rng.choice(langs), f"src{rng.randrange(8)}", len(t)))
     spark.createDataFrame(docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 

@@ -238,7 +238,18 @@ def main() -> int:
             os.path.join(os.path.dirname(BIG), "ckpt")
         )
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-        names = ("corpus_curation_pipeline", "dedup_clusters")
+        # round 11 adds the GD trainer (VERDICT r10 #7): the newest
+        # iterative consumer of session.materialize/release gets the same
+        # two-strategy cell as dedup_clusters; --only=NAME re-measures one
+        # plan without re-paying the others' sf10 cells
+        names = (
+            "corpus_curation_pipeline",
+            "dedup_clusters",
+            "quality_classifier_train",
+        )
+        only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+        if only:
+            names = tuple(n for n in names if n in only)
         dirs = [BIG3] if "--skip-sf10" in sys.argv else [BIG3, BIG10]
         print(f"driver/executor heap: {mem}")
         print("| query | fixture | strategy | e2e s (min of 2) |")
