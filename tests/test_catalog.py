@@ -61,8 +61,12 @@ def test_first_50_follow_the_rotation_policy():
         "quality_classifier_predict",
     ]
     # fresh debt: round-11 additions, never presented (the real-codec
-    # exact certificates)
-    fresh = ["multimodal_wav_decode_real", "multimodal_ppm_decode_real"]
+    # exact certificates and the radix-selection exact quantile)
+    fresh = [
+        "multimodal_wav_decode_real",
+        "multimodal_ppm_decode_real",
+        "quantile_exact_selection",
+    ]
     # the ten genuinely non-SQL-expressible queries — rows-only by design,
     # each chained to a named oracle-backed anchor (cert_ledger); this
     # window is their first driver presentation

@@ -1,0 +1,83 @@
+"""Radix selection: exact k-th smallest without a sort (operators/selection).
+
+Pins the order-preserving sign-flip byte mapping across the full int64
+domain (LONG_MIN/LONG_MAX, negatives, duplicates), the 1-indexed rank
+contract at both ends, out-of-range refusal, and a seeded random
+cross-check against Python's sorted() — plus the catalog query's
+lower-nearest-rank definition against a brute-force quantile.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from lms_etl_pipeline_spark.operators.selection import kth_smallest
+
+I64_MIN, I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v BIGINT")
+
+
+class TestKthSmallest:
+    def test_full_domain_extremes_and_negatives(self, spark):
+        vals = [I64_MIN, -1, 0, 1, I64_MAX, -256, 255, -(1 << 40), 1 << 40]
+        df = _df(spark, vals)
+        want = sorted(vals)
+        for k in range(1, len(vals) + 1):
+            assert kth_smallest(df, "v", k) == want[k - 1], k
+
+    def test_duplicates_and_ends(self, spark):
+        vals = [5, 5, 5, -7, -7, 42]
+        df = _df(spark, vals)
+        assert kth_smallest(df, "v", 1) == -7
+        assert kth_smallest(df, "v", 2) == -7
+        assert kth_smallest(df, "v", 3) == 5
+        assert kth_smallest(df, "v", len(vals)) == 42
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame([(1,), (None,), (3,)], "v BIGINT")
+        assert kth_smallest(df, "v", 2) == 3
+
+    def test_out_of_range_refused(self, spark):
+        df = _df(spark, [1, 2])
+        with pytest.raises(ValueError):
+            kth_smallest(df, "v", 0)
+        with pytest.raises(ValueError):
+            kth_smallest(df, "v", 3)
+        with pytest.raises(ValueError):
+            kth_smallest(_df(spark, []), "v", 1)
+
+    def test_random_cross_check(self, spark):
+        rng = random.Random(11)
+        vals = [
+            rng.choice(
+                [
+                    rng.randrange(-100, 100),
+                    rng.randrange(I64_MIN, I64_MAX),
+                    rng.choice([0, -1, 1, 255, 256, -255, -256]),
+                ]
+            )
+            for _ in range(300)
+        ]
+        df = _df(spark, vals)
+        want = sorted(vals)
+        for k in (1, 7, 150, 299, 300):
+            assert kth_smallest(df, "v", k) == want[k - 1], k
+
+
+def test_quantile_rank_definition_matches_brute_force(spark):
+    """The catalog query's k = 1 + floor(q*(n-1)) (lower-nearest rank) must
+    select exactly sorted[k-1] for every registered quantile."""
+    from lms_etl_pipeline_spark.plans.order_stats import _QUANTILES
+
+    vals = sorted(random.Random(3).randrange(0, 10_000) for _ in range(101))
+    df = _df(spark, vals)
+    n = len(vals)
+    for q in _QUANTILES:
+        k = 1 + math.floor(q * (n - 1))
+        assert kth_smallest(df, "v", k) == vals[k - 1], q
