@@ -84,6 +84,10 @@ HEADLINE = (
     # over a materialized feature frame + literal-weight re-entry) — the
     # iterative-aggregate plan family BENCH was otherwise blind to.
     "quality_classifier_train",
+    # Round 11: exact radix-selection quantiles (4 quantiles x 8 bounded
+    # 256-bucket counting passes over a materialized integer column) —
+    # the sort-free exact-order-statistics family.
+    "quantile_exact_selection",
 )
 
 # Sub-second queries sit inside the box's fixed-cost noise floor, where

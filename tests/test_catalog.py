@@ -152,6 +152,35 @@ def test_decimal_gate_fires_on_deliberate_offender(duck, spark):
     assert spark_decimal_columns(sdf_ok) == []
 
 
+def test_native_class_gate_fires_on_planted_divergence():
+    """Round 11 (VERDICT r10 #2, generalized): the comparator must flag any
+    output column whose native Python cell class differs between the Spark
+    and DuckDB fetch paths — int vs Decimal, date vs datetime — while
+    folding the benign bytearray/bytes pair."""
+    import datetime
+
+    from tools.check_oracle import native_class_divergences
+
+    idx = {"a": 0, "b": 1}
+    s_rows = [(1, datetime.date(2020, 1, 1))]
+    d_rows = [(1, datetime.datetime(2020, 1, 1))]
+    out = native_class_divergences(s_rows, idx, d_rows, idx, ["a", "b"])
+    assert len(out) == 1 and "'b'" in out[0]
+
+    from decimal import Decimal
+
+    out = native_class_divergences([(Decimal(5),)], {"c": 0}, [(5,)], {"c": 0}, ["c"])
+    assert len(out) == 1 and "Decimal" in out[0]
+
+    out = native_class_divergences(
+        [(bytearray(b"x"),)], {"c": 0}, [(b"x",)], {"c": 0}, ["c"]
+    )
+    assert out == []
+    # all-null columns are skipped (nothing to compare)
+    out = native_class_divergences([(None,)], {"c": 0}, [(None,)], {"c": 0}, ["c"])
+    assert out == []
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_spark_plan_emits_no_decimal(spark, name):
     """No registered Spark plan may emit a decimal-typed OUTPUT column —

@@ -77,6 +77,39 @@ def spark_decimal_columns(sdf) -> list[str]:
 MAX_COMPARE_ROWS = int(os.environ.get("ORACLE_MAX_COMPARE_ROWS", "2000000"))
 
 
+#: native Python classes treated as one family for the cross-engine cell
+#: class check (bool is deliberately NOT folded into int)
+_CLASS_FAMILIES = {"bytearray": "bytes", "bytes": "bytes"}
+
+
+def _cell_family(v) -> str:
+    n = type(v).__name__
+    return _CLASS_FAMILIES.get(n, n)
+
+
+def native_class_divergences(s_rows, s_idx, duck_rows, d_idx, cols) -> list[str]:
+    """Columns whose first non-null cell has a DIFFERENT native Python
+    class on the two fetch paths.
+
+    Generalizes the HUGEINT/DECIMAL rules (round 11, VERDICT r10 #2): the
+    external driver hashes cells by native type, so int-vs-Decimal,
+    float-vs-Decimal, or date-vs-datetime diverge even at equal values,
+    while the repr-based comparator can be blind to some of them.
+    """
+    out = []
+    for c in cols:
+        sv = next((r[s_idx[c]] for r in s_rows if r[s_idx[c]] is not None), None)
+        dv = next((r[d_idx[c]] for r in duck_rows if r[d_idx[c]] is not None), None)
+        if sv is None or dv is None:
+            continue
+        if _cell_family(sv) != _cell_family(dv):
+            out.append(
+                f"native cell class diverges in column {c!r}: "
+                f"spark={type(sv).__name__} duck={type(dv).__name__}"
+            )
+    return out
+
+
 def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
     problems: list[str] = []
     s_cols = sorted(spark_df.columns)
@@ -95,6 +128,9 @@ def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
         problems.append(f"rowcount mismatch: spark={len(s_rows)} duck={len(duck_rows)}")
     s_idx = {c: i for i, c in enumerate(spark_df.columns)}
     d_idx = {c: i for i, c in enumerate(duck_cols)}
+    problems.extend(
+        native_class_divergences(s_rows, s_idx, duck_rows, d_idx, s_cols)
+    )
     s_vals = sorted(
         tuple(repr(_norm_cell(r[s_idx[c]])) for c in s_cols) for r in s_rows
     )
