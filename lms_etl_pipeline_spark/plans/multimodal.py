@@ -105,8 +105,8 @@ _PPM_W = 16
 def multimodal_ppm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec certificate (round 11) — the netpbm twin of
     `multimodal_wav_decode_real`: synthesize a genuine binary P6 PPM per
-    document ({_PPM_W} px wide, text bytes as RGB samples zero-padded to
-    the last row), decode it with the pure-byte-arithmetic netpbm path
+    document (16 px wide, text bytes as RGB samples zero-padded to the
+    last row), decode it with the pure-byte-arithmetic netpbm path
     (`operators.multimodal.parse_netpbm`), and emit integer-exact
     per-channel sums DuckDB recomputes straight from the text (byte i
     feeds channel i mod 3; zero padding adds nothing).  A hash-green row

@@ -170,6 +170,74 @@ def test_oracle_match_on_found_seeds(spark, tmp_path_factory, seed, name):
         con.close()
 
 
+#: round-11 trainer-axis standing regression: seed 40 exercises the
+#: quality-rule knife edges / single-class / long-doc generator paths;
+#: these queries consume them most directly (GD trainer pair, BPE, the
+#: label-rule twin, token stats)
+TRAINER_AXIS_QUERIES = [
+    "quality_classifier_train",
+    "quality_classifier_predict",
+    "bpe_train_merges",
+    "doc_quality_filter",
+    "text_token_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz40(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fuzz40"))
+    build(spark, 40, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def duckf40(fuzz40):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fuzz40}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TRAINER_AXIS_QUERIES)
+def test_oracle_match_on_trainer_axis_seed40(spark, fuzz40, duckf40, name):
+    """Round 11: the widened generator's first seed stays a permanent
+    regression for the trainer-aimed axes (full 40-47 band swept clean
+    at round time)."""
+    sdf = QUERIES[name](spark, fuzz40)
+    rel = duckf40.sql(ORACLES[name])
+    problems = compare(
+        name, sdf, rel.limit(MAX_COMPARE_ROWS + 1).fetchall(), list(rel.columns)
+    )
+    assert problems == [], problems
+
+
+def test_trainer_axes_only_from_seed40(spark, tmp_path_factory):
+    """Seeds below 40 must stay byte-identical to their pre-round-11
+    fixtures: the new generator paths draw NOTHING from the RNG stream on
+    the legacy branch.  The md5 below was taken from the seed-39
+    documents table built by the ROUND-10 generator (verified identical
+    to the round-11 rebuild at pin time), so any future edit that
+    perturbs legacy seeds fails here."""
+    import hashlib
+
+    from tools.fuzz_fixture import TRAINER_AXES_FROM_SEED
+
+    assert TRAINER_AXES_FROM_SEED == 40
+    out = str(tmp_path_factory.mktemp("fp39"))
+    build(spark, 39, out)
+    rows = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{out}/documents.parquet").collect()
+    )
+    assert (
+        hashlib.md5(repr(rows).encode()).hexdigest()
+        == "7a8af7727792ef069c0d362c3fb97c3c"
+    )
+
+
 def test_comparator_canonicalizes_signed_zero():
     assert _norm_cell(-0.0) == 0.0
     assert repr(_norm_cell(-0.0)) == "0.0"
