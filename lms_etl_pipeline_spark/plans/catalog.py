@@ -54,11 +54,14 @@ _PRIORITY: tuple[str, ...] = (
     "events_session_window",
     "quality_classifier_train",
     "quality_classifier_predict",
-    # fresh debt: the round-11 real-codec certificates and the exact
-    # radix-selection quantile (all exact oracles)
+    # fresh debt: the round-11 real-codec certificates, the exact
+    # radix-selection quantile, and the DSIR importance-selection pair
+    # (all exact oracles)
     "multimodal_wav_decode_real",
     "multimodal_ppm_decode_real",
     "quantile_exact_selection",
+    "dsir_hashed_ngram_model",
+    "dsir_importance_selection",
     # rows-only debt (first driver window for each)
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
@@ -102,8 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_winnowing",
     "doc_repetition_signals",
     "domain_cap_filter",
-    "etl_dq_violations",
-    "etl_parse_datetime_strict",
 )
 
 

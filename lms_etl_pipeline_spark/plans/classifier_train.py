@@ -45,6 +45,12 @@ all-reduce per iteration, here Spark's partial-agg + single-row exchange).
 K does not grow with data; the driver holds d+1 integers.  The loop frame
 is released (`session.release`) once trained.
 
+Measured (SCALING.md "Round-11 addition"): ~flat across sf0.1→sf1→~sf3→
+~sf10 under both materialize strategies, and persist beats localCheckpoint
+by 18–22% on this plan — the frame is narrow and re-scanned 12 times, so
+the columnar cache amortizes where the wide/scan-few clustering plans pay
+encode cost instead.
+
 Scope note: the reference pipeline (``/root/reference/README.md``,
 pandas/boto3 Lambda ETL) has no model-training stage; this extends the
 engine along the training-data axis the build mandates, over the

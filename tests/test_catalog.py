@@ -61,11 +61,14 @@ def test_first_50_follow_the_rotation_policy():
         "quality_classifier_predict",
     ]
     # fresh debt: round-11 additions, never presented (the real-codec
-    # exact certificates and the radix-selection exact quantile)
+    # exact certificates, the radix-selection exact quantile, and the
+    # DSIR importance-selection pair)
     fresh = [
         "multimodal_wav_decode_real",
         "multimodal_ppm_decode_real",
         "quantile_exact_selection",
+        "dsir_hashed_ngram_model",
+        "dsir_importance_selection",
     ]
     # the ten genuinely non-SQL-expressible queries — rows-only by design,
     # each chained to a named oracle-backed anchor (cert_ledger); this

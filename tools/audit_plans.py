@@ -107,6 +107,8 @@ ALLOW_CROSS: dict[str, int] = {
     "mann_whitney_arms": 4,
     "length_match_resample": 4,
     "quality_ranker_auc": 4,
+    "dsir_hashed_ngram_model": 4,      # 1-row (nt, ns) totals broadcast
+    "dsir_importance_selection": 4,    # same 1-row totals broadcast under lam
 }
 
 # --- Global (unpartitioned) windows: the OTHER classic scale killer. ---
@@ -208,6 +210,10 @@ ALLOW_BROADCAST: dict[str, tuple[str, float]] = {
     # frequency-ranked vocabulary: row_number <= _VOCAB_K = 24 rows by
     # construction; same tiny-fixture-tolerant ratio.
     "tokenize_to_vocab_ids": ("documents", 0.1),
+    # DSIR λ table: <= _DSIR_B = 256 rows by construction (hashed-vocab
+    # model is bucket-bounded, never corpus-bounded); 0.6 x |documents|
+    # covers the 500-doc fixtures while failing any corpus-side broadcast.
+    "dsir_importance_selection": ("documents", 0.6),
 }
 
 
