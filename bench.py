@@ -88,6 +88,11 @@ HEADLINE = (
     # 256-bucket counting passes over a materialized integer column) —
     # the sort-free exact-order-statistics family.
     "quantile_exact_selection",
+    # Round 11: DSIR importance selection — hashed-n-gram model build +
+    # bucket-keyed broadcast scoring + top-k; guards the hashed-feature
+    # explode/count family (two corpus tokenize passes) BENCH was
+    # otherwise blind to.
+    "dsir_importance_selection",
 )
 
 # Sub-second queries sit inside the box's fixed-cost noise floor, where

@@ -75,7 +75,18 @@ BIG3 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf3"
 )
 SF3_COPIES = 30
-SF3_HEAVY = ("q1_pricing_summary", "near_dup_pairs_lsh", "corpus_curation_pipeline")
+SF3_HEAVY = (
+    "q1_pricing_summary",
+    "near_dup_pairs_lsh",
+    "corpus_curation_pipeline",
+    # round 11: the sort-free exact-order-statistics family — its scale
+    # claim (bounded counting passes, no global sort) is slope-checked
+    # on the lineitem copies like the other heavy plans
+    "quantile_exact_selection",
+    # round 11: DSIR importance selection — two corpus tokenize passes,
+    # bucket-bounded model join, TakeOrderedAndProject top-k
+    "dsir_importance_selection",
+)
 
 BIG10 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf10"
