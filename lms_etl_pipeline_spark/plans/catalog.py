@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "quantile_exact_selection",
     "dsir_hashed_ngram_model",
     "dsir_importance_selection",
+    "dup_span_removal",
     # rows-only debt (first driver window for each)
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
@@ -104,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_fingerprint",
     "dedup_winnowing",
     "doc_repetition_signals",
-    "domain_cap_filter",
 )
 
 

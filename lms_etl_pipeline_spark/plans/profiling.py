@@ -318,6 +318,101 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dup_span_removal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, UNNEST(g.i) AS pos,
+             ARRAY_TO_STRING(LIST_SLICE(toks, UNNEST(g.i),
+                                        UNNEST(g.i) + {{n1}}), ' ') AS gram
+      FROM t, LATERAL (SELECT RANGE(1, GREATEST(LEN(toks) - {{n2}}, 1))
+                       AS i) g),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, UNNEST(RANGE(g.pos, g.pos + {{n}})) AS p
+      FROM grams g JOIN dup USING (gram)),
+    cov AS (SELECT doc_id, LIST(p) AS cov FROM covered GROUP BY doc_id),
+    k AS (SELECT t.doc_id, t.toks,
+                 LIST_TRANSFORM(
+                   LIST_FILTER(RANGE(1, LEN(t.toks) + 1),
+                               i -> NOT LIST_CONTAINS(
+                                      COALESCE(c.cov, CAST([] AS BIGINT[])),
+                                      i)),
+                   i -> t.toks[i]) AS kept
+          FROM t LEFT JOIN cov c USING (doc_id))
+    SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_toks,
+           CAST(LEN(kept) AS BIGINT) AS n_kept,
+           -- DuckDB ARRAY_TO_STRING([]) is NULL; Spark array_join([]) is ''
+           COALESCE(ARRAY_TO_STRING(kept, ' '), '') AS cleaned_text
+    FROM k
+    """.format(toks=_TOKS, n=_SPAN_N, n1=_SPAN_N - 1, n2=_SPAN_N - 2),
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of substring-level dedup (Lee et al. 2022): rewrite
+    every document keeping only the token positions NOT covered by an
+    {8}-gram that repeats corpus-wide — ``dup_ngram_spans`` is the signal,
+    this is the transform a pretraining pipeline actually applies.
+
+    Documented divergence from the paper: Lee et al. keep ONE occurrence
+    of each duplicated span (requires a global ordering of occurrences);
+    this removes ALL covered positions — the conservative variant whose
+    output is independent of any occurrence order, hence deterministic
+    under any partitioning.
+
+    Scale: identical dataflow to ``dup_ngram_spans`` (map-only gram
+    projection, term-keyed repeat count, gram-keyed cover-back join — no
+    doc self-join, no suffix array) plus ONE per-doc membership filter:
+    the covered-position set is doc-length-bounded, so the rewrite is
+    O(doc_len^2) worst-case PER DOCUMENT and embarrassingly parallel.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tx.tokens("text").alias("toks"))
+    n = F.size("toks")
+    starts = F.when(
+        n >= _SPAN_N, F.sequence(F.lit(1), n - (_SPAN_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("toks", i, _SPAN_N), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gram")
+    dup = grams.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("cov"))
+    )
+    cov_or_empty = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        "toks", lambda tok, i: ~F.array_contains(cov_or_empty, i + F.lit(1))
+    )
+    return (
+        t.join(cov, "doc_id", "left")
+        .select("doc_id", "toks", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.size("kept").cast("bigint").alias("n_kept"),
+            F.array_join("kept", " ").alias("cleaned_text"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Token-entropy quality filter
 # --------------------------------------------------------------------------

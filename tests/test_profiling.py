@@ -63,8 +63,8 @@ def test_dup_ngram_spans_literal_frame(spark):
     assert abs(out[1].dup_frac - round(8 / 12, 6)) < 1e-9
 
 
-def _dup_spans_on(spark, docs_df):
-    """Run the dup_ngram_spans plan body against a literal documents frame."""
+def _dup_spans_on(spark, docs_df, fn_name="dup_ngram_spans"):
+    """Run a dup-span plan body against a literal documents frame."""
     import lms_etl_pipeline_spark.plans.profiling as P
 
     name = "___dup_span_lit"
@@ -72,9 +72,58 @@ def _dup_spans_on(spark, docs_df):
     orig = P.load_table
     try:
         P.load_table = lambda s, d, t: s.table(name)
-        return P.dup_ngram_spans(spark, "ignored")
+        return getattr(P, fn_name)(spark, "ignored")
     finally:
         P.load_table = orig
+
+
+def test_dup_span_removal_literal_frame(spark):
+    # same fixture as the detector test: removal must excise exactly the
+    # covered positions and leave unique docs byte-identical
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " tail1 x y z"),
+        (2, "head1 " + shared),
+        (3, "q w e r t u i o p"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in _dup_spans_on(spark, df, "dup_span_removal").collect()
+    }
+    assert out[1].cleaned_text == "tail1 x y z" and out[1].n_kept == 4
+    assert out[2].cleaned_text == "head1" and out[2].n_kept == 1
+    assert out[3].cleaned_text == rows[2][1] and out[3].n_kept == 9
+    # a fully-duplicated doc rewrites to the EMPTY string, not null
+    df2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], ["doc_id", "text"]
+    )
+    out2 = {
+        r.doc_id: r
+        for r in _dup_spans_on(spark, df2, "dup_span_removal").collect()
+    }
+    assert out2[1].cleaned_text == "" and out2[1].n_kept == 0
+
+
+def test_dup_span_removal_reconciles_with_detector(spark):
+    """n_kept must equal n_toks - n_dup_pos for EVERY document — the
+    removal and the detector share one definition of 'covered'."""
+    import lms_etl_pipeline_spark.plans.profiling as P
+
+    det = {
+        r.doc_id: r for r in P.dup_ngram_spans(spark, SF_SMOKE).collect()
+    }
+    rem = {
+        r.doc_id: r for r in P.dup_span_removal(spark, SF_SMOKE).collect()
+    }
+    assert det.keys() == rem.keys()
+    for doc_id, d in det.items():
+        r = rem[doc_id]
+        assert r.n_toks == d.n_toks
+        assert r.n_kept == d.n_toks - d.n_dup_pos, doc_id
+        # the rewrite's token count is its own n_kept (join by one space)
+        n_text = len([t for t in r.cleaned_text.split(" ") if t])
+        assert n_text == r.n_kept, doc_id
 
 
 # ------------------------------------------------------------- entropy
