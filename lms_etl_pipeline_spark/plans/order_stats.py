@@ -71,10 +71,14 @@ def quantile_exact_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n = cents.count()
         rows = []
-        for q in _QUANTILES:
-            k = 1 + math.floor(q * (n - 1))
-            c = kth_smallest(cents, "cents", k)
-            rows.append((q, c, c / 100.0))
+        # empty column: no order statistics exist — mirror the oracle's
+        # empty join result instead of asking for the 0-th smallest
+        # (found by the sf0 degenerate sweep, round 11)
+        if n > 0:
+            for q in _QUANTILES:
+                k = 1 + math.floor(q * (n - 1))
+                c = kth_smallest(cents, "cents", k)
+                rows.append((q, c, c / 100.0))
     finally:
         release(cents)
     return spark.createDataFrame(rows, _OUT_SCHEMA)

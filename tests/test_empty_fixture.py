@@ -27,6 +27,9 @@ FIXED_CRASHES = [
     "wilson_conversion_ci",
     "lsh_recall_eval",
     "curated_corpus_partitioned_write",
+    # round 11: kth_smallest(k=0) on an empty column — now returns the
+    # oracle's empty join result instead of raising
+    "quantile_exact_selection",
 ]
 # rows-only queries that crashed (must now return an empty frame)
 FIXED_CRASHES_ROWS_ONLY = ["knn_cosine_ivf", "knn_mllib_brp"]
@@ -38,6 +41,8 @@ FIXED_DIVERGENCES = [
 ]
 # breadth sample: heavy/representative plans that must stay empty-clean
 SAMPLE = [
+    "dsir_importance_selection",
+    "dup_span_removal",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q9_product_profit",
