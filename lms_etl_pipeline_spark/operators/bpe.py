@@ -217,3 +217,49 @@ def learn_merges_local(
         words = new_words
         out.append((it, left, right, pair_count, total))
     return out
+
+
+def encode_dictionary_local(
+    rows: list[tuple[str, int, list[str]]], n_merges: int
+) -> list[tuple[str, list[str]]]:
+    """(word -> final symbol sequence) after ``n_merges`` greedy BPE merges
+    — the driver-local arm of corpus ENCODING (``bpe_encode_corpus``).
+
+    Merge learning and application are the SAME loops as
+    :func:`learn_merges_local` (freq-weighted overlapping pair counts,
+    (count DESC, left ASC, right ASC) tie rule, left-to-right greedy
+    rewrite); this variant keeps word identity so the encoded dictionary
+    can be joined back to the corpus.  Differentially pinned against the
+    distributed ``best_pair``/``apply_merge`` loop in tests/test_bpe.py.
+
+    ``rows``: (word, freq, syms) per distinct word.  Stops early when no
+    adjacent pair remains (single-symbol dictionary).
+    """
+    words: list[tuple[str, int, list[str]]] = [
+        (w, int(f), list(s)) for w, f, s in rows
+    ]
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _, f, syms in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        new_words: list[tuple[str, int, list[str]]] = []
+        for w, f, syms in words:
+            i, acc = 0, []
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    acc.append(merged)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            new_words.append((w, f, acc))
+        words = new_words
+    return [(w, syms) for w, _, syms in words]

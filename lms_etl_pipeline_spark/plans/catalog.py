@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_hashed_ngram_model",
     "dsir_importance_selection",
     "dup_span_removal",
+    "bpe_encode_corpus",
     # rows-only debt (first driver window for each)
     "agg_approx_count_distinct",
     "agg_approx_percentiles",
@@ -104,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "dataset_mix_allocation",
     "dedup_fingerprint",
     "dedup_winnowing",
-    "doc_repetition_signals",
 )
 
 

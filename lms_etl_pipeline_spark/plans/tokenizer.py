@@ -41,7 +41,7 @@ from lms_etl_pipeline_spark.operators import bpe
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import _TOKS
-from lms_etl_pipeline_spark.session import materialize
+from lms_etl_pipeline_spark.session import materialize, release
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 #: merge budget for the deep-training query (driver-local arm: ~ms each;
@@ -181,3 +181,156 @@ def bpe_train_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:  # empty corpus: no pairs to merge anywhere
         return spark.createDataFrame([], _OUT_SCHEMA)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus ENCODING with the learned merges (train -> apply parity)
+# ---------------------------------------------------------------------------
+
+#: merge budget for the encode query (kept small so the oracle's CTE
+#: replay stays cheap; the encode dataflow is identical at any K)
+_ENC_MERGES = 8
+
+
+def _enc_iter_sql(k: int) -> str:
+    """One merge iteration for the ENCODE oracle.  Same formulas as
+    ``_iter_sql`` with two differences: no ``after{k}`` (encoding doesn't
+    report per-iteration counts), and the next dictionary FALLS BACK to
+    the current one when no pair remains (``best{k}`` empty) — training
+    just stops emitting rows there, but encoding must keep the dictionary
+    alive or a degenerate corpus (all single-symbol words) would encode
+    to nothing."""
+    return f"""
+    pairs{k} AS (
+      SELECT freq, syms, UNNEST(RANGE(1, LEN(syms))) AS i FROM d{k}
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i + 1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM pairs{k} GROUP BY 1, 2
+      ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ),
+    pos{k} AS (
+      SELECT d.word, d.freq, b.l, b.r, d.syms,
+             UNNEST(RANGE(1, LEN(d.syms) + 1)) AS j
+      FROM d{k} d CROSS JOIN best{k} b
+    ),
+    occ{k} AS (
+      SELECT word, freq, l, r, j, syms[j] AS sym,
+             COALESCE(syms[j] = l AND LEAD(syms[j]) OVER
+                 (PARTITION BY word ORDER BY j) = r, FALSE) AS occ
+      FROM pos{k}
+    ),
+    st{k} AS (
+      SELECT *, occ AND NOT COALESCE(LAG(occ) OVER
+                 (PARTITION BY word ORDER BY j), FALSE) AS is_start
+      FROM occ{k}
+    ),
+    run{k} AS (
+      SELECT *, MAX(CASE WHEN is_start THEN j END)
+                 OVER (PARTITION BY word ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) AS run_start
+      FROM st{k}
+    ),
+    kept{k} AS (
+      SELECT *, occ AND (j - run_start) % 2 = 0 AS kept
+      FROM run{k}
+    ),
+    cons{k} AS (
+      SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY word ORDER BY j),
+                         FALSE) AS consumed
+      FROM kept{k}
+    ),
+    d{k + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             LIST(CASE WHEN kept THEN l || r ELSE sym END ORDER BY j) AS syms
+      FROM cons{k} WHERE NOT consumed
+      GROUP BY word, freq
+      UNION ALL
+      SELECT word, freq, syms FROM d{k}
+      WHERE NOT EXISTS (SELECT 1 FROM best{k})
+    )"""
+
+
+_ENC_ORACLE = (
+    f"""
+    WITH d1 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             REGEXP_EXTRACT_ALL(word, '(?s).') AS syms
+      FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ),"""
+    + ",".join(_enc_iter_sql(k) for k in range(1, _ENC_MERGES + 1))
+    + f""",
+    toks AS (
+      SELECT doc_id, UNNEST(tk) AS word,
+             UNNEST(RANGE(1, LEN(tk) + 1)) AS pos
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    j AS (SELECT t.doc_id, t.pos, e.syms
+          FROM toks t JOIN d{_ENC_MERGES + 1} e USING (word))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(LEN(syms)) AS BIGINT) AS n_syms,
+           MD5(ARRAY_TO_STRING(FLATTEN(LIST(syms ORDER BY pos)), ' '))
+             AS syms_md5
+    FROM j GROUP BY doc_id
+    """
+)
+
+
+@query("bpe_encode_corpus", oracle=_ENC_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the merges the trainer learns — the apply
+    half of the tokenizer (train -> encode parity, the same pairing as
+    classifier train -> predict).  Output per document: token count,
+    post-merge symbol count, and an md5 fingerprint of the full symbol
+    sequence in token order (pins the exact encoding without emitting
+    megabytes of text).
+
+    Scale: encoding a word depends only on the word, so the K-merge loop
+    runs on the VOCABULARY-BOUNDED dictionary (driver-local under the
+    same machine-checked budget as deep training; fully distributed
+    fallback above it) and the corpus-sized work is one tokenize plus one
+    word-keyed equi-join of the exploded token stream against the encoded
+    dictionary — at 100 TB that join's build side is the vocabulary, not
+    the corpus.  Per-doc reassembly aggregates map-side on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dk = materialize(bpe.word_dictionary(d, tx.tokens("text")))
+    if dk.count() <= bpe.LOCAL_DICT_BUDGET_ROWS:
+        rows = dk.select("word", "freq", "syms").collect()
+        release(dk)
+        enc = bpe.encode_dictionary_local(
+            [(r["word"], r["freq"], r["syms"]) for r in rows], _ENC_MERGES
+        )
+        ed = spark.createDataFrame(enc, "word string, syms array<string>")
+    else:
+        cur = dk
+        for _ in range(_ENC_MERGES):
+            b = materialize(bpe.best_pair(cur))
+            if b.isEmpty():
+                break
+            cur = materialize(bpe.apply_merge(cur, b), cut_lineage=True)
+        ed = cur.select("word", "syms")
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "word")
+    )
+    return (
+        toks.join(ed, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum(F.size("syms")).cast("bigint").alias("n_syms"),
+            F.md5(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                            lambda s: s.syms,
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("syms_md5"),
+        )
+    )

@@ -198,3 +198,54 @@ def test_deep_query_budget_knife_edge(spark, monkeypatch):
     under = sorted(map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect()))
     assert at == under
     assert len(at) == 4
+
+
+def test_encode_query_hybrid_arms_agree(spark, monkeypatch):
+    """bpe_encode_corpus: the driver-local encoder and the distributed
+    merge-loop fallback must produce the identical per-doc encoding
+    fingerprints (the same arm-equivalence pin as deep training)."""
+    from lms_etl_pipeline_spark.plans import tokenizer
+    from tests.conftest import SF_SMOKE
+
+    local = sorted(
+        map(tuple, tokenizer.bpe_encode_corpus(spark, SF_SMOKE).collect())
+    )
+    assert local
+    monkeypatch.setattr(bpe, "LOCAL_DICT_BUDGET_ROWS", 0)
+    dist = sorted(
+        map(tuple, tokenizer.bpe_encode_corpus(spark, SF_SMOKE).collect())
+    )
+    assert local == dist
+
+
+def test_encode_reconciles_with_trained_merges(spark):
+    """Encoding with K merges must (a) cover every tokenized doc, (b)
+    never grow a doc (n_syms <= chars), and (c) compress relative to the
+    raw symbol stream by EXACTLY the trainer's corpus_tokens_after at the
+    same budget — encode and train share one merge semantics."""
+    from lms_etl_pipeline_spark.operators import text as tx
+    from lms_etl_pipeline_spark.plans import tokenizer
+    from lms_etl_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = {r.doc_id: r for r in tokenizer.bpe_encode_corpus(spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents")
+    toked = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(tx.tokens("text")).alias("n")).collect()
+        if r.n > 0
+    }
+    assert out.keys() == toked.keys()
+    for doc_id, r in out.items():
+        assert r.n_toks == toked[doc_id]
+        assert r.n_syms >= r.n_toks  # a token is >= 1 symbol
+        assert len(r.syms_md5) == 32
+    # total symbols after K merges == the trainer's last
+    # corpus_tokens_after at the same K (shared greedy semantics)
+    rows = sorted(
+        map(tuple, tokenizer.bpe_train_merges_deep(spark, SF_SMOKE).collect())
+    )
+    k_enc = tokenizer._ENC_MERGES
+    after_k = [t for t in rows if t[0] == k_enc]
+    assert after_k, "trainer emitted fewer merges than the encode budget"
+    assert sum(r.n_syms for r in out.values()) == after_k[0][4]

@@ -70,6 +70,7 @@ def test_first_50_follow_the_rotation_policy():
         "dsir_hashed_ngram_model",
         "dsir_importance_selection",
         "dup_span_removal",
+        "bpe_encode_corpus",
     ]
     # the ten genuinely non-SQL-expressible queries — rows-only by design,
     # each chained to a named oracle-backed anchor (cert_ledger); this
