@@ -36,5 +36,6 @@ from lms_etl_pipeline_spark.plans import business_analytics  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import order_stats  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import data_selection  # noqa: E402,F401
 from lms_etl_pipeline_spark.plans import pq  # noqa: E402,F401
+from lms_etl_pipeline_spark.plans import diversity  # noqa: E402,F401
 
 __all__ = ["query", "all_queries", "all_oracles"]
