@@ -138,23 +138,61 @@ _ENCODE_ORACLE = f"""
     FROM a1 GROUP BY vec_id
 """
 
-_ADC_ORACLE = f"""
-    WITH{_PQ_PREFIX}{_PQ_ENCODE_CTES},
+def _adc_ctes(nq: int) -> str:
+    """LUT + ADC-distance CTEs for the first ``nq`` vectors as queries."""
+    return f""",
     lut AS (SELECT q.vec_id AS query_id, cb.s, cb.cid,
                    SUM((q.xu - cb.cu) * (q.xu - cb.cu)) AS qd
             FROM x q JOIN cb ON q.s = cb.s AND q.pos = cb.pos
-            WHERE q.vec_id < {_NQ}
+            WHERE q.vec_id < {nq}
             GROUP BY 1, 2, 3),
     adc AS (SELECT l.query_id, a.vec_id,
                    CAST(SUM(l.qd) AS BIGINT) AS adc_d2_u
             FROM a1 a JOIN lut l ON a.s = l.s AND a.cid = l.cid
-            GROUP BY 1, 2)
+            GROUP BY 1, 2)"""
+
+
+_ADC_ORACLE = f"""
+    WITH{_PQ_PREFIX}{_PQ_ENCODE_CTES}{_adc_ctes(_NQ)}
     SELECT query_id, vec_id, adc_d2_u, CAST(rn AS INT) AS rank
     FROM (SELECT query_id, vec_id, adc_d2_u,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY adc_d2_u, vec_id) AS rn
           FROM adc WHERE vec_id <> query_id)
     WHERE rn <= {_TOPK}
+"""
+
+#: recall evaluation: more queries, tighter k (the ann_recall_eval shape)
+_REC_QIDS = 20
+_REC_K = 3
+
+_RECALL_ORACLE = f"""
+    WITH{_PQ_PREFIX}{_PQ_ENCODE_CTES}{_adc_ctes(_REC_QIDS)},
+    approx AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2_u, vec_id) AS rn
+        FROM adc WHERE vec_id <> query_id)
+      WHERE rn <= {_REC_K}),
+    ed AS (SELECT q.vec_id AS query_id, c.vec_id,
+                  CAST(SUM((q.xu - c.xu) * (q.xu - c.xu)) AS BIGINT) AS d2u
+           FROM x q JOIN x c ON q.s = c.s AND q.pos = c.pos
+           WHERE q.vec_id < {_REC_QIDS} AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+    exact AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2u, vec_id) AS rn
+        FROM ed) WHERE rn <= {_REC_K})
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+           CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*)
+               AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
 """
 
 # --------------------------------------------------------------------------
@@ -292,20 +330,12 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_pq_adc", oracle=_ADC_ORACLE)
-def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TOPK} nearest neighbors per query by PQ asymmetric distance:
-    the query keeps its exact micro-unit subvectors, candidates are read
-    ONLY through their codes, and distance = Σ_s LUT[s, code_s] — a
-    Q·M·K-row integer lookup table (here 384 rows) joined broadcast
-    against the code stream.  Integer-exact ⇒ full value oracle, unlike
-    the engine's LSH/IVF rows-only paths; recall vs the exact scan is
-    measured by ``ann_recall_eval``'s discipline (PQ trades recall for a
-    64× smaller candidate side — the 100 TB memory-bandwidth win)."""
-    xs = _subvectors(load_table(spark, sf_dir, "embeddings"))
-    book = _train_book(xs)
+def _adc_distances(xs: DataFrame, book: DataFrame, nq: int) -> DataFrame:
+    """(query_id, vec_id, adc_d2_u): PQ asymmetric distances for the first
+    ``nq`` vectors as queries — the broadcast-LUT scan (module docstring),
+    self-pairs excluded."""
     a1 = _argmin_code(xs, _book_rows_to_arrays(book))
-    q = xs.filter(F.col("vec_id") < _NQ).select(
+    q = xs.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), "s", F.col("xv").alias("qv")
     )
     # LUT = exact subspace distance query↔centroid in array form (join on
@@ -318,22 +348,97 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = q.join(F.broadcast(cbv), "s").select(
         "query_id", "s", "cid", _d2u(F.col("qv"), F.col("cvec")).alias("qd")
     )
-    adc = (
+    return (
         a1.join(F.broadcast(lut), ["s", "cid"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("qd").alias("adc_d2_u"))
         .filter(F.col("vec_id") != F.col("query_id"))
     )
+
+
+def _topk(pairs: DataFrame, dist: str, k: int) -> DataFrame:
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy("adc_d2_u", "vec_id")
+    w = Window.partitionBy("query_id").orderBy(dist, "vec_id")
     return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOPK)
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query("knn_pq_adc", oracle=_ADC_ORACLE)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOPK} nearest neighbors per query by PQ asymmetric distance:
+    the query keeps its exact micro-unit subvectors, candidates are read
+    ONLY through their codes, and distance = Σ_s LUT[s, code_s] — a
+    Q·M·K-row integer lookup table (here 384 rows) joined broadcast
+    against the code stream.  Integer-exact ⇒ full value oracle, unlike
+    the engine's LSH/IVF rows-only paths; recall vs the exact scan is
+    measured by ``ann_recall_eval``'s discipline (PQ trades recall for a
+    64× smaller candidate side — the 100 TB memory-bandwidth win)."""
+    xs = _subvectors(load_table(spark, sf_dir, "embeddings"))
+    adc = _adc_distances(xs, _train_book(xs), _NQ)
+    return _topk(adc, "adc_d2_u", _TOPK).select(
+        "query_id",
+        "vec_id",
+        "adc_d2_u",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query("pq_recall_eval", oracle=_RECALL_ORACLE)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_REC_K} of the PQ ADC scan against the exact
+    micro-unit squared-L2 top-{_REC_K} over {_REC_QIDS} queries — the
+    quality measurement that says whether M=8×K=16 is enough before
+    trusting the 64×-compressed code path on the full corpus (the
+    ``ann_recall_eval`` discipline applied to PQ).  Both sides are
+    integer-exact, so unlike the LSH/IVF recall rows this whole
+    evaluation is value-oracle-backed.
+
+    Scale: the exact side is a {_REC_QIDS}-row broadcast against one
+    linear scan (bounded by |queries|, never corpus×corpus); the ADC side
+    is the same broadcast-LUT join as ``knn_pq_adc``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xs = _subvectors(e)
+    approx = _topk(
+        _adc_distances(xs, _train_book(xs), _REC_QIDS), "adc_d2_u", _REC_K
+    ).select("query_id", "vec_id")
+    # exact side: full micro-unit vectors, query broadcast × linear scan
+    full = e.select("vec_id", _xu(F.col("embedding")).alias("xv"))
+    q = full.filter(F.col("vec_id") < _REC_QIDS).select(
+        F.col("vec_id").alias("query_id"), F.col("xv").alias("qv")
+    )
+    ed = (
+        F.broadcast(q)
+        .crossJoin(full)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", _d2u(F.col("qv"), F.col("xv")).alias("d2u")
+        )
+    )
+    exact = _topk(ed, "d2u", _REC_K).select("query_id", "vec_id")
+    ap = approx.select(
+        F.col("query_id").alias("_aq"), F.col("vec_id").alias("_av")
+    )
+    return (
+        exact.join(
+            ap,
+            (F.col("query_id") == F.col("_aq"))
+            & (F.col("vec_id") == F.col("_av")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum(F.when(F.col("_av").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_found"),
+        )
         .select(
             "query_id",
-            "vec_id",
-            "adc_d2_u",
-            F.col("rank").cast("int").alias("rank"),
+            "n_true",
+            "n_found",
+            (F.col("n_found").cast("double") / F.col("n_true")).alias("recall"),
         )
     )

@@ -153,3 +153,19 @@ def test_encode_is_shuffle_light_and_broadcasts_book(spark):
     plan = pq_encode_codes(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan, "corpus-vs-book join must not SMJ"
+
+
+def test_pq_recall_eval_pinned_baseline(spark):
+    """Recall@3 of the ADC scan vs the exact integer-L2 top-3, measured
+    exactly on the smoke fixture and pinned as integers (the
+    test_recall_floors discipline): random near-orthogonal synthetic
+    embeddings are PQ's worst case, so this is the tuning measurement —
+    any edit to M/K/seeding/refinement moves these totals and fails here."""
+    from lms_etl_pipeline_spark.plans.pq import pq_recall_eval
+
+    rows = pq_recall_eval(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(r.n_true == 3 for r in rows)
+    assert sum(r.n_found for r in rows) == 13
+    for r in rows:
+        assert abs(r.recall - r.n_found / r.n_true) < 1e-12
