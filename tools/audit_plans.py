@@ -61,6 +61,7 @@ ALLOW_CROSS: dict[str, int] = {
     "hybrid_retrieval_rrf": 8,   # 3-row query-set broadcast x linear scan (dense leg)
     "cooccurrence_pmi": 4,       # 1-row corpus-totals broadcast
     "ann_recall_eval": 32,       # 20-row query-set broadcast x linear scan (exact leg)
+    "pq_recall_eval": 32,        # 20-row query-set broadcast x linear scan (exact leg)
     "corpus_datasheet": 4,       # 1-row corpus-totals broadcast
     "semdedup_kmeans": 16,       # k-row centroid broadcast via the kmeans trainer
     "psi_drift_report": 4,       # 1-row population-totals broadcast
