@@ -9,8 +9,12 @@ Each *decode* step ships two paths, per the build contract:
   pure byte arithmetic + numpy — including a real nearest-neighbor image
   resize.  No PIL/librosa needed.  A payload that fails to parse yields a
   NULL-featured row, never a task failure — at 100 TB some payloads WILL
-  be corrupt, and one bad blob must not kill a 1000-executor stage.  The
-  one remaining environment seam is VIDEO decode (needs ffmpeg).
+  be corrupt, and one bad blob must not kill a 1000-executor stage.
+  VIDEO is real too: ``parse_y4m`` decodes uncompressed YUV4MPEG2
+  streams (rational fps, 420/422/444/mono plane layouts) by pure byte
+  arithmetic — no codec seam remains; COMPRESSED codecs (H.264 etc.)
+  would still need ffmpeg, but the container/plane/sampling plumbing is
+  exercised end-to-end on a genuine video format.
 - ``decode=\"fake\"`` (default) derives deterministic pseudo-features from
   the bytes themselves (length, md5, byte-histogram stats).  Deliberately
   SQL-expressible so the whole mapInPandas pipeline — schema handling,
@@ -147,6 +151,119 @@ def encode_ppm(px: np.ndarray) -> bytes:
     """Re-encode an (h, w, 3) uint8 array as a binary P6 PPM payload."""
     h, w, _ = px.shape
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+
+
+#: Chroma-plane size as a fraction of the Y plane, per Y4M colorspace tag.
+#: ``None`` marks a mono stream (no chroma planes).  All 4:2:0 siting
+#: variants (jpeg/mpeg2/paldv) share one plane layout — siting only moves
+#: the *sampling point*, not the bytes.
+_Y4M_CHROMA = {
+    b"420": (2, 2),
+    b"420jpeg": (2, 2),
+    b"420mpeg2": (2, 2),
+    b"420paldv": (2, 2),
+    b"422": (2, 1),
+    b"444": (1, 1),
+    b"mono": None,
+}
+
+
+def parse_y4m(payload: bytes, max_frames: int | None = None):
+    """Decode an uncompressed YUV4MPEG2 (.y4m) video stream by pure byte
+    arithmetic — the real-codec seam-closer for VIDEO (stdlib + numpy; the
+    format mpv/ffmpeg/x264 use for raw interchange, so this is a genuine
+    container parse, not a fake).
+
+    Stream layout (public spec, as implemented by mjpegtools/ffmpeg):
+    ``YUV4MPEG2`` then space-separated tagged params terminated by ``\\n``
+    — ``W<int>`` ``H<int>`` ``F<num>:<den>`` (rational frame rate)
+    ``I<char>`` ``A<num>:<den>`` ``C<colorspace>`` ``X<comment>`` — then
+    per frame a ``FRAME[ params]\\n`` marker followed by raw planar data:
+    Y (w*h bytes) and, except for mono, Cb + Cr at the colorspace's
+    subsampling.
+
+    Returns ``(width, height, fps_num, fps_den, colorspace, frames)``
+    where ``frames`` is a list of ``(y, u, v)`` uint8 arrays — ``y``
+    shaped (h, w), chroma shaped per subsampling, ``None`` for mono — or
+    ``None`` when the payload is not parseable Y4M (magic/params/frame
+    truncation).  ``max_frames`` stops parsing early so sampling a prefix
+    of a long stream never scans the tail.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    w = h = fps_num = fps_den = 0
+    cspace = b"420jpeg"  # spec default when no C tag is present
+    try:
+        for tag in payload[9:nl].split(b" "):
+            if not tag:
+                continue
+            key, val = tag[:1], tag[1:]
+            if key == b"W":
+                w = int(val)
+            elif key == b"H":
+                h = int(val)
+            elif key == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif key == b"C":
+                cspace = val
+            # I (interlacing), A (aspect), X (comment): legal, ignored
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
+        return None
+    sub = _Y4M_CHROMA.get(cspace, -1)
+    if sub == -1:
+        return None
+    if sub is not None and (w % sub[0] or h % sub[1]):
+        return None
+    y_size = w * h
+    c_shape = None if sub is None else (h // sub[1], w // sub[0])
+    c_size = 0 if c_shape is None else c_shape[0] * c_shape[1]
+    frames: list[tuple] = []
+    i = nl + 1
+    while i < len(payload):
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if payload[i : i + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\n", i + 5)
+        if fnl < 0:
+            return None
+        i = fnl + 1
+        if i + y_size + 2 * c_size > len(payload):
+            return None
+        y = np.frombuffer(payload[i : i + y_size], dtype=np.uint8).reshape(h, w)
+        i += y_size
+        u = v = None
+        if c_size:
+            u = np.frombuffer(payload[i : i + c_size], dtype=np.uint8).reshape(c_shape)
+            v = np.frombuffer(
+                payload[i + c_size : i + 2 * c_size], dtype=np.uint8
+            ).reshape(c_shape)
+            i += 2 * c_size
+        frames.append((y, u, v))
+    return w, h, fps_num, fps_den, cspace.decode("ascii"), frames
+
+
+def encode_y4m(
+    frames: list[tuple], width: int, height: int, fps: tuple[int, int] = (30000, 1001)
+) -> bytes:
+    """Re-encode ``(y, u, v)`` planes as a YUV4MPEG2 stream (C420jpeg when
+    chroma planes are present, Cmono otherwise)."""
+    mono = frames and frames[0][1] is None
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        width, height, fps[0], fps[1], b"mono" if mono else b"420jpeg",
+    )
+    parts = [head]
+    for y, u, v in frames:
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(y, dtype=np.uint8).tobytes())
+        if u is not None:
+            parts.append(np.ascontiguousarray(u, dtype=np.uint8).tobytes())
+            parts.append(np.ascontiguousarray(v, dtype=np.uint8).tobytes())
+    return b"".join(parts)
 
 
 def resize_nearest(px: np.ndarray, tw: int, th: int) -> np.ndarray:

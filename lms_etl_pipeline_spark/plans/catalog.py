@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     # (all exact oracles)
     "multimodal_wav_decode_real",
     "multimodal_ppm_decode_real",
+    "multimodal_y4m_frames_real",
     "quantile_exact_selection",
     "dsir_hashed_ngram_model",
     "dsir_importance_selection",
@@ -104,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "curated_corpus_partitioned_write",
     "dataset_mix_allocation",
     "dedup_fingerprint",
-    "dedup_winnowing",
 )
 
 

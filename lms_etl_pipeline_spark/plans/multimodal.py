@@ -217,6 +217,109 @@ def multimodal_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth_and_decode, schema)
 
 
+#: Synth video geometry for the Y4M certificate below: 8x4 luma (32 bytes
+#: per frame), 4:2:0 chroma (4x2 per plane), NTSC rational frame rate.
+_Y4M_W, _Y4M_H = 8, 4
+_Y4M_YBYTES = _Y4M_W * _Y4M_H
+
+
+@query(
+    "multimodal_y4m_frames_real",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id AS id, text, CAST(LENGTH(text) AS BIGINT) AS n
+      FROM documents
+      WHERE LENGTH(text) > 0 AND REGEXP_MATCHES(text, '^[\\x01-\\x7F]*$')
+    ),
+    frames AS (
+      SELECT id, text, n,
+             UNNEST(RANGE(0, (n + {_Y4M_YBYTES - 1}) // {_Y4M_YBYTES})) AS fi
+      FROM docs
+    )
+    SELECT id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST({_Y4M_W} AS INTEGER) AS width,
+           CAST({_Y4M_H} AS INTEGER) AS height,
+           CAST(30000 AS INTEGER) AS fps_num,
+           CAST(1001 AS INTEGER) AS fps_den,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE({_Y4M_YBYTES}),
+                j -> CASE WHEN fi * {_Y4M_YBYTES} + j < n
+                     THEN UNICODE(text[CAST(fi * {_Y4M_YBYTES} + j + 1 AS INTEGER)])
+                     ELSE 0 END)) AS BIGINT) AS y_sum,
+           CAST(2048 AS BIGINT) AS uv_sum
+    FROM frames
+    WHERE fi % 2 = 0 AND fi < 8
+    """,
+)
+def multimodal_y4m_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-codec certificate (round 11) — closes the LAST codec
+    seam: synthesize a genuine YUV4MPEG2 stream per document (8x4 luma
+    C420jpeg at NTSC 30000/1001 fps; each frame's Y plane carries the next
+    32 text bytes zero-padded, chroma planes pinned at 0x80), decode it
+    with the pure-byte-arithmetic Y4M path (`operators.multimodal.
+    parse_y4m` — rational-fps header parse, FRAME-marker walk, planar
+    offset arithmetic), then STRIDED frame sampling (every 2nd frame, max
+    4) — the shape real video frame-sampling has.  DuckDB recomputes the
+    exact per-frame luma sums straight from the text; ``uv_sum`` pins the
+    chroma planes (2*8 samples * 0x80 = 2048) so any off-by-one in the
+    plane offsets bleeds Y bytes into chroma and reddens the row.  ASCII-
+    filtered like the WAV/PPM twins.  Scale shape: one map-only
+    mapInPandas pass, fan-out emitted incrementally per Arrow batch, no
+    shuffle; ``max_frames`` stops the parse before the tail of long
+    streams.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        (F.length("text") > 0) & F.col("text").rlike("^[\\x01-\\x7F]*$")
+    ).select(F.col("doc_id").alias("id"), "text")
+
+    def synth_and_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        uv_shape = (_Y4M_H // 2, _Y4M_W // 2)
+        uv = np.full(uv_shape, 0x80, dtype=np.uint8)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "id": [], "frame_idx": [], "width": [], "height": [],
+                "fps_num": [], "fps_den": [], "y_sum": [], "uv_sum": [],
+            }
+            for vid, text in zip(pdf["id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n_frames = (len(data) + _Y4M_YBYTES - 1) // _Y4M_YBYTES
+                data += b"\x00" * (n_frames * _Y4M_YBYTES - len(data))
+                planes = [
+                    (
+                        np.frombuffer(
+                            data[i * _Y4M_YBYTES : (i + 1) * _Y4M_YBYTES], np.uint8
+                        ).reshape(_Y4M_H, _Y4M_W),
+                        uv,
+                        uv,
+                    )
+                    for i in range(n_frames)
+                ]
+                payload = mm.encode_y4m(planes, _Y4M_W, _Y4M_H)
+                # strided sampling: parse only the prefix we sample from
+                parsed = mm.parse_y4m(payload, max_frames=8)
+                w, h, fn, fd, _, frames = parsed
+                for fi in range(0, len(frames), 2):
+                    y, u, v = frames[fi]
+                    out["id"].append(vid)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["fps_num"].append(fn)
+                    out["fps_den"].append(fd)
+                    out["y_sum"].append(int(y.astype(np.int64).sum()))
+                    out["uv_sum"].append(
+                        int(u.astype(np.int64).sum()) + int(v.astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "id BIGINT, frame_idx INT, width INT, height INT, "
+        "fps_num INT, fps_den INT, y_sum BIGINT, uv_sum BIGINT"
+    )
+    return docs.mapInPandas(synth_and_sample, schema)
+
+
 @query(
     "multimodal_audio_decode",
     oracle="""

@@ -66,6 +66,7 @@ def test_first_50_follow_the_rotation_policy():
     fresh = [
         "multimodal_wav_decode_real",
         "multimodal_ppm_decode_real",
+        "multimodal_y4m_frames_real",
         "quantile_exact_selection",
         "dsir_hashed_ngram_model",
         "dsir_importance_selection",

@@ -199,3 +199,80 @@ def test_map_in_arrow_zero_copy_batch_transform(spark):
 
     out = df.mapInArrow(add_len, "id LONG, payload BINARY, n_bytes INT").collect()
     assert sorted((r.id, r.n_bytes) for r in out) == [(1, 3), (2, 4), (3, 0)]
+
+
+def test_y4m_round_trip_c420_exact():
+    """encode_y4m -> parse_y4m reproduces every plane byte bit-for-bit,
+    and the rational NTSC frame rate survives the header round trip."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = [
+        (
+            rng.integers(0, 256, (4, 8), dtype=np.uint8),
+            rng.integers(0, 256, (2, 4), dtype=np.uint8),
+            rng.integers(0, 256, (2, 4), dtype=np.uint8),
+        )
+        for _ in range(3)
+    ]
+    payload = mm.encode_y4m(frames, 8, 4, fps=(30000, 1001))
+    w, h, fn, fd, cs, got = mm.parse_y4m(payload)
+    assert (w, h, fn, fd, cs) == (8, 4, 30000, 1001, "420jpeg")
+    assert len(got) == 3
+    for (y, u, v), (gy, gu, gv) in zip(frames, got):
+        assert (y == gy).all() and (u == gu).all() and (v == gv).all()
+
+
+def test_y4m_mono_422_444_plane_layouts():
+    """Chroma subsampling arithmetic per colorspace tag: mono has no
+    chroma, 422 halves width only, 444 is full-resolution chroma."""
+    import numpy as np
+
+    y = np.arange(32, dtype=np.uint8).reshape(4, 8)
+    mono = mm.encode_y4m([(y, None, None)], 8, 4)
+    w, h, _, _, cs, frames = mm.parse_y4m(mono)
+    assert cs == "mono" and frames[0][1] is None and (frames[0][0] == y).all()
+
+    for tag, cshape in ((b"422", (4, 4)), (b"444", (4, 8))):
+        c = np.full(cshape, 9, dtype=np.uint8)
+        payload = (
+            b"YUV4MPEG2 W8 H4 F25:1 C" + tag + b"\n"
+            + b"FRAME\n" + y.tobytes() + c.tobytes() + c.tobytes()
+        )
+        _, _, fn, fd, cs, frames = mm.parse_y4m(payload)
+        assert (fn, fd, cs) == (25, 1, tag.decode())
+        assert frames[0][1].shape == cshape and (frames[0][0] == y).all()
+
+
+def test_y4m_rejects_corrupt_and_caps_frames():
+    """Bad magic, truncated frame data, odd 4:2:0 geometry, unknown
+    colorspace, and a stray non-FRAME marker all yield None (never a
+    raise); max_frames stops the parse early on long streams."""
+    import numpy as np
+
+    y = np.zeros((4, 8), dtype=np.uint8)
+    u = np.zeros((2, 4), dtype=np.uint8)
+    good = mm.encode_y4m([(y, u, u)] * 5, 8, 4)
+    assert mm.parse_y4m(b"RIFF" + good[4:]) is None
+    assert mm.parse_y4m(good[:-1]) is None  # truncated last frame
+    assert mm.parse_y4m(b"YUV4MPEG2 W7 H4 F25:1 C420\nFRAME\n" + b"\0" * 50) is None
+    assert mm.parse_y4m(b"YUV4MPEG2 W8 H4 F25:1 Cnv12\nFRAME\n" + b"\0" * 48) is None
+    assert mm.parse_y4m(b"YUV4MPEG2 W8 H4 F25:1\nXRAME\n" + b"\0" * 48) is None
+    assert mm.parse_y4m(b"YUV4MPEG2 W8 H4 F0:1 C420\n") is None
+    capped = mm.parse_y4m(good, max_frames=2)
+    assert len(capped[5]) == 2 and len(mm.parse_y4m(good)[5]) == 5
+
+
+def test_y4m_header_defaults_and_ignored_tags():
+    """No C tag -> 420jpeg default; I/A/X tags are legal and ignored."""
+    import numpy as np
+
+    y = np.full((2, 2), 5, dtype=np.uint8)
+    c = np.full((1, 1), 7, dtype=np.uint8)
+    payload = (
+        b"YUV4MPEG2 W2 H2 F24:1 It A16:9 Xyscss=420\n"
+        + b"FRAME\n" + y.tobytes() + c.tobytes() + c.tobytes()
+    )
+    w, h, fn, fd, cs, frames = mm.parse_y4m(payload)
+    assert (w, h, fn, fd, cs) == (2, 2, 24, 1, "420jpeg")
+    assert frames[0][1][0, 0] == 7
