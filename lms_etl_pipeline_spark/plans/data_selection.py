@@ -46,6 +46,7 @@ from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS
+from lms_etl_pipeline_spark.session import default_parallelism, materialize, release
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 #: hashed-feature buckets — vocabulary-bounded model size (paper uses 10k;
@@ -91,13 +92,23 @@ def _feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, is_t, b): one row per unigram/bigram occurrence, bucketed.
 
     Map-only: tokenize, zip adjacent slices into bigrams (no explode of
-    the token stream before per-doc pairing), explode once, hash.
+    the token stream before per-doc pairing), explode once, hash.  Tokens
+    are materialized behind a ``repartition`` BEFORE the interpreted
+    zip_with/md5 work — a small parquet corpus scans as ONE task, and
+    without the exchange the whole CPU-heavy feature pass runs on a
+    single core (the operators/dedup.py discipline; round 11 perf pass:
+    this was the entire 3.2 s exec of `dsir_importance_selection` at
+    sf0.1, ~4 s single-task -> sub-second across 32).
     """
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        (F.col("lang") == "en").alias("is_t"),
-        tx.tokens("text").alias("tk"),
+    base = (
+        d.select("doc_id", "lang", "text")
+        .repartition(default_parallelism(spark), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            tx.tokens("text").alias("tk"),
+        )
     )
     n = F.size("tk")
     bigr = F.zip_with(
@@ -194,22 +205,42 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, not a global sort.  Only the emitted weight
     is cast back to DOUBLE.
     """
-    model, tot = _model(spark, sf_dir)
+    # ONE pass over the exploded feature stream: the doc x bucket counts
+    # (with the doc-level target flag carried through the grouping) feed
+    # BOTH the model and the per-doc weights.  The two consumers prune
+    # different columns, so Spark's ReusedExchange does NOT fire (verified
+    # on the executed plan) — the frame goes through the deployment-keyed
+    # materialize seam instead, exactly the GD-trainer pattern: extract
+    # once, aggregate the cached narrow frame twice, release.
+    dbc = materialize(
+        _feature_buckets(spark, sf_dir)
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    model = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_target"),
+        F.sum("c").cast("bigint").alias("n_source"),
+    )
+    tot = model.agg(
+        F.sum("n_target").cast("bigint").alias("nt"),
+        F.sum("n_source").cast("bigint").alias("ns"),
+    )
     lam = model.crossJoin(F.broadcast(tot)).select(
         "b", _lambda_col().cast("decimal(11,9)").alias("l")
-    )
-    dbc = (
-        _feature_buckets(spark, sf_dir)
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
     )
     wt = (
         dbc.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(F.sum(F.col("c").cast("decimal(10,0)") * F.col("l")).alias("w"))
     )
-    return (
+    out = (
         wt.orderBy(F.col("w").desc(), "doc_id")
         .limit(_DSIR_TOPK)
         .select("doc_id", F.round(F.col("w").cast("double"), 6).alias("dsir_logweight"))
     )
+    # the top-k is tiny: resolve it while the cache is alive, then free it
+    rows = out.collect()
+    release(dbc)
+    return spark.createDataFrame(rows, out.schema)
