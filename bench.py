@@ -84,15 +84,20 @@ HEADLINE = (
     # over a materialized feature frame + literal-weight re-entry) — the
     # iterative-aggregate plan family BENCH was otherwise blind to.
     "quality_classifier_train",
-    # Round 11: exact radix-selection quantiles (4 quantiles x 8 bounded
-    # 256-bucket counting passes over a materialized integer column) —
-    # the sort-free exact-order-statistics family.
+    # Round 11: exact radix-selection quantiles (ONE batched 16-bit
+    # radix pass family: shared histogram + exact-count-gated direct
+    # resolve over a materialized integer column) — the sort-free
+    # exact-order-statistics family.
     "quantile_exact_selection",
     # Round 11: DSIR importance selection — hashed-n-gram model build +
     # bucket-keyed broadcast scoring + top-k; guards the hashed-feature
-    # explode/count family (two corpus tokenize passes) BENCH was
-    # otherwise blind to.
+    # explode/count family (one materialized corpus tokenize pass) BENCH
+    # was otherwise blind to.
     "dsir_importance_selection",
+    # Round 11: the REAL video-codec certificate (Y4M synth + pure-byte
+    # parse + strided frame sampling in one mapInPandas) — guards the
+    # real-codec mapInPandas family; the WAV/PPM twins share its shape.
+    "multimodal_y4m_frames_real",
 )
 
 # Sub-second queries sit inside the box's fixed-cost noise floor, where

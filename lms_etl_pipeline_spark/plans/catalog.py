@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_wav_decode_real",
     "multimodal_ppm_decode_real",
     "multimodal_y4m_frames_real",
+    "join_bucketed_colocated",
     "quantile_exact_selection",
     "dsir_hashed_ngram_model",
     "dsir_importance_selection",
@@ -104,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "countmin_heavy_hitters",
     "curated_corpus_partitioned_write",
     "dataset_mix_allocation",
-    "dedup_fingerprint",
 )
 
 

@@ -22,6 +22,7 @@ from lms_etl_pipeline_spark.functions.numeric import (
 )
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.relational import _REVENUE_SQL, _rev6
+from lms_etl_pipeline_spark.sources import bucketed
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 # Joins
@@ -920,3 +921,86 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+# Bucketed tables: shuffle-free co-located joins
+# ---------------------------------------------------------------------------
+
+#: bucket count for the co-located join demo — at 100 TB this is sized to
+#: (table bytes / target bucket file size), e.g. ~8192 for a 10 TB fact
+_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(o.o_totalprice), 4) AS DOUBLE) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE-FREE fact-dimension join via Hive-style bucketed tables —
+    the missing member of the join family and the canonical 100 TB
+    co-location technique: ``bucketBy(N, key).sortBy(key)`` at WRITE time
+    pins both tables' layout to the same hash partitioning, so every
+    LATER join on that key is a SortMergeJoin with NO shuffle exchange on
+    either side (pay the shuffle once at ingest, amortize it over every
+    downstream join — the batch analogue of co-partitioned streams).
+
+    The query writes orders + customer bucketed by custkey, re-reads them
+    through the session catalog (bucket metadata lives there, not in the
+    parquet footers), and joins with a ``merge`` hint so the plan cannot
+    fall back to broadcast and silently hide a missing exchange: the
+    executed plan's join subtree is pinned shuffle-free by
+    ``tests/test_sinks.py::test_bucketed_join_has_no_shuffle_exchange``
+    (and the operator itself by ``tests/test_bucketing.py``).  Layout
+    plumbing is ``sources/bucketed.py`` — this query is its
+    oracle-checked catalog surface.
+    Output is the per-nation order rollup, value-checked against DuckDB
+    on the source parquet (the bucketed round trip must not change ONE
+    row).  Buckets are deliberately NOT sorted within files on the read
+    path's sort column alone — SMJ adds in-partition sorts, which never
+    shuffle.
+
+    Scale posture: the write is one hash exchange of each table (the cost
+    any first join would pay anyway); the join reads N co-bucketed file
+    pairs with per-bucket merge — no network movement of either table,
+    skew-immune on the bucket key, and the same table serves every
+    custkey join in the workload.  Table names are content-addressed by
+    sf_dir so fixtures never collide; ``mode("overwrite")`` keeps the
+    round-trip idempotent.
+    """
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    bucketed.write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        t_orders,
+        ["o_custkey"],
+        n_buckets=_BUCKETS,
+        sort_cols=["o_custkey"],
+    )
+    bucketed.write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        t_cust,
+        ["c_custkey"],
+        n_buckets=_BUCKETS,
+        sort_cols=["c_custkey"],
+    )
+    o = bucketed.read_table(spark, t_orders)
+    c = bucketed.read_table(spark, t_cust)
+    return (
+        o.hint("merge")
+        .join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).cast("double").alias("total_spend"),
+        )
+    )

@@ -14,6 +14,9 @@ plain ``parquet(path)`` files carry no bucketing metadata.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -30,7 +33,17 @@ def write_bucketed(
 
     ``sort_cols`` additionally sorts within each bucket file — which lets a
     downstream sort-merge join skip its sort too (read -> merge directly).
+
+    ``mode="overwrite"`` also reclaims an ORPHANED warehouse location: a
+    fresh session's in-memory catalog has no entry for a previous run's
+    managed table, so Spark's own overwrite can't see it and refuses with
+    LOCATION_ALREADY_EXISTS (found round 11 when the bucketed join became
+    a driver-run query — every driver verify is a fresh session).
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

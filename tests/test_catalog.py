@@ -67,6 +67,7 @@ def test_first_50_follow_the_rotation_policy():
         "multimodal_wav_decode_real",
         "multimodal_ppm_decode_real",
         "multimodal_y4m_frames_real",
+        "join_bucketed_colocated",
         "quantile_exact_selection",
         "dsir_hashed_ngram_model",
         "dsir_importance_selection",

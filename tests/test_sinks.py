@@ -165,3 +165,40 @@ class TestPartitionedJdbcRead:
             F2.sum("id").alias("s"),
         ).collect()[0]
         assert (agg.n, agg.d, agg.s) == (1000, 1000, 499500)
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark):
+    """join_bucketed_colocated's plan pin: both sides read from bucketed
+    tables, the forced SortMergeJoin subtree carries NO Exchange node
+    (that is the entire point of paying the bucketBy at write time), and
+    the rollup matches a plain-parquet recompute row-for-row."""
+    from lms_etl_pipeline_spark.plans.relational_joins import (
+        join_bucketed_colocated,
+    )
+    from lms_etl_pipeline_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = join_bucketed_colocated(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    join_subtree = plan[plan.find("SortMergeJoin") :]
+    assert "Exchange" not in join_subtree, (
+        "bucketed join shuffled — co-location broke:\n" + join_subtree
+    )
+    # the bucketed round trip must not change one row vs plain parquet
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    want = {
+        (r.c_nationkey, r.n_orders, r.total_spend)
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).cast("double").alias("total_spend"),
+        )
+        .collect()
+    }
+    got = {(r.c_nationkey, r.n_orders, r.total_spend) for r in df.collect()}
+    assert got == want

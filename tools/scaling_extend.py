@@ -83,7 +83,8 @@ SF3_HEAVY = (
     # claim (bounded counting passes, no global sort) is slope-checked
     # on the lineitem copies like the other heavy plans
     "quantile_exact_selection",
-    # round 11: DSIR importance selection — two corpus tokenize passes,
+    # round 11: DSIR importance selection — ONE corpus tokenize pass
+    # (materialized doc x bucket counts feed model + weights),
     # bucket-bounded model join, TakeOrderedAndProject top-k
     "dsir_importance_selection",
 )
