@@ -374,6 +374,15 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SYM_MIN_LEN = 4  # skip ultra-short tokens (1-deletes collide trivially)
+#: a pair is a correction SUGGESTION only when one side dominates the other
+#: in frequency (classic SymSpell practice) — and the gate is also what
+#: keeps the OUTPUT bounded: fuzz seed 43's adversarial vocabulary (10k
+#: dense `w####` tokens, all frequency ~1) has >2M genuine distance-1
+#: pairs, so an ungated pair set is quadratic in the worst case even
+#: though candidate GENERATION stays equi-join-shaped.  Requiring a 4x
+#: frequency margin collapses uniform-frequency vocab to ~nothing while
+#: keeping every real typo (rare misspelling of a frequent word).
+_SYM_FREQ_RATIO = 4
 
 
 @query(
@@ -393,13 +402,19 @@ _SYM_MIN_LEN = 4  # skip ultra-short tokens (1-deletes collide trivially)
       SELECT tok, freq, variant AS k FROM dels
       UNION ALL SELECT tok, freq, tok FROM vocab),
     cands AS (
-      SELECT DISTINCT l.tok AS a, r.tok AS b,
-             ANY_VALUE(l.freq) AS freq_a, ANY_VALUE(r.freq) AS freq_b
-      FROM keys l JOIN keys r ON l.k = r.k AND l.tok < r.tok
-      GROUP BY l.tok, r.tok)
+      SELECT LEAST(l.tok, r.tok) AS a, GREATEST(l.tok, r.tok) AS b,
+             ANY_VALUE(CASE WHEN l.tok < r.tok THEN l.freq ELSE r.freq END)
+               AS freq_a,
+             ANY_VALUE(CASE WHEN l.tok < r.tok THEN r.freq ELSE l.freq END)
+               AS freq_b
+      FROM keys l JOIN keys r ON l.k = r.k AND l.tok <> r.tok
+      WHERE l.freq >= {_SYM_FREQ_RATIO}
+      GROUP BY 1, 2)
     SELECT a, b, CAST(freq_a AS BIGINT) AS freq_a,
            CAST(freq_b AS BIGINT) AS freq_b
-    FROM cands WHERE LEVENSHTEIN(a, b) = 1
+    FROM cands
+    WHERE LEVENSHTEIN(a, b) = 1
+      AND GREATEST(freq_a, freq_b) >= {_SYM_FREQ_RATIO} * LEAST(freq_a, freq_b)
     """,
 )
 def spelling_variants_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,13 +424,21 @@ def spelling_variants_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     are candidates, and a Levenshtein check confirms — the vocab-
     normalization / typo-mining pass that runs over a crawl before
     frequency thresholds (a rare token one edit from a frequent one is a
-    typo; the freq columns give the correction direction).
+    typo; the freq columns give the correction direction — enforced as a
+    4x dominance gate, which is also the output bound:
+    see _SYM_FREQ_RATIO and the seed-43 pin in tests/test_fuzz_fixture).
 
     Scale: candidate generation is an EQUI-join on the deletion key —
     never all-pairs over the vocabulary (the SymSpell insight: distance-1
     pairs must share a deletion key, so recall is lossless); the key fan
     is Σ token-length per DISTINCT token, corpus-size-independent once
-    the vocab aggregate collapses.  Levenshtein runs on candidates only.
+    the vocab aggregate collapses.  The deletes index is built over the
+    DICTIONARY side only (freq >= ratio, real SymSpell's asymmetry) —
+    lossless under the dominance gate, and it bounds the join output by
+    |dictionary| x neighborhood even on adversarial vocab where the raw
+    distance-1 pair set is quadratic (fuzz seed 43: 10k dense `w####`
+    singletons, >2M raw pairs -> 0 suggestions, seconds not minutes).
+    Levenshtein runs on candidates only.
     """
     d = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -440,22 +463,44 @@ def spelling_variants_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = dels.unionByName(
         vocab.select("tok", "freq", F.col("tok").alias("k"))
     )
-    l = keys.select(F.col("tok").alias("a"), F.col("freq").alias("freq_a"), "k")
-    r = keys.select(F.col("tok").alias("b"), F.col("freq").alias("freq_b"), "k")
+    # the deletes INDEX is built over the DICTIONARY side only (freq >=
+    # ratio) — real SymSpell's shape, and the asymmetry is what bounds the
+    # join on adversarial uniform-frequency vocab: the dominance gate
+    # below needs max(freq) >= ratio * min(freq) with min >= 1, so a pair
+    # with NO side at freq >= ratio can never survive — pre-filtering the
+    # index side is lossless
+    l = keys.filter(F.col("freq") >= _SYM_FREQ_RATIO).select(
+        F.col("tok").alias("lt"), F.col("freq").alias("lf"), "k"
+    )
+    r = keys.select(F.col("tok").alias("rt"), F.col("freq").alias("rf"), "k")
+    a_first = F.col("lt") < F.col("rt")
     cands = (
         l.join(r, "k")
-        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("lt") != F.col("rt"))
+        .select(
+            F.least("lt", "rt").alias("a"),
+            F.greatest("lt", "rt").alias("b"),
+            F.when(a_first, F.col("lf")).otherwise(F.col("rf")).alias("fa"),
+            F.when(a_first, F.col("rf")).otherwise(F.col("lf")).alias("fb"),
+        )
         .groupBy("a", "b")
         .agg(
-            F.any_value("freq_a").alias("freq_a"),
-            F.any_value("freq_b").alias("freq_b"),
+            F.any_value("fa").alias("freq_a"),
+            F.any_value("fb").alias("freq_b"),
         )
     )
-    return cands.filter(F.levenshtein("a", "b") == 1).select(
-        "a",
-        "b",
-        F.col("freq_a").cast("bigint").alias("freq_a"),
-        F.col("freq_b").cast("bigint").alias("freq_b"),
+    return (
+        cands.filter(F.levenshtein("a", "b") == 1)
+        .filter(
+            F.greatest("freq_a", "freq_b")
+            >= _SYM_FREQ_RATIO * F.least("freq_a", "freq_b")
+        )
+        .select(
+            "a",
+            "b",
+            F.col("freq_a").cast("bigint").alias("freq_a"),
+            F.col("freq_b").cast("bigint").alias("freq_b"),
+        )
     )
 
 

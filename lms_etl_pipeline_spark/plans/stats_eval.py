@@ -46,8 +46,13 @@ _LLR_MIN_PAIR = 8
                     i -> ARRAY_TO_STRING(LIST_SLICE(t, i, i + 1), ' ')))
                AS bigram
       FROM toks),
-    pc AS (SELECT bigram, COUNT(*) AS k11 FROM bg GROUP BY 1),
-    parts AS (
+    pc AS MATERIALIZED (SELECT bigram, COUNT(*) AS k11 FROM bg GROUP BY 1),
+    parts AS MATERIALIZED (
+      -- MATERIALIZED (round 11, fuzz seed 43): parts is referenced by r,
+      -- c, AND the cells join; DuckDB's default CTE inlining re-expands
+      -- the whole tokenize/UNNEST pipeline per reference and the join
+      -- over the inlined trees went pathological on a 112k-unique-bigram
+      -- fixture (>550 s -> 2 s materialized; values identical)
       SELECT bigram, k11,
              SPLIT_PART(bigram, ' ', 1) AS w1,
              SUBSTRING(bigram, LENGTH(SPLIT_PART(bigram, ' ', 1)) + 2) AS w2

@@ -36,6 +36,15 @@ BIGINT) rounds where Spark's unix_timestamp floors; oracle now floors in
 integer EPOCH_US), seed 23's round-tie recurrence in the attribution
 credit (the raw IEEE quotient is emitted), and seed 37's float32->decimal
 cast divergence (EIGHTH class, see FIXED_BY_SEED).
+
+Round 11 aimed the generator at the new trainers (seeds >=40: quality-gate
+knife-edge documents, dense `w####` vocabularies, dictionary-budget
+boundaries); seeds 40-42 swept clean, seed 43 found a NINTH class — the
+first OUTPUT-VOLUME defect (SymSpell's ungated distance-1 pair set is
+quadratic on dense singleton vocab: >2M agreed rows breached the
+comparator bound and spilled DuckDB to disk exhaustion, which also took
+down the unrelated llr_collocations run sharing the device).  Fixed with
+the index-side frequency-dominance gate; pinned in FIXED_BY_SEED.
 """
 
 from __future__ import annotations
@@ -97,6 +106,21 @@ FIXED_BY_SEED = {
     # quantizing the centroid mean in exact integer arithmetic; dist is
     # now emitted as the raw bit-identical squared-L2 fold.
     37: ["kmeans_lloyd"],
+    # seed 43: a NINTH class — OUTPUT-VOLUME blow-up, not a value
+    # divergence: the trainer axis's dense `w####` singleton vocabulary
+    # has >2M genuine distance-1 pairs, so the ungated SymSpell pair set
+    # (both engines AGREED on it) breached the comparator bound and
+    # spilled DuckDB to disk exhaustion.  Fixed by the frequency-dominance
+    # gate symspell practice already implies (typo = rare token 4x-
+    # dominated by a frequent one) applied as an INDEX-SIDE pre-filter
+    # (deletes index over the dictionary side only) — lossless under the
+    # gate, bounds the join by |dictionary| x neighborhood.  The same
+    # seed exposed the ORACLE-side twin of the class in llr_collocations:
+    # DuckDB's default CTE inlining re-expands the tokenize pipeline per
+    # reference and its join over the inlined trees went pathological on
+    # the 112k-unique-bigram fixture (>550 s); pc/parts are now
+    # MATERIALIZED (2 s, values identical).
+    43: ["spelling_variants_symspell", "llr_collocations"],
 }
 
 

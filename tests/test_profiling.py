@@ -700,10 +700,16 @@ def test_weighted_median_reduces_to_plain_with_unit_weights(spark):
 
 
 def test_symspell_finds_planted_typo_and_only_distance_one(spark):
+    """A rare typo of a FREQUENT word is suggested; an equal-frequency
+    distance-1 pair is NOT (the round-11 dominance gate — typo mining,
+    not exhaustive pair enumeration; also the output bound on adversarial
+    vocab, see fuzz seed 43)."""
     rows = [
         (1, "transformer architecture models attention"),
-        (2, "transformes architecture attention"),   # typo of transformer
-        (3, "completely different words here"),
+        (2, "transformer attention transformer heads"),
+        (3, "transformer transformer layers"),        # freq('transformer')=6
+        (4, "transformes architecture attention"),    # typo, freq 1
+        (5, "spark sparc once each"),                 # d1 pair, ratio 1 -> gated
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     import lms_etl_pipeline_spark.plans.profiling_quality as P
@@ -716,15 +722,12 @@ def test_symspell_finds_planted_typo_and_only_distance_one(spark):
     finally:
         P.load_table = orig
     pairs = {(r.a, r.b) for r in out}
-    assert ("transformer", "transformes") in pairs or (
-        "transformes",
-        "transformer",
-    ) in pairs
-    # verify every emitted pair really is edit distance 1
-    import difflib
-
+    assert ("transformer", "transformes") in pairs
+    assert ("sparc", "spark") not in pairs  # no frequency dominance
     for r in out:
+        # every emitted pair is edit distance 1 with a 4x-dominant side
         assert abs(len(r.a) - len(r.b)) <= 1
+        assert max(r.freq_a, r.freq_b) >= 4 * min(r.freq_a, r.freq_b)
 
 
 # ------------------------------------------------------ threshold sweep
