@@ -226,7 +226,13 @@ def parse_y4m(payload: bytes, max_frames: int | None = None):
     while i < len(payload):
         if max_frames is not None and len(frames) >= max_frames:
             break
-        if payload[i : i + 5] != b"FRAME":
+        # spec: frame params (if any) are space-prefixed — 'FRAME' must be
+        # followed by '\n' or ' ', else a corrupt marker (b"FRAMExyz\n")
+        # would silently parse as a frame header (round-12 advisory)
+        if payload[i : i + 5] != b"FRAME" or payload[i + 5 : i + 6] not in (
+            b"\n",
+            b" ",
+        ):
             return None
         fnl = payload.find(b"\n", i + 5)
         if fnl < 0:

@@ -26,85 +26,83 @@ _ORACLES: dict[str, str] = {}
 # ETL parity, sources, scalar).  Everything not listed follows in
 # registration order, so the full catalog is still exposed.
 _PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation — RE-CERT ECONOMY (policy recorded in round 8):
+    # Round-12 rotation — RE-CERT ECONOMY (policy recorded in round 8):
     # slots after the two smoke anchors go to
-    #   (1) CHANGED since last driver row: quality_classifier_train (the
-    #       r10 red row — loss output re-emitted as two BIGINT limbs, no
-    #       decimal-class column; MUST be re-presented) and
-    #       quality_classifier_predict (now scores a freshly derived
-    #       feature plan instead of pinning the training cache);
-    #   (2) ROWS-ONLY DEBT (VERDICT r10 next-round #5): the ten genuinely
-    #       non-SQL-expressible queries have never had a green driver row
-    #       (two err'd no_oracle in r02, none re-presented since) — the
-    #       driver's rows-only check is free validation of their anchor
-    #       chains, so all ten get their first window this round,
-    #       name-ordered;
-    #   (3) LONGEST-STALE certificates from the r1-r10 artifacts, oldest
+    #   (1) NEVER-CERTIFIED DEBT first (VERDICT r11 next-round #1): the
+    #       five round-11 additions that have never appeared in a driver
+    #       window — the PQ family (pq_codebook_train / pq_encode_codes /
+    #       knn_pq_adc / pq_recall_eval) and mmr_diverse_selection — all
+    #       locally exact at sf0.01, leading the window ahead of any
+    #       re-cert so cert_ledger's never-certified debt returns to 0;
+    #   (2) CHANGED since last driver row: scalar_date_funcs (oracle
+    #       rewritten to a sign-split integer floor — domain-independent
+    #       pre-epoch semantics, VERDICT r11 "what's wrong" #2),
+    #       multimodal_y4m_frames_real (parse_y4m now requires the
+    #       spec-mandated space/newline after the FRAME magic — r12
+    #       advisory), and join_bucketed_colocated (the orphan-warehouse
+    #       reclaim is now scheme- and content-guarded — r12 advisory);
+    #   (3) LONGEST-STALE certificates from the r1-r11 artifacts, oldest
     #       last-green round first, name-ordered within a round so the
-    #       selection is reproducible from the artifacts alone.
+    #       selection is reproducible from the artifacts alone.  The ten
+    #       rows-only-by-design queries all got their first driver window
+    #       (and green rows) in r11, so none re-enters this round — every
+    #       r12 slot is exact-oracle-backed.
     # Invariants (unchanged since r5): the two smoke anchors stay
     # in-window every round; rotated-out queries remain covered by the
     # full-catalog local gate (tools/check_oracle.py) which the driver
-    # check is a same-engine, same-fixture subset of; every windowed query
-    # is exact-oracle-backed EXCEPT the ten explicitly-named rows-only
-    # entries (each chained to a named driver-green exact anchor in
-    # tools/cert_ledger.py).  tests/test_catalog.py re-derives this window
-    # from the policy and the r1-r10 artifacts, so drift fails CI.
+    # check is a same-engine, same-fixture subset of.
+    # tests/test_catalog.py re-derives this window from the policy and
+    # the r1-r11 artifacts, so drift fails CI.
     "flagship_regional_revenue",
     "events_session_window",
-    "quality_classifier_train",
-    "quality_classifier_predict",
-    # fresh debt: the round-11 real-codec certificates, the exact
-    # radix-selection quantile, and the DSIR importance-selection pair
-    # (all exact oracles)
-    "multimodal_wav_decode_real",
-    "multimodal_ppm_decode_real",
+    "pq_codebook_train",
+    "pq_encode_codes",
+    "knn_pq_adc",
+    "pq_recall_eval",
+    "mmr_diverse_selection",
+    "scalar_date_funcs",
     "multimodal_y4m_frames_real",
     "join_bucketed_colocated",
-    "quantile_exact_selection",
-    "dsir_hashed_ngram_model",
-    "dsir_importance_selection",
-    "dup_span_removal",
-    "bpe_encode_corpus",
-    # rows-only debt (first driver window for each)
-    "agg_approx_count_distinct",
-    "agg_approx_percentiles",
-    "dedup_simhash",
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "knn_mllib_brp",
-    "near_dup_pairs_mllib",
-    "sample_fraction",
-    "sample_stratified_by_priority",
-    "sketch_hll_partial_merge",
-    # longest-stale re-certs (mechanical derivation)
-    "lang_id_confusion",
-    "lateral_topk",
-    "multimodal_image_decode",
-    "multimodal_join_features",
-    "orc_roundtrip_orders",
-    "pandas_udaf_geomean",
-    "quality_ranker_auc",
-    "range_join_binned",
-    "scalar_json_funcs",
-    "semdedup_embedding",
-    "semdedup_kmeans",
-    "set_except",
-    "split_leakage_safe",
-    "timeseries_interpolate_linear",
-    "tokenize_to_vocab_ids",
-    "weighted_sample_es",
-    "window_time_rolling",
-    "window_topk_per_group",
-    "agg_incremental_merge",
-    "ann_recall_eval",
-    "bpe_pair_merges",
-    "cogroup_pandas_asof",
-    "corpus_datasheet",
-    "corpus_pack_sequences",
-    "countmin_heavy_hitters",
-    "curated_corpus_partitioned_write",
-    "dataset_mix_allocation",
+    "dedup_fingerprint",
+    "dedup_winnowing",
+    "doc_repetition_signals",
+    "domain_cap_filter",
+    "etl_dq_violations",
+    "etl_parse_datetime_strict",
+    "event_type_itemsets",
+    "events_sessionize_gap",
+    "funnel_conversion",
+    "intra_doc_dedup",
+    "mixture_temperature_weights",
+    "multimodal_audio_decode",
+    "packing_efficiency",
+    "prefix_dup_candidates",
+    "psi_drift_report",
+    "q11_important_values",
+    "q13_customer_distribution",
+    "q22_dormant_balances",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "retention_cohorts",
+    "sample_stable_per_group",
+    "scalar_higher_order_funcs",
+    "scalar_map_funcs",
+    "scd2_history_build",
+    "score_calibration_bins",
+    "source_reputation",
+    "text_redact_pii",
+    "token_count_bpe",
+    "triangle_count_cooccur",
+    "variant_semi_structured",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_running_sum",
+    "winsorize_event_values",
+    "ab_quantile_treatment_effect",
+    "ab_sample_size_planning",
+    "acf_lags",
+    "activity_streaks",
+    "anova_f_event_types",
 )
 
 

@@ -204,6 +204,13 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across partitionings); the top-k is a
     TakeOrderedAndProject, not a global sort.  Only the emitted weight
     is cast back to DOUBLE.
+
+    NOTE (round-12 advisory): this builder executes EAGERLY — the top-k
+    is resolved inside (bounded ``collect``, {64} rows) so the shared
+    feature cache can be released before returning, matching
+    ``quantile_exact_selection``'s cache-lifetime pattern.  Explain-only
+    callers pay the corpus scan at construction time; the returned frame
+    is a local relation.
     """
     # ONE pass over the exploded feature stream: the doc x bucket counts
     # (with the doc-level target flag carried through the grouping) feed

@@ -14,6 +14,7 @@ plain ``parquet(path)`` files carry no bucketing metadata.
 
 from __future__ import annotations
 
+import os
 import shutil
 from urllib.parse import urlparse
 
@@ -39,11 +40,30 @@ def write_bucketed(
     managed table, so Spark's own overwrite can't see it and refuses with
     LOCATION_ALREADY_EXISTS (found round 11 when the bucketed join became
     a driver-run query — every driver verify is a fresh session).
+
+    Reclaim guards (round-12 advisory): only a LOCAL warehouse
+    (``file:`` / schemeless) is reclaimed — for hdfs:/s3a: warehouses the
+    local path would name a different filesystem entirely, so those
+    surface Spark's LOCATION_ALREADY_EXISTS instead of a silent wrong-disk
+    rmtree — and only a directory that LOOKS like a previous run's managed
+    parquet table (contains ``_SUCCESS`` or ``*.parquet``) is deleted, so
+    an unrelated same-named directory (or a concurrent writer's partial
+    output, which has neither marker yet... see note) is left for Spark to
+    refuse loudly.  Concurrency note: two sessions bucketing the SAME
+    table name concurrently are still last-writer-wins, exactly as with
+    Spark's own ``overwrite`` — callers key table names by content
+    (``_table_name`` in plans/relational_joins.py) to avoid sharing.
     """
     spark = df.sparkSession
     if mode == "overwrite" and not spark.catalog.tableExists(table):
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+        uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if uri.scheme in ("", "file"):
+            loc = os.path.join(uri.path, table)
+            if os.path.isdir(loc) and (
+                os.path.exists(os.path.join(loc, "_SUCCESS"))
+                or any(n.endswith(".parquet") for n in os.listdir(loc))
+            ):
+                shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

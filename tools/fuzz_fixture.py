@@ -155,6 +155,25 @@ _WIDE_VOCAB = [
 #: byte-identical to the seeds that pin earlier defect classes
 TRAINER_AXES_FROM_SEED = 40
 
+#: seeds >= this additionally draw PRE-EPOCH timestamps (round 12, VERDICT
+#: r11 "what's wrong" #2): DuckDB's ``//`` truncates toward zero while
+#: Spark's ``unix_timestamp`` floors, so every second-resolution epoch
+#: conversion diverges by 1s for any instant before 1970 unless the oracle
+#: uses a sign-safe integer floor.  The axis crosses the epoch from both
+#: sides at microsecond resolution.
+PRE_EPOCH_AXES_FROM_SEED = 45
+
+_PRE_EPOCH_TS = [
+    datetime(1969, 12, 31, 23, 59, 59, 999999),  # epoch minus 1 us
+    datetime(1969, 12, 31, 23, 59, 59),          # epoch minus 1 s exactly
+    datetime(1970, 1, 1, 0, 0, 0),               # the epoch itself
+    datetime(1970, 1, 1, 0, 0, 0, 1),            # epoch plus 1 us
+    datetime(1969, 12, 31, 18, 30),              # pre-epoch offset-midnight
+    datetime(1969, 7, 20, 20, 17, 40),           # deep pre-epoch, odd seconds
+    datetime(1950, 6, 15, 12, 34, 56, 789999),   # sub-second knife, far past
+    datetime(1900, 1, 1, 0, 0, 0),               # century boundary
+]
+
 #: the engine's English stoplist intersection used by the quality label
 #: (plans/classifier_train._STOPLIST_SQL — keep in sync)
 _STOP_TOKENS = ["the", "a", "an", "and", "of", "to", "in", "is", "on"]
@@ -202,7 +221,9 @@ def _rate(rng: random.Random, hi_bp: int = 1000) -> float:
     return min(bp, hi_bp) / 10000.0
 
 
-def _ts(rng: random.Random, wide: bool = False) -> datetime:
+def _ts(rng: random.Random, wide: bool = False, pre_epoch: bool = False) -> datetime:
+    if pre_epoch and rng.random() < 0.10:
+        return rng.choice(_PRE_EPOCH_TS)
     if wide and rng.random() < 0.15:
         return rng.choice(_WIDE_TS)
     if rng.random() < 0.35:
@@ -238,6 +259,7 @@ def _vec(rng: random.Random, pool: list[list[float]]) -> list[float]:
 def build(spark, seed: int, out_dir: str) -> str:
     rng = random.Random(seed)
     wide = seed >= WIDE_AXES_FROM_SEED
+    pre = seed >= PRE_EPOCH_AXES_FROM_SEED
     os.makedirs(out_dir, exist_ok=True)
 
     regions = [(i, n) for i, n in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
@@ -281,7 +303,7 @@ def build(spark, seed: int, out_dir: str) -> str:
     for i in range(SIZES["orders"]):
         cust = hot_cust if rng.random() < 0.2 else rng.randrange(SIZES["customer"] + 10)  # +10: orphans
         price = rng.choice([399999.99, 400000.00, 400000.01, _money(rng, 900, 450000)])
-        orders.append((i, cust, rng.choice("FOP"), price, _ts(rng, wide), rng.choice(prios)))
+        orders.append((i, cust, rng.choice("FOP"), price, _ts(rng, wide, pre), rng.choice(prios)))
     spark.createDataFrame(orders, "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
     hot_part, hot_supp = rng.randrange(SIZES["part"]), rng.randrange(SIZES["supplier"])
@@ -299,7 +321,7 @@ def build(spark, seed: int, out_dir: str) -> str:
             _rate(rng, 800),
             rng.choice("ANR"),
             rng.choice("FO"),
-            _ts(rng, wide),
+            _ts(rng, wide, pre),
         ))
     spark.createDataFrame(lineitems, "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP").coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
@@ -307,7 +329,7 @@ def build(spark, seed: int, out_dir: str) -> str:
     hot_user = rng.randrange(60)
     events = []
     for i in range(SIZES["events"]):
-        ts = _ts(rng, wide)
+        ts = _ts(rng, wide, pre)
         if rng.random() < 0.25:
             ts = ts.replace(minute=0, second=0)  # heavy duplicate instants
         events.append((
