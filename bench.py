@@ -106,6 +106,41 @@ HEADLINE = (
 # they get at least this many reps so min + spread are meaningful.
 SUBSEC_MIN_REPS = 5
 
+# Contention detection (round 12, VERDICT r11 next-round #4): the official
+# r11 record shipped a non-reproducing 2x outlier (corpus_curation 7.27 s vs
+# 3.3-3.7 s on three other same-plan measurements) because the end-of-round
+# box was busy.  Two independent signals now guard the record:
+#   1. a fixed CALIBRATION probe — a pure-JVM hash-reduce over range() with
+#      no I/O and a frozen plan — whose min-of-3 is a box-speed sample;
+#      compared against the baseline record's probe, a ratio above
+#      CONTENTION_CAL_RATIO means this box is measurably slower than the
+#      one the baseline was recorded on;
+#   2. sum of cross-rep spreads relative to the headline total — a
+#      contended box can't reproduce its own timings rep-to-rep.
+# Either signal trips `contended`; the record is then labeled
+# confidence=low after ONE bounded re-rep pass of the worst offenders
+# (largest spread/min), so a transient spike gets a second chance before
+# the round is baselined on noise.
+CONTENTION_CAL_RATIO = 1.30
+CONTENTION_SPREAD_FRAC = 0.25
+CONTENTION_REREP_MAX = 5
+
+
+def calibration_probe(spark, reps: int = 3) -> float:
+    """Min-of-``reps`` wall time of a fixed pure-compute job (xxhash64
+    reduce over 200M range rows on 32 partitions): no parquet, no Python
+    workers, no shuffle — the timing moves only with available CPU."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.bit_xor("h")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
 
 def sink_of(df):
     """Wrap a result in a full-column hash-sum sink DataFrame (unevaluated),
@@ -156,6 +191,9 @@ def main() -> int:
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup.
     force_eval(qs["flagship_regional_revenue"](spark, sf_dir))
+
+    # Box-speed sample BEFORE the headline loop (see calibration_probe).
+    calibration_sec = calibration_probe(spark)
 
     # Spark job durations let us split each end-to-end rep into time INSIDE
     # jobs (task scheduling + executor work — what scales with data) and
@@ -245,6 +283,7 @@ def main() -> int:
     prev_hashes: dict[str, str] = {}
     prev_timings: dict[str, float] = {}
     prev_spreads: dict[str, float] = {}
+    prev_calibration: float | None = None
     baseline_file: str | None = None
     for _rnd, _pri, f in sorted(candidates, reverse=True):
         try:
@@ -260,7 +299,42 @@ def main() -> int:
             prev_hashes, baseline_file = hashes, f
             prev_timings = doc.get("queries") or {}
             prev_spreads = doc.get("spread") or {}
+            prev_calibration = doc.get("calibration_sec")
             break
+    # --- contention check (round 12): re-rep the worst offenders once if
+    # either signal trips, then label the whole record's confidence so the
+    # next round's delta_significant isn't baselined on a noisy run.
+    def _signals() -> dict[str, bool]:
+        total_now = sum(timings.values())
+        return {
+            "calibration_slow": (
+                prev_calibration is not None
+                and calibration_sec > CONTENTION_CAL_RATIO * prev_calibration
+            ),
+            "spread_high": (
+                total_now > 0
+                and sum(spreads.values()) > CONTENTION_SPREAD_FRAC * total_now
+            ),
+        }
+
+    signals = _signals()
+    if any(signals.values()):
+        worst = sorted(
+            (n for n in timings if timings[n] > 0),
+            key=lambda n: spreads[n] / timings[n],
+            reverse=True,
+        )[:CONTENTION_REREP_MAX]
+        for name in worst:
+            t0 = time.perf_counter()
+            force_eval(qs[name](spark, sf_dir))
+            t = time.perf_counter() - t0
+            if t < timings[name]:
+                spreads[name] = round(spreads[name] + timings[name] - t, 3)
+                timings[name] = round(t, 3)
+            reps_used[name] += 1
+        signals = _signals()
+    contended = any(signals.values())
+
     plan_changed = {
         name: (
             "new" if name not in prev_hashes
@@ -308,6 +382,12 @@ def main() -> int:
         "plan_hashes": plans,
         "plan_changed": plan_changed,
         "plan_baseline": baseline_file,
+        # box-speed probe + contention verdict (see calibration_probe):
+        # a low-confidence record should not anchor round-over-round
+        # regression claims — compare plans, not wall times, against it
+        "calibration_sec": calibration_sec,
+        "contention_signals": signals,
+        "confidence": "low" if contended else "high",
         "round": current_round,
     }
     # Persist the full artifact independently of the driver's line capture,
@@ -332,6 +412,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "exec_total_sec": payload["exec_total_sec"],
+        "calibration_sec": calibration_sec,
+        "confidence": payload["confidence"],
         "round": current_round,
     }
     line = json.dumps(compact)

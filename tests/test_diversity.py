@@ -91,3 +91,47 @@ def test_mmr_no_unbounded_collect(spark):
     the output itself is a K-row local frame, never corpus-sized."""
     out = mmr_diverse_selection(spark, SF_SMOKE)
     assert out.count() <= _MMR_K
+
+
+def _write_embeddings(spark, out_dir, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def test_mmr_k_boundary_exhausts_exactly(spark, tmp_path):
+    """Fuzz-aimed edge (VERDICT r11 next-round #6): with exactly K vectors
+    the greedy loop must consume every candidate (K rounds, no round
+    starves), and with n < K it must stop early at n rows instead of
+    erroring on an empty candidate frame."""
+    from lms_etl_pipeline_spark.plans.llm import EMB_DIM
+
+    vecs = [[(i + 1) / 10.0] * EMB_DIM for i in range(_MMR_K)]
+    _write_embeddings(spark, str(tmp_path / "eq"), vecs)
+    out = mmr_diverse_selection(spark, str(tmp_path / "eq")).collect()
+    assert len(out) == _MMR_K
+    assert sorted(r.vec_id for r in out) == list(range(_MMR_K))
+
+    _write_embeddings(spark, str(tmp_path / "lt"), vecs[:3])
+    short = mmr_diverse_selection(spark, str(tmp_path / "lt")).collect()
+    assert len(short) == 3
+    assert sorted(r.vec_id for r in short) == [0, 1, 2]
+
+
+def test_mmr_all_ties_pick_ascending_vec_id(spark, tmp_path):
+    """An all-identical corpus ties every round on BOTH relevance and the
+    MMR score; the documented tiebreak (lowest vec_id) must make the pick
+    sequence exactly 0,1,2,... — any nondeterminism in the argmax surfaces
+    here as a scrambled order."""
+    from lms_etl_pipeline_spark.plans.llm import EMB_DIM
+
+    vecs = [[0.25] * EMB_DIM for _ in range(_MMR_K)]
+    _write_embeddings(spark, str(tmp_path), vecs)
+    out = sorted(mmr_diverse_selection(spark, str(tmp_path)).collect(), key=lambda r: r.round)
+    assert [r.vec_id for r in out] == list(range(_MMR_K))
+    # rel is identical for every pick; from round 2 on maxsim == rel (the
+    # remaining candidates are duplicates of a selected vector)
+    rels = {r.rel_u for r in out}
+    assert len(rels) == 1
+    assert all(r.maxsim_u == r.rel_u for r in out if r.round > 1)

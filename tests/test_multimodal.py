@@ -261,6 +261,14 @@ def test_y4m_rejects_corrupt_and_caps_frames():
     assert mm.parse_y4m(b"YUV4MPEG2 W8 H4 F0:1 C420\n") is None
     capped = mm.parse_y4m(good, max_frames=2)
     assert len(capped[5]) == 2 and len(mm.parse_y4m(good)[5]) == 5
+    # round 12 (advisory): the FRAME magic must be followed by '\n' or a
+    # space-prefixed param list — a fused marker like b"FRAMExyz\n" is a
+    # corrupt stream, not a frame header
+    mono = b"YUV4MPEG2 W8 H4 Cmono F25:1\n"
+    assert mm.parse_y4m(mono + b"FRAMExyz\n" + b"\0" * 32) is None
+    withparam = mm.parse_y4m(mono + b"FRAME Xfoo\n" + b"\0" * 32)
+    assert withparam is not None and len(withparam[5]) == 1
+    assert mm.parse_y4m(mono + b"FRAME" ) is None  # marker at EOF, no sep
 
 
 def test_y4m_header_defaults_and_ignored_tags():

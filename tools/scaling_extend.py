@@ -403,6 +403,60 @@ def main() -> int:
         print(f"worst sf3->sf10 slope: {slope:.2f} (red flag at {SLOPE_RED_FLAG})")
         return 1 if slope >= SLOPE_RED_FLAG else 0
 
+    if "--r12-cells" in sys.argv:
+        # Round 12 (VERDICT r11 next-round #5): extend the round-11
+        # newcomers' evidence two more half-decades — the radix-selection
+        # exact quantile at ~sf10 (its whole claim is "the 100 TB plan":
+        # job count and collect sizes must stay BOUNDED while the column
+        # grows 100x) and the PQ ADC scan at ~sf3 and ~sf10 (broadcast
+        # codebook + map-only argmin: time must track the corpus linearly
+        # with a fixed probe set).  Fixtures reuse the copy-shift scheme;
+        # embeddings keep probe ids below the shift so the query set stays
+        # fixed while the corpus scales.
+        tracker = spark.sparkContext.statusTracker()
+
+        def _jobs() -> set[int]:
+            return set(tracker.getJobIdsForGroup(None) or [])
+
+        for d, copies, tabs in (
+            (BIG3, SF3_COPIES, ("lineitem", "embeddings")),
+            (BIG10, SF10_COPIES, ("lineitem", "embeddings")),
+        ):
+            missing = tuple(
+                t for t in tabs if not os.path.isdir(os.path.join(d, f"{t}.parquet"))
+            )
+            if missing or "--rebuild" in sys.argv:
+                print(f"building {d} {missing or tabs} ...", flush=True)
+                build_fixture(spark, d, copies, tables=missing or tabs)
+        cells = ("quantile_exact_selection", "knn_pq_adc")
+        dirs = ((BASE, 0.1), (BIG3, 3.0), (BIG10, 10.0))
+        for sf_dir, _ in dirs:
+            force_eval(qs["quantile_exact_selection"](spark, sf_dir))
+        print("| query | sf0.1 s | ~sf3 s | ~sf10 s | jobs 0.1/3/10 | slope 3→10 |")
+        print("|---|---|---|---|---|---|")
+        worst = 0.0
+        for name in cells:
+            times, jobs = [], []
+            for sf_dir, _ in dirs:
+                best, jbest = math.inf, None
+                for _ in range(REPS):
+                    before = _jobs()
+                    t0 = time.perf_counter()
+                    force_eval(qs[name](spark, sf_dir))
+                    t = time.perf_counter() - t0
+                    if t < best:
+                        best, jbest = t, len(_jobs() - before)
+                times.append(best)
+                jobs.append(jbest)
+            slope = math.log10(times[2] / times[1]) / math.log10(10.0 / 3.0)
+            worst = max(worst, slope)
+            print(
+                f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {times[2]:.2f} "
+                f"| {jobs[0]}/{jobs[1]}/{jobs[2]} | {slope:.2f} |"
+            )
+        print(f"\nworst sf3->sf10 slope: {worst:.2f} (red flag at {SLOPE_RED_FLAG})")
+        return 1 if worst >= SLOPE_RED_FLAG else 0
+
     scales = [("/root/testdata/sf0.01", 0.01), (BASE, 0.1), (BIG, 1.0)]
     # Warm JVM + parquet footers at every scale.
     for sf_dir, _ in scales:
