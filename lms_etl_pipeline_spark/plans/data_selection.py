@@ -168,8 +168,22 @@ def dsir_hashed_ngram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE map-side-combining count over the exploded features, a
     1-row totals broadcast — the output is ``_DSIR_B`` rows however big
     the corpus is (vocabulary hashing bounds the model, Xie et al. §2.2).
+
+    Round 12 (guide §2.4 — remove redundant passes): the builder now
+    resolves the bucket-bounded counts EAGERLY (one ``collect``,
+    <= ``_DSIR_B`` rows by construction) and derives totals + λ from the
+    local relation.  Previously ``tot`` was a broadcast whose build job
+    re-ran the whole tokenize/explode/md5 feature pass — TWO full corpus
+    scans per execution; now there is exactly one.  λ is computed by the
+    same Spark expressions over the same 256 inputs (oracle re-verified).
+    Explain-only callers pay the corpus scan at construction time.
     """
-    model, tot = _model(spark, sf_dir)
+    model_agg, _ = _model(spark, sf_dir)
+    model = spark.createDataFrame(model_agg.collect(), model_agg.schema)
+    tot = model.agg(
+        F.sum("n_target").cast("bigint").alias("nt"),
+        F.sum("n_source").cast("bigint").alias("ns"),
+    )
     return model.crossJoin(F.broadcast(tot)).select(
         F.col("b").alias("bucket"),
         "n_target",
@@ -224,12 +238,21 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "is_t", "b")
         .agg(F.count("*").alias("c"))
     )
-    model = dbc.groupBy("b").agg(
+    # Round 12 (guide §2.4 — remove redundant passes): resolve the
+    # bucket-bounded model ONCE (<= _DSIR_B rows by construction) and
+    # derive λ from the resulting LOCAL relation.  Previously tot and lam
+    # were two separate broadcast-build jobs, EACH re-aggregating the
+    # corpus-sized dbc frame — three dbc scans per invocation; now dbc is
+    # scanned exactly twice (model, weights).  λ itself is computed by the
+    # SAME Spark expressions over the same 256 inputs, so the emitted
+    # weights are bit-identical (oracle re-verified).
+    model_agg = dbc.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("n_target"),
         F.sum("c").cast("bigint").alias("n_source"),
     )
+    model = spark.createDataFrame(model_agg.collect(), model_agg.schema)
     tot = model.agg(
         F.sum("n_target").cast("bigint").alias("nt"),
         F.sum("n_source").cast("bigint").alias("ns"),
