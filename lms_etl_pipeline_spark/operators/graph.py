@@ -42,17 +42,16 @@ def connected_components(
     a similarity graph that deep signals a pathological giant component
     (i.e. a thresholding bug), which should fail loudly, not silently.
     """
-    # Materialize the (symmetrized) edge list ONCE: it is referenced by
-    # every iteration's join AND the convergence check — left lazy, the
-    # entire upstream subtree (e.g. an LSH pipeline) would re-execute per
-    # iteration (measured 4x slowdown on the curation pipeline).
-    sym = materialize(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    )
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    prev_m = materialize(nodes.withColumn("label", F.col("node")))
-    labels = prev_m
+    # Materialize the edge list ONCE (round 12, guide §2.4/§1.2): the
+    # upstream subtree (e.g. an LSH pipeline) is expensive, and the old
+    # symmetrized-union barrier evaluated it TWICE — once per union branch
+    # — inside the materializing job.  Checkpoint |E| rows instead and
+    # derive the symmetric view lazily: each iteration then re-reads the
+    # cached edge blocks (cheap) rather than re-running the subtree.
+    em = materialize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    sym = em.unionByName(em.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    prev_m = None
+    labels = None
 
     for it in range(max_iter):
         # each node's candidate label: min of its own and all neighbors'.
@@ -60,19 +59,36 @@ def connected_components(
         # recovers the previous label (exactly one own row per node) —
         # the convergence check then reads the materialized frame instead
         # of joining old vs new labels in a second per-iteration job.
-        neighbor_labels = (
-            sym.join(labels, sym.v == labels.node)
-            .select(F.col("u").alias("node"), "label", F.lit(False).alias("own"))
-        )
-        hop = (
-            labels.select("node", "label", F.lit(True).alias("own"))
-            .unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+        if it == 0:
+            # Iteration 0 folded into ONE aggregation (round 12): initial
+            # labels ARE the node ids, so min-over-(self ∪ neighbors) is
+            # just least(u, min(v)) grouped by u — no init-labels frame,
+            # no distinct (subsumed by the groupBy), no join.  Every node
+            # appears as u in the symmetric view, so coverage is complete;
+            # the values are exactly what the join formulation produced.
+            hop = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("_mv"))
+                .select(
+                    F.col("u").alias("node"),
+                    F.least(F.col("u"), F.col("_mv")).alias("label"),
+                    F.col("u").alias("_old"),
+                )
             )
-        )
+        else:
+            neighbor_labels = (
+                sym.join(labels, sym.v == labels.node)
+                .select(F.col("u").alias("node"), "label", F.lit(False).alias("own"))
+            )
+            hop = (
+                labels.select("node", "label", F.lit(True).alias("own"))
+                .unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+                )
+            )
         if it >= 2:
             # Path compression (pointer jumping) for graphs still moving
             # after two one-hop rounds: each node also adopts its label's
@@ -94,15 +110,19 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
                 "_old",
             )
-        # materialization barrier: the convergence scan below reads the
-        # ALREADY-materialized frame (no join).  cut_lineage is REQUIRED
+        # materialization barrier: the convergence count IS the
+        # materializing action (round 12 — ``eager=False`` saves the
+        # separate populate-job per iteration; the filter applies above
+        # the barrier, so the full frame is persisted/checkpointed by the
+        # same job that counts the updates).  cut_lineage is REQUIRED
         # here: hop references the previous labels frame TWICE (the own-row
         # union + the neighbor join), so preserved lineage would double the
         # plan tree per iteration (2^k).  Each superseded iteration's CACHE
         # is released below so at most two full-dataset caches are live.
-        new_labels = materialize(hop, cut_lineage=True)
+        new_labels = materialize(hop, eager=False, cut_lineage=True)
         changed = new_labels.filter(F.col("label") < F.col("_old")).count()
-        release(prev_m)
+        if prev_m is not None:
+            release(prev_m)
         prev_m = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
