@@ -27,7 +27,11 @@ from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans import anchors
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.llm import _TOKS
-from lms_etl_pipeline_spark.session import default_parallelism, materialize
+from lms_etl_pipeline_spark.session import (
+    default_parallelism,
+    materialize,
+    spread_for_cpu,
+)
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 # DuckDB fragment: distinct word-5-gram set (mirrors tx.shingles(toks, 5)).
@@ -82,7 +86,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element, and the single-file fixture is one input split (measured
     # 46 s -> ~2 s at sf0.1; same fix as doc_repetition_signals).
     toked = d.select("doc_id", "lang", tx.tokens("text").alias("_toks"))
-    part = toked.repartition(default_parallelism(spark), "doc_id")
+    part = spread_for_cpu(toked, "doc_id")
     # Materialize the shingled projection ONCE (eager localCheckpoint —
     # the corpus_curation_pipeline pattern): three consumers read it (eval
     # grams, train explode, final anti-join); left lazy, each would
@@ -147,7 +151,7 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens materialized + repartitioned before the shingle lambda (the
     # interpreted-HOF / single-split pitfall — see decontaminate above).
     toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
-    part = toked.repartition(default_parallelism(spark), "doc_id")
+    part = spread_for_cpu(toked, "doc_id")
     # Checkpoint the ARRAY, before the explode: Generate over an inlined
     # higher-order subtree re-evaluates it in interpreted eval (measured
     # 17 s vs 1 s for the same shingle work at sf0.1); exploding a

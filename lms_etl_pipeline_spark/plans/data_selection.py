@@ -46,7 +46,7 @@ from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS
-from lms_etl_pipeline_spark.session import default_parallelism, materialize, release
+from lms_etl_pipeline_spark.session import materialize, release, spread_for_cpu
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 #: hashed-feature buckets — vocabulary-bounded model size (paper uses 10k;
@@ -102,8 +102,7 @@ def _feature_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     base = (
-        d.select("doc_id", "lang", "text")
-        .repartition(default_parallelism(spark), "doc_id")
+        spread_for_cpu(d.select("doc_id", "lang", "text"), "doc_id")
         .select(
             "doc_id",
             (F.col("lang") == "en").alias("is_t"),

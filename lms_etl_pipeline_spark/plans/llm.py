@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from lms_etl_pipeline_spark.operators import dedup as dd
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.plans.catalog import query
-from lms_etl_pipeline_spark.session import default_parallelism
+from lms_etl_pipeline_spark.session import default_parallelism, spread_for_cpu
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 EMB_DIM = 64
@@ -506,7 +506,7 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order eval re-inlines subtrees; single input split serializes
     # the CPU work — see operators.dedup plan-shape notes).
     toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
-    part = toked.repartition(default_parallelism(spark), "doc_id")
+    part = spread_for_cpu(toked, "doc_id")
     bg = part.select("doc_id", F.explode(tx.shingles(F.col("_toks"), 2)).alias("bigram"))
     cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
     return cnt.groupBy("doc_id").agg(

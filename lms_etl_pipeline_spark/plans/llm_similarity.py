@@ -31,7 +31,11 @@ from lms_etl_pipeline_spark.plans.llm import (
     _minhash_slots_sql,
     near_dup_pairs_lsh,
 )
-from lms_etl_pipeline_spark.session import default_parallelism, materialize
+from lms_etl_pipeline_spark.session import (
+    default_parallelism,
+    materialize,
+    spread_for_cpu,
+)
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 @query(
@@ -68,7 +72,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.dedup docstring)."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
-    part = toked.repartition(default_parallelism(spark), "doc_id")
+    part = spread_for_cpu(toked, "doc_id")
     hashed = part.select("doc_id", tx.kgram_hashes(F.col("_toks"), k=3).alias("_hs"))
     return hashed.select(
         "doc_id",
@@ -220,8 +224,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lms_etl_pipeline_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
+    # spread the corpus before the tokenize/HOF feature stage (round 12):
+    # a single-split fixture otherwise runs the whole quality pass on one
+    # core; at scale (scan parallelism >= cores) this is a no-op.
     qf = materialize(
-        tx.quality_features(d, "text", keep_tokens=True)
+        tx.quality_features(spread_for_cpu(d, "doc_id"), "text", keep_tokens=True)
         .filter(F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") <= 0.5))
         .select(
             "doc_id",
@@ -467,9 +474,9 @@ def near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tx.tokens("text").alias("_toks")).filter(F.size("_toks") >= 3)
-    shingled = toked.repartition(
-        default_parallelism(spark), "doc_id"
-    ).select("doc_id", F.array_distinct(tx.shingles(F.col("_toks"), n=3)).alias("toks"))
+    shingled = spread_for_cpu(toked, "doc_id").select(
+        "doc_id", F.array_distinct(tx.shingles(F.col("_toks"), n=3)).alias("toks")
+    )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
     # localCheckpoint as a plan BARRIER, not (only) a cache: inside
     # approxSimilarityJoin's self-join rewrite Catalyst re-collapses the

@@ -60,6 +60,33 @@ def default_parallelism(spark: SparkSession, fallback: int = 32) -> int:
             return fallback
 
 
+def spread_for_cpu(df, key):
+    """Scale-adaptive CPU spreading (guide §2: partitioning must derive
+    from input size, not a constant tuned for one deployment).
+
+    A small parquet corpus scans as ONE split, which would serialize a
+    CPU-heavy downstream stage (tokenize, shingle, hash) on a single
+    core — the repo's established fix is an explicit key-hashed
+    repartition.  But that repartition is corpus-sized payload shuffle
+    that a 100 TB scan (thousands of splits) does NOT need.  This helper
+    repartitions only when the frame's current parallelism is below the
+    cluster's; at scale it is a no-op, so the heavy bytes never move.
+
+    Only for frames feeding a SINGLE consumer chain or a materialize
+    barrier — multi-consumer plans that rely on the exchange for
+    ReusedExchange sharing (operators.dedup.tokenized_partitioned) must
+    keep their unconditional repartition.
+    """
+    n = default_parallelism(df.sparkSession)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - Connect sessions hide the RDD
+        cur = 0
+    if cur >= n:
+        return df
+    return df.repartition(n, key)
+
+
 #: conf key overriding the deployment-keyed materialization strategy
 MATERIALIZE_CONF = "spark.lms_etl_pipeline_spark.materialize"
 
