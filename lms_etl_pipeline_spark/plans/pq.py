@@ -244,10 +244,16 @@ def _book_rows_to_arrays(book: DataFrame) -> DataFrame:
     )
 
 
-def _argmin_code(xs: DataFrame, book_arrays: DataFrame) -> DataFrame:
-    """(vec_id, s, cid, d2u): nearest centroid per (row, subspace) via an
-    in-row array_min over (d2, cid) structs — no corpus expansion, no
-    shuffle (struct ordering = lexicographic ⇒ d2-then-cid tiebreak)."""
+def _argmin_code(
+    xs: DataFrame, book_arrays: DataFrame, keep_vec: bool = False
+) -> DataFrame:
+    """(vec_id, s, cid, d2u[, xv]): nearest centroid per (row, subspace) via
+    an in-row array_min over (d2, cid) structs — no corpus expansion, no
+    shuffle (struct ordering = lexicographic ⇒ d2-then-cid tiebreak).
+    ``keep_vec=True`` carries the subvector through so a consumer that
+    needs (assignment, xv) pairs — the Lloyd mean — does not have to join
+    the assignment back to ``xs`` (round 12: that join was an SMJ with two
+    corpus-sized array-payload exchanges in every PQ query)."""
     best = F.array_min(
         F.transform(
             "cents",
@@ -256,9 +262,16 @@ def _argmin_code(xs: DataFrame, book_arrays: DataFrame) -> DataFrame:
             ),
         )
     )
+    tail = ["xv"] if keep_vec else []
     return xs.join(F.broadcast(book_arrays), "s").select(
-        "vec_id", "s", best.alias("b")
-    ).select("vec_id", "s", F.col("b.cid").alias("cid"), F.col("b.d2u").alias("d2u"))
+        "vec_id", "s", best.alias("b"), *tail
+    ).select(
+        "vec_id",
+        "s",
+        F.col("b.cid").alias("cid"),
+        F.col("b.d2u").alias("d2u"),
+        *tail,
+    )
 
 
 def _seed_book(xs: DataFrame) -> DataFrame:
@@ -278,12 +291,12 @@ def _train_book(xs: DataFrame) -> DataFrame:
     """One Lloyd refinement of the seed book — rows (s, cid, pos, cu),
     means in exact half-up integer division (DECIMAL(38,0) internal sums,
     BIGINT out)."""
-    a0 = _argmin_code(xs, _book_rows_to_arrays(_seed_book(xs))).select(
-        "vec_id", "s", "cid"
-    )
-    m = a0.join(xs, ["vec_id", "s"]).select(
-        "s", "cid", F.posexplode("xv").alias("pos", "xu")
-    )
+    # keep_vec carries xv with the assignment — the old a0 ⋈ xs join (SMJ,
+    # two corpus-sized exchanges of array payloads) folds into the same
+    # map-only pass (round 12, guide §2.4); rows are identical because the
+    # join was 1:1 on (vec_id, s) by construction.
+    a0 = _argmin_code(xs, _book_rows_to_arrays(_seed_book(xs)), keep_vec=True)
+    m = a0.select("s", "cid", F.posexplode("xv").alias("pos", "xu"))
     return (
         m.groupBy("s", "cid", "pos")
         .agg(
