@@ -135,51 +135,87 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per round — the pick, its relevance, its max similarity to
     the prior picks, and the doubled MMR score, all BIGINT.
     """
+    # Round 12 (guide §1.2 — fix the distributed algorithm first): the
+    # greedy loop is now INCREMENTAL.  The old form recomputed every
+    # candidate's dot products against ALL prior picks each round
+    # (Σ(r−1)·n = O(K²n) interpreted dots) and paid a corpus-keyed
+    # groupBy shuffle + a rel join per round.  MMR's max is associative:
+    # maxsim_r(v) = max(maxsim_{r−1}(v), ⟨v, pick_{r−1}⟩) — so the state
+    # frame (vec_id, xv, rel_u, maxsim_u) updates against ONLY the newest
+    # pick (its 64 micro-unit components re-enter as literals, the
+    # GD-trainer discipline), one map-only pass + TakeOrdered per round:
+    # O(Kn) dots, ZERO per-round shuffles.  The max runs over the same
+    # set, so every emitted value is unchanged (oracle re-verified);
+    # per-round plans were already literal-bearing (isin(sel_ids)), so
+    # codegen cost per round is unchanged too.
     xu = materialize(_xu_frame(spark, sf_dir))
     qv = xu.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("xv").alias("qv")
     )
-    rel = materialize(
+    # maxsim over the EMPTY selected set starts at a sentinel minimum
+    # (−2^62 — dots are bounded |·| ≤ d·U² ≈ 6.4e13, far above it), NOT 0:
+    # dot products can be negative, and flooring at 0 would overstate the
+    # penalty for anti-correlated candidates.  Round 1 emits the
+    # conventional (maxsim=0, score2=rel) pair explicitly, as before.
+    state = materialize(
         xu.crossJoin(F.broadcast(qv)).select(
-            "vec_id", _dot(F.col("xv"), F.col("qv")).alias("rel_u")
+            "vec_id",
+            "xv",
+            _dot(F.col("xv"), F.col("qv")).alias("rel_u"),
+            F.lit(-(1 << 62)).cast("bigint").alias("maxsim_u"),
         )
     )
+    release(xu)
     history: list[tuple[int, int, int, int, int]] = []
     sel_ids: list[int] = []
+    last_xv: list[int] | None = None
     for rnd in range(1, _MMR_K + 1):
-        if rnd == 1:
-            rows = rel.orderBy(F.desc("rel_u"), "vec_id").limit(1).collect()
-            if not rows:
-                break  # empty corpus
-            r = rows[0]
-            pick = (1, r["vec_id"], r["rel_u"], 0, r["rel_u"])
+        if rnd > 1:
+            yv = F.array(*[F.lit(int(v)) for v in last_xv])
+            upd = state.select(
+                "vec_id",
+                "xv",
+                "rel_u",
+                F.greatest("maxsim_u", _dot(F.col("xv"), yv)).alias("maxsim_u"),
+            )
+            # the TakeOrdered collect below is the materializing action
+            # (eager=False): one job per round, no separate populate pass
+            new_state = materialize(upd, eager=False, cut_lineage=True)
         else:
-            sel = xu.filter(F.col("vec_id").isin(sel_ids)).select(
-                F.col("xv").alias("yv")
+            new_state = state
+        cand = (
+            new_state.filter(~F.col("vec_id").isin(sel_ids))
+            if sel_ids
+            else new_state
+        )
+        order_col = "rel_u" if rnd == 1 else "score2_u"
+        rows = (
+            cand.select(
+                "vec_id",
+                "rel_u",
+                "maxsim_u",
+                (F.col("rel_u") - F.col("maxsim_u")).alias("score2_u"),
+                "xv",
             )
-            cand = (
-                xu.filter(~F.col("vec_id").isin(sel_ids))
-                .crossJoin(F.broadcast(sel))
-                .select("vec_id", _dot(F.col("xv"), F.col("yv")).alias("s"))
-                .groupBy("vec_id")
-                .agg(F.max("s").alias("maxsim_u"))
-                .join(rel, "vec_id")
-                .select(
-                    "vec_id",
-                    "rel_u",
-                    "maxsim_u",
-                    (F.col("rel_u") - F.col("maxsim_u")).alias("score2_u"),
-                )
-            )
-            rows = cand.orderBy(F.desc("score2_u"), "vec_id").limit(1).collect()
-            if not rows:
-                break  # candidates exhausted (n <= K)
-            r = rows[0]
-            pick = (rnd, r["vec_id"], r["rel_u"], r["maxsim_u"], r["score2_u"])
+            .orderBy(F.desc(order_col), "vec_id")
+            .limit(1)
+            .collect()  # bounded: ONE row (with its 64-component vector)
+        )
+        if new_state is not state:
+            release(state)
+            state = new_state
+        if not rows:
+            break  # empty corpus / candidates exhausted (n <= K)
+        r = rows[0]
+        pick = (
+            (1, r["vec_id"], r["rel_u"], 0, r["rel_u"])
+            if rnd == 1
+            else (rnd, r["vec_id"], r["rel_u"], r["maxsim_u"], r["score2_u"])
+        )
         history.append(pick)  # bounded: ONE row per round, K rounds
         sel_ids.append(pick[1])
-    release(rel)
-    release(xu)
+        last_xv = list(r["xv"])
+    release(state)
     return spark.createDataFrame(
         history,
         "round int, vec_id bigint, rel_u bigint, maxsim_u bigint, "
