@@ -125,6 +125,16 @@ CONTENTION_CAL_RATIO = 1.30
 CONTENTION_SPREAD_FRAC = 0.25
 CONTENTION_REREP_MAX = 5
 
+# Round-12 measurement fix (declared in OPTIMIZATION_r12.md): the r12
+# baseline run tripped `spread_high` on a demonstrably QUIET box
+# (calibration probe 0.166 s — fastest in the series) because max−min over
+# all reps counts each plan's FIRST-rep Catalyst/codegen warm-up as noise.
+# The contention signal now uses the spread over reps AFTER the first
+# (warm spread — genuine run-to-run variance), and the default rep count
+# rises to 3 so every query has >= 2 warm samples.  The recorded `spread`
+# field keeps its historical all-reps definition (and the r01-r11 series
+# stays comparable); `warm_spread` is recorded alongside.
+
 
 def calibration_probe(spark, reps: int = 3) -> float:
     """Min-of-``reps`` wall time of a fixed pure-compute job (xxhash64
@@ -186,7 +196,7 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    reps = max(int(os.environ.get("BENCH_REPS", "2")), 1)
+    reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
 
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not session startup.
@@ -221,6 +231,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    warm_spreads: dict[str, float] = {}
     execs: dict[str, float] = {}
     plans: dict[str, str] = {}
     reps_used: dict[str, int] = {}
@@ -245,6 +256,8 @@ def main() -> int:
                 n_reps = SUBSEC_MIN_REPS
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) - min(samples), 3)
+        warm = samples[1:] or samples
+        warm_spreads[name] = round(max(warm) - min(warm), 3)
         reps_used[name] = done
         if ebest != float("inf"):
             execs[name] = round(ebest, 3)
@@ -313,7 +326,8 @@ def main() -> int:
             ),
             "spread_high": (
                 total_now > 0
-                and sum(spreads.values()) > CONTENTION_SPREAD_FRAC * total_now
+                and sum(warm_spreads.values())
+                > CONTENTION_SPREAD_FRAC * total_now
             ),
         }
 
@@ -331,6 +345,10 @@ def main() -> int:
             if t < timings[name]:
                 spreads[name] = round(spreads[name] + timings[name] - t, 3)
                 timings[name] = round(t, 3)
+            else:
+                warm_spreads[name] = round(
+                    max(warm_spreads[name], t - timings[name]), 3
+                )
             reps_used[name] += 1
         signals = _signals()
     contended = any(signals.values())
@@ -375,6 +393,9 @@ def main() -> int:
         "exec": execs,
         # max−min over this run's reps: the measured per-query noise floor
         "spread": spreads,
+        # max−min over reps AFTER the first (excludes one-time plan
+        # compile/codegen warm-up) — what the contention signal reads
+        "warm_spread": warm_spreads,
         # true only when the plan hash changed or |Δ vs baseline| clears
         # both runs' spreads — the ONLY queries a round summary may claim
         # a regression/improvement for

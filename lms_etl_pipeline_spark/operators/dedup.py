@@ -304,11 +304,23 @@ def jaccard_pairs_prefix(
     # once so the ordered arrays are not recomputed per consumer.
     sh = materialize(sh, eager=False)
     prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
-    pref = sh.select("_id", F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("_g"))
+    pref = sh.select(
+        "_id", "_n", F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("_g")
+    )
+    # Length filter (round 12 — the PPJoin companion bound): J(A,B) >= t
+    # forces min(|A|,|B|) >= t * max(|A|,|B|) (the intersection is at most
+    # the smaller set and at least t times the union).  Pairs violating it
+    # can only fail the final jaccard >= t filter, so pruning them BEFORE
+    # the distinct and the two verification joins is lossless — and it is
+    # the bound that keeps a long doc from pairing with every snippet
+    # sharing one stopword shingle at scale.
+    _len_ok = F.least(F.col("l._n"), F.col("r._n")) >= F.lit(threshold) * F.greatest(
+        F.col("l._n"), F.col("r._n")
+    )
     cands = (
         pref.alias("l")
         .join(pref.alias("r"), "_g")
-        .filter(F.col("l._id") < F.col("r._id"))
+        .filter((F.col("l._id") < F.col("r._id")) & _len_ok)
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
         .distinct()
     )

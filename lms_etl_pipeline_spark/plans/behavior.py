@@ -41,6 +41,7 @@ from lms_etl_pipeline_spark.operators.rank import (
     with_uniform_key_buckets,
 )
 from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.session import materialize
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 _CF_BASKET_CAP = 50   # drop power-customers above this many distinct parts
@@ -106,9 +107,15 @@ def item_cooccurrence_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sz = cp.groupBy("o_custkey").agg(F.count("*").alias("basket"))
-    kept = cp.join(
-        sz.filter(F.col("basket") <= _CF_BASKET_CAP).select("o_custkey"),
-        "o_custkey",
+    # Round 12: materialize the capped incidence frame — FOUR consumers
+    # (item_n, both self-join sides, via `directed` twice) otherwise each
+    # re-run the orders⋈lineitem join + distinct + basket-cap semi-join
+    # (guide §2.4; the self-join sides shared an exchange, item_n did not).
+    kept = materialize(
+        cp.join(
+            sz.filter(F.col("basket") <= _CF_BASKET_CAP).select("o_custkey"),
+            "o_custkey",
+        )
     )
     item_n = kept.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a = kept.select("o_custkey", F.col("l_partkey").alias("p1"))
@@ -412,7 +419,10 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    # Round 12: materialize the edge list once — a1/h1/a2 AND every
+    # normalizer broadcast build otherwise re-derive the
+    # orders⋈lineitem+distinct subtree (same fix as pagerank_graph).
+    edges = materialize(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from lms_etl_pipeline_spark.operators import text as tx
 from lms_etl_pipeline_spark.operators import vectors as vec
 from lms_etl_pipeline_spark.plans.catalog import query
+from lms_etl_pipeline_spark.session import materialize
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS, EMB_DIM
 from lms_etl_pipeline_spark.sources.tables import load_table
@@ -481,7 +482,14 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     then DECIMAL-summed (order-independent), per repo convention."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    # Round 12 (guide §2.4): materialize the edge list and node set ONCE —
+    # the unrolled 3-iteration plan references edges (contrib), nodes
+    # (re-rank join), deg and nn per iteration, so the lazy form re-derived
+    # the orders⋈lineitem+distinct subtree up to ~a dozen times per run
+    # (exchange reuse only covers identical exchanges, not the
+    # differently-aggregated consumers).  The curation-pipeline barrier
+    # pattern; values unchanged (oracle re-verified).
+    edges = materialize(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
@@ -489,9 +497,11 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
+    nodes = materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     # graph size as a 1-row broadcast, not a driver-side count(): the whole
     # query stays one declarative plan with no eager actions
     nn = nodes.agg(F.count("*").alias("n"))

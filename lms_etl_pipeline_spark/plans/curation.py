@@ -224,7 +224,9 @@ def charlm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the array costs MORE (measured 2.2-3.3 s inline vs
     # 3.8-4.8 s behind a repartition at sf0.1).
     tri = d.select("doc_id", F.explode(tri_arr).alias("tri"))
-    tf = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("tf"))
+    # Round 12: materialize tf — the model legs (c3 -> c2) and the scoring
+    # join each re-ran the corpus explode + count otherwise (guide §2.4).
+    tf = materialize(tri.groupBy("doc_id", "tri").agg(F.count("*").alias("tf")))
     c3 = tf.groupBy("tri").agg(F.sum("tf").alias("c3"))
     c2 = c3.groupBy(F.substring("tri", 1, 2).alias("pre")).agg(
         F.sum("c3").alias("c2")

@@ -30,6 +30,7 @@ from lms_etl_pipeline_spark.plans.catalog import query
 from lms_etl_pipeline_spark.plans.curation import _BUCKET_SQL, _G3, _bucket
 from lms_etl_pipeline_spark.plans.llm import _TOKS
 from lms_etl_pipeline_spark.plans.profiling import _FP_SQL
+from lms_etl_pipeline_spark.session import materialize, spread_for_cpu
 from lms_etl_pipeline_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -323,10 +324,22 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-sized work (the ``incremental_corpus_dedup`` posture).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(tx.shingles(tx.tokens("text"), 3))).alias("s"),
+    # Round 12: this query had the known interpreted-HOF/single-split
+    # pitfall UNFIXED (tokens() inlined inside shingles inside explode, on
+    # a one-split scan, with the whole subtree evaluated once per
+    # consumer — first_seen AND the join left side).  Same fix as
+    # boilerplate_ngram_filter: materialize tokens as a column, spread
+    # before the shingle lambda, checkpoint the distinct-shingle ARRAY
+    # once so both consumers read the exploded view off the barrier.
+    # Measured at sf0.1: exec ~20 s -> see OPTIMIZATION_r12.md.
+    toked = d.select("doc_id", tx.tokens("text").alias("_toks"))
+    part = spread_for_cpu(toked, "doc_id")
+    g = materialize(
+        part.select(
+            "doc_id", F.array_distinct(tx.shingles(F.col("_toks"), 3)).alias("g")
+        )
     )
+    sh = g.select("doc_id", F.explode("g").alias("s"))
     first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("first_doc") < F.col("doc_id"), 0).otherwise(1)
     return (
