@@ -40,3 +40,15 @@ def test_non_convergence_raises(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "a BIGINT, b BIGINT")
     assert connected_components(df).count() == 0
+
+
+def test_duplicate_selfloop_and_reversed_edges(spark):
+    # Round 12: iteration 0 is a plain groupBy over the symmetric view
+    # (least(u, min v)) — pin that edge multiplicity, self-loops, and
+    # edges listed in either direction neither duplicate nodes in the
+    # output nor change the min-label fixpoint.
+    comps, out = _comps(spark, [(9, 2), (2, 9), (4, 9), (4, 4), (9, 2)])
+    assert comps == {frozenset({2, 4, 9})}
+    rows = out.collect()
+    assert len(rows) == 3  # exactly one row per node
+    assert {r.component for r in rows} == {2}
