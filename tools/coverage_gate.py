@@ -48,9 +48,34 @@ def is_green(row: dict) -> bool:
     )
 
 
+def rows_only_names() -> set[str]:
+    """Queries registered with ``oracle=None`` — rows-only BY DESIGN.
+
+    A driver row carrying ``err='no_oracle'`` for one of these is the
+    EXPECTED outcome of sampling it (the driver has no SQL to diff
+    against), not a defect: round 11 rotated the 10 rows-only queries
+    into the window and the gate started flagging their ✅ lines.  Treat
+    that specific (err='no_oracle', oracle is None) combination as green.
+    """
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as em
+
+    registered = set(em.queries())
+    with_oracle = set(em.oracle_sql())
+    return registered - with_oracle
+
+
 def main() -> int:
     latest = latest_driver_rows()
-    red = {n for n, (_, row) in latest.items() if not is_green(row)}
+    rows_only = rows_only_names()
+    red = {
+        n
+        for n, (_, row) in latest.items()
+        if not is_green(row)
+        and not (row.get("err") == "no_oracle" and n in rows_only)
+    }
     problems: list[str] = []
     for lineno, line in enumerate(
         (ROOT / "COVERAGE.md").read_text().splitlines(), start=1
