@@ -220,3 +220,22 @@ def test_rows_only_anchor_map_matches_catalog():
         assert anchors, name
         for a in anchors:
             assert a in ORACLES, f"{name}: anchor {a} is not oracle-backed"
+
+
+def test_bench_steal_sample_contract():
+    """bench.py's hypervisor-steal probe: two non-negative tick counters
+    with steal <= total, total strictly growing between samples (it feeds
+    the steal_high contention signal — a bad read must come back None,
+    never a junk ratio)."""
+    import bench
+
+    s = bench.steal_sample()
+    if s is None:  # non-Linux /proc layout — the signal degrades to off
+        return
+    steal0, total0 = s
+    assert 0 <= steal0 <= total0
+    import time as _time
+
+    _time.sleep(0.05)
+    steal1, total1 = bench.steal_sample()
+    assert total1 > total0 and steal1 >= steal0
