@@ -17,6 +17,7 @@ QUERIES = entrymod.queries()
 # ------------------------------------------------------------- item CF
 
 
+@pytest.mark.slow  # >14 s: gated from the default run (round 13)
 def test_item_cf_topk_symmetric_scores(spark):
     df = QUERIES["item_cooccurrence_cf"](spark, SF_SMOKE)
     rows = df.collect()

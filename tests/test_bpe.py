@@ -119,6 +119,7 @@ def test_query_shape_and_monotone_counts(spark):
         )
 
 
+@pytest.mark.slow  # >14 s: gated from the default run (round 13)
 def test_local_learner_matches_textbook_and_distributed(spark):
     """The driver-local learner (hybrid deep path) must equal BOTH the
     textbook trainer and the distributed operator loop rule-for-rule —

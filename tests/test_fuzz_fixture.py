@@ -57,6 +57,9 @@ from tools.check_oracle import MAX_COMPARE_ROWS, _norm_cell, compare
 from tools.fuzz_fixture import SIZES, build
 from tools.make_sf0 import TABLES
 
+# Round 13: multi-minute sweep — gated from the default run (tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 

@@ -149,6 +149,7 @@ def test_release_unpersists_only_in_persist_mode(spark):
     assert out.count() == 10
 
 
+@pytest.mark.slow  # >14 s: gated from the default run (round 13)
 def test_iterative_loops_bound_live_caches_in_persist_mode(spark, tmp_path):
     """ADVICE r9 (medium): iterative loops must unpersist superseded
     frames — a 20-iteration run must NOT hold 20 full-dataset caches.

@@ -73,6 +73,7 @@ def test_align_to_schema_empty_frame(spark):
     assert [f.name for f in out.schema.fields] == ["a", "b"]
 
 
+@pytest.mark.slow  # >14 s: gated from the default run (round 13)
 def test_multimodal_empty_frame(spark):
     df = spark.createDataFrame([], "doc_id BIGINT, text STRING")
     assert mm.decode_image_features(mm.with_payload(df)).count() == 0

@@ -19,6 +19,9 @@ SF_01 = "/root/testdata/sf0.1"
 
 QUERIES = entrymod.queries()
 
+# Round 13: multi-minute sweep — gated from the default run (tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 #: (query, max seconds at sf0.1 on local[32]) — heavy round-5b plans only
 _HEAVY = [
     ("dup_ngram_spans", 120),

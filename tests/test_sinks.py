@@ -39,6 +39,7 @@ class TestForeachPartitionUpsert:
         con.commit()
         con.close()
 
+    @pytest.mark.slow  # >14 s: gated from the default run (round 13)
     def test_insert_then_update_then_idempotent(self, spark, people_df, tmp_path):
         db = str(tmp_path / "t.db")
         self._setup_db(db)
